@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** One engine operator: a Spark plan plus (when SQL-expressible) a
+  * DuckDB oracle query over the same parquet tables. The driver's
+  * correctness gate sorts columns by name and hash-compares values,
+  * so Spark aliases and SQL aliases must match exactly.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String]
+)
+
+/** Loaders for the driver-generated TPC-H-ish testdata.
+  *
+  * Reads are plain parquet scans so Catalyst pushes filters and
+  * prunes columns into the scan (verify with explain: PushedFilters
+  * / ReadSchema). At 100 TB these would be partitioned/bucketed
+  * tables behind a catalog; the query code below only depends on
+  * logical schemas, so the swap is confined to this class.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+  def region: DataFrame = t("region")
+  def nation: DataFrame = t("nation")
+  def customer: DataFrame = t("customer")
+  def supplier: DataFrame = t("supplier")
+  def part: DataFrame = t("part")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    * parquet reader rejects. Read nanos as long (legacy conf) and
+    * floor-truncate to a microsecond TimestampType column — the same
+    * truncation DuckDB applies, so oracle parity holds.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
+  }
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+/** Determinism helpers for DuckDB-oracle parity.
+  *
+  * Plain `sum(double)` is order-dependent, and Spark's partial
+  * aggregation order differs from DuckDB's — the last ulp of the
+  * result would flip the driver's hash compare. Accumulating in
+  * exact decimal and only then converting to double makes the
+  * result bit-identical on both engines regardless of row order.
+  */
+object Det {
+  private val Dec = DecimalType(18, 6)
+
+  /** Exact decimal sum, surfaced as double. SQL twin: dsumSql. */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+  def dsumSql(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** Exact mean: decimal sum / count, both deterministic. */
+  def davg(c: Column): Column =
+    sum(c.cast(Dec)).cast(DoubleType) / count(c)
+  def davgSql(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE) / COUNT($e)"
+}

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle
+SQL in DuckDB over the sfDir parquet tables and compare against the
+parquet that graft.Verify dumped. Sorts columns by name, sorts rows,
+compares values (exact for ints/strings, tiny-eps report for floats).
+
+Usage: tools/crosscheck.py [sfDir] [verifyOut]
+"""
+import json, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for f in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(f)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+
+oracles = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for qname in sorted(oracles):
+    sql = oracles[qname]
+    pdir = f"{out}/{qname}"
+    files = glob.glob(f"{pdir}/*.parquet")
+    if not files:
+        print(f"FAIL {qname}: no spark output");  fails += 1;  continue
+    got = pq.read_table(files[0]).to_pandas()
+    try:
+        exp = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {qname}: oracle error {e}");  fails += 1;  continue
+    gcols, ecols = sorted(got.columns), sorted(exp.columns)
+    if gcols != ecols:
+        print(f"FAIL {qname}: cols spark={gcols} duck={ecols}");  fails += 1;  continue
+    g = got[gcols].sort_values(gcols).reset_index(drop=True)
+    e = exp[ecols].sort_values(ecols).reset_index(drop=True)
+    if len(g) != len(e):
+        print(f"FAIL {qname}: rows spark={len(g)} duck={len(e)}");  fails += 1;  continue
+    bad = []
+    for c in gcols:
+        gv, ev = g[c], e[c]
+        if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
+            gv2 = gv.astype(float); ev2 = ev.astype(float)
+            neq = ~((gv2 == ev2) | (gv2.isna() & ev2.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                bad.append(f"{c}[{i}]: spark={gv2[i]!r} duck={ev2[i]!r} d={abs(gv2[i]-ev2[i])}")
+        else:
+            neq = ~((gv.astype(str) == ev.astype(str)) | (gv.isna() & ev.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                bad.append(f"{c}[{i}]: spark={gv[i]!r} duck={ev[i]!r}")
+    if bad:
+        print(f"FAIL {qname}: {len(bad)} col diffs; e.g. " + " | ".join(bad[:3]))
+        fails += 1
+    else:
+        print(f"OK   {qname} ({len(g)} rows, {len(gcols)} cols)")
+print(f"\n{len(oracles) - fails}/{len(oracles)} queries match")
+sys.exit(1 if fails else 0)
