@@ -1,12 +1,12 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{Kpi, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§7. */
 object SparkEntry {
   /** Every implemented operator, in SURVEY §2 order. */
-  def allQueries: Seq[Q] = Relational.all
+  def allQueries: Seq[Q] = Relational.all ++ Kpi.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

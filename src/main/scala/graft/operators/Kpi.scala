@@ -1,0 +1,547 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** The reference's KPI/trade-observatory surface re-expressed on the
+  * testdata star schema.
+  *
+  * Reference semantics (observatorio/metrics.py, metrics_products.py,
+  * models/metrics.sql, eda.py, insights_engine.py, app.py): a long
+  * monthly fact `(year, month, flow, usd)` pivoted wide, then
+  * lag-based MoM/YoY, 3-month moving averages, base-100 indexes,
+  * quarter/annual rollups, z-score outliers, YTD cumulatives,
+  * seasonality profiles, top-N insight ranking, and QA
+  * reconciliation.
+  *
+  * Analog mapping: `orders` (1995-2001) is the monthly fact; flow =
+  * orderstatus F→export / else→import; `part.p_type` is the product
+  * category dimension (reference `trade_prod.category`).
+  *
+  * Scale design: every series operator first aggregates the fact to
+  * its series grain (year×month[×category]) with map-side partial
+  * aggregation, then applies windows on the *reduced* table — the
+  * reference does the same (pivot, then shift). Window partitions are
+  * the series keys, so category-level series parallelize; the global
+  * totals series is O(#months) rows after reduction no matter the
+  * input size.
+  */
+object Kpi {
+
+  // ---- shared monthly base (reference models/metrics.sql base_monthly) ----
+
+  private def baseMonthly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .select(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mon"),
+        $"o_orderstatus", $"o_totalprice")
+      .groupBy($"yr", $"mon")
+      .agg(
+        Det.dsum(when($"o_orderstatus" === "F", $"o_totalprice")).as("export_usd"),
+        Det.dsum(when($"o_orderstatus" =!= "F", $"o_totalprice")).as("import_usd"))
+  }
+
+  private val baseSql =
+    s"""base AS (
+       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       |         CAST(month(o_orderdate) AS INTEGER) AS mon,
+       |    ${Det.dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS export_usd,
+       |    ${Det.dsumSql("CASE WHEN o_orderstatus <> 'F' THEN o_totalprice END")} AS import_usd
+       |  FROM orders GROUP BY yr, mon)""".stripMargin
+
+  /** Deterministic windowed mean: exact decimal sum over the frame
+    * divided by the frame count (plain windowed AVG accumulates
+    * doubles in engine-specific order).
+    */
+  private val Dec = DecimalType(18, 6)
+  private def dMeanOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(c.cast(Dec)).over(w).cast(DoubleType) / count(c).over(w)
+  private def dMeanOverSql(e: String, over: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) OVER $over AS DOUBLE) / COUNT($e) OVER $over"
+  private def dSumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(c.cast(Dec)).over(w).cast(DoubleType)
+  private def dSumOverSql(e: String, over: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) OVER $over AS DOUBLE)"
+
+  // ---- kpi_trade_long: the ETL long-format fact (etl.py parse_book) ----
+
+  private def tradeLong(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .select(year($"o_orderdate").as("yr"), month($"o_orderdate").as("mon"),
+        when($"o_orderstatus" === "F", "export").otherwise("import").as("flow"),
+        $"o_totalprice")
+      .groupBy($"yr", $"mon", $"flow")
+      .agg(Det.dsum($"o_totalprice").as("usd"))
+      .orderBy($"yr", $"mon", $"flow")
+  }
+
+  private val tradeLongSql =
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       |       CAST(month(o_orderdate) AS INTEGER) AS mon,
+       |  CASE WHEN o_orderstatus = 'F' THEN 'export' ELSE 'import' END AS flow,
+       |  ${Det.dsumSql("o_totalprice")} AS usd
+       |FROM orders
+       |GROUP BY yr, mon, flow
+       |ORDER BY yr, mon, flow""".stripMargin
+
+  // ---- kpi_base_monthly: long→wide pivot (metrics.sql:6-29) ----
+
+  private def base(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    baseMonthly(spark, dir).orderBy($"yr", $"mon")
+  }
+
+  private val baseQSql =
+    s"""WITH $baseSql
+       |SELECT yr, mon, export_usd, import_usd FROM base ORDER BY yr, mon""".stripMargin
+
+  // ---- kpi_mom_yoy: LAG(1)/LAG(12) pct change (metrics.py:72-75) ----
+
+  private def momYoy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"yr", $"mon")
+    baseMonthly(spark, dir)
+      .withColumn("export_mom",
+        ($"export_usd" / lag($"export_usd", 1).over(w) - 1.0) * 100.0)
+      .withColumn("export_yoy",
+        ($"export_usd" / lag($"export_usd", 12).over(w) - 1.0) * 100.0)
+      .withColumn("import_mom",
+        ($"import_usd" / lag($"import_usd", 1).over(w) - 1.0) * 100.0)
+      .withColumn("import_yoy",
+        ($"import_usd" / lag($"import_usd", 12).over(w) - 1.0) * 100.0)
+      .select($"yr", $"mon", $"export_usd", $"export_mom", $"export_yoy",
+        $"import_mom", $"import_yoy")
+      .orderBy($"yr", $"mon")
+  }
+
+  private val momYoySql =
+    s"""WITH $baseSql
+       |SELECT yr, mon, export_usd,
+       |  ((export_usd / LAG(export_usd, 1) OVER (ORDER BY yr, mon) - 1.0) * 100.0) AS export_mom,
+       |  ((export_usd / LAG(export_usd, 12) OVER (ORDER BY yr, mon) - 1.0) * 100.0) AS export_yoy,
+       |  ((import_usd / LAG(import_usd, 1) OVER (ORDER BY yr, mon) - 1.0) * 100.0) AS import_mom,
+       |  ((import_usd / LAG(import_usd, 12) OVER (ORDER BY yr, mon) - 1.0) * 100.0) AS import_yoy
+       |FROM base ORDER BY yr, mon""".stripMargin
+
+  // ---- kpi_ma3: 3-month moving average (metrics.py:78-80) ----
+
+  private def ma3(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w3 = Window.orderBy($"yr", $"mon").rowsBetween(-2, 0)
+    baseMonthly(spark, dir)
+      .withColumn("export_ma3", dMeanOver($"export_usd", w3))
+      .withColumn("import_ma3", dMeanOver($"import_usd", w3))
+      .withColumn("balance_ma3",
+        dMeanOver($"export_usd" - $"import_usd", w3))
+      .select($"yr", $"mon", $"export_usd", $"export_ma3", $"import_ma3",
+        $"balance_ma3")
+      .orderBy($"yr", $"mon")
+  }
+
+  private val ma3Sql = {
+    val over = "(ORDER BY yr, mon ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+    s"""WITH $baseSql
+       |SELECT yr, mon, export_usd,
+       |  (${dMeanOverSql("export_usd", over)}) AS export_ma3,
+       |  (${dMeanOverSql("import_usd", over)}) AS import_ma3,
+       |  (${dMeanOverSql("export_usd - import_usd", over)}) AS balance_ma3
+       |FROM base ORDER BY yr, mon""".stripMargin
+  }
+
+  // ---- kpi_idx_base: base-100 index on first month (metrics.py:59-63) ----
+
+  private def idxBase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"yr", $"mon")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    baseMonthly(spark, dir)
+      .withColumn("idx_export",
+        $"export_usd" / first($"export_usd").over(w) * 100.0)
+      .withColumn("idx_import",
+        $"import_usd" / first($"import_usd").over(w) * 100.0)
+      .select($"yr", $"mon", $"idx_export", $"idx_import")
+      .orderBy($"yr", $"mon")
+  }
+
+  private val idxBaseSql =
+    s"""WITH $baseSql
+       |SELECT yr, mon,
+       |  (export_usd / FIRST_VALUE(export_usd) OVER (ORDER BY yr, mon) * 100.0) AS idx_export,
+       |  (import_usd / FIRST_VALUE(import_usd) OVER (ORDER BY yr, mon) * 100.0) AS idx_import
+       |FROM base ORDER BY yr, mon""".stripMargin
+
+  // ---- kpi_quarterly: quarter rollup (metrics.sql:56-70) ----
+
+  private def quarterly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .select(year($"o_orderdate").as("yr"), quarter($"o_orderdate").as("qtr"),
+        $"o_orderstatus", $"o_totalprice")
+      .groupBy($"yr", $"qtr")
+      .agg(
+        (Det.dsum(when($"o_orderstatus" === "F", $"o_totalprice")) / 1e6)
+          .as("export_musd"),
+        (Det.dsum(when($"o_orderstatus" =!= "F", $"o_totalprice")) / 1e6)
+          .as("import_musd"))
+      .withColumn("balance_musd", $"export_musd" - $"import_musd")
+      .orderBy($"yr", $"qtr")
+  }
+
+  private val quarterlySql =
+    s"""SELECT yr, qtr, export_musd, import_musd,
+       |  (export_musd - import_musd) AS balance_musd
+       |FROM (
+       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       |         CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       |    (${Det.dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} / 1e6) AS export_musd,
+       |    (${Det.dsumSql("CASE WHEN o_orderstatus <> 'F' THEN o_totalprice END")} / 1e6) AS import_musd
+       |  FROM orders GROUP BY yr, qtr)
+       |ORDER BY yr, qtr""".stripMargin
+
+  // ---- kpi_annual: annual performance + YoY growth (metrics.sql:73-82) ----
+
+  private def annual(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"yr")
+    Tables(spark, dir).orders
+      .select(year($"o_orderdate").as("yr"), $"o_orderstatus", $"o_totalprice")
+      .groupBy($"yr")
+      .agg(
+        Det.dsum(when($"o_orderstatus" === "F", $"o_totalprice")).as("exp_raw"),
+        Det.dsum(when($"o_orderstatus" =!= "F", $"o_totalprice")).as("imp_raw"))
+      .withColumn("export_yoy_growth",
+        ($"exp_raw" / lag($"exp_raw", 1).over(w) - 1.0) * 100.0)
+      .select($"yr",
+        ($"exp_raw" / 1e9).as("export_busd"),
+        ($"imp_raw" / 1e9).as("import_busd"),
+        (($"exp_raw" - $"imp_raw") / 1e9).as("balance_busd"),
+        $"export_yoy_growth")
+      .orderBy($"yr")
+  }
+
+  private val annualSql =
+    s"""WITH a AS (
+       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       |    ${Det.dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS exp_raw,
+       |    ${Det.dsumSql("CASE WHEN o_orderstatus <> 'F' THEN o_totalprice END")} AS imp_raw
+       |  FROM orders GROUP BY yr)
+       |SELECT yr,
+       |  (exp_raw / 1e9) AS export_busd,
+       |  (imp_raw / 1e9) AS import_busd,
+       |  ((exp_raw - imp_raw) / 1e9) AS balance_busd,
+       |  ((exp_raw / LAG(exp_raw, 1) OVER (ORDER BY yr) - 1.0) * 100.0) AS export_yoy_growth
+       |FROM a ORDER BY yr""".stripMargin
+
+  // ---- kpi_balance_cov: balance + coverage ratio (metrics_products.py:71-72) ----
+
+  private def balanceCov(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    baseMonthly(spark, dir)
+      .withColumn("balance_usd", $"export_usd" - $"import_usd")
+      .withColumn("cov_ratio", $"export_usd" / $"import_usd")
+      .select($"yr", $"mon", $"export_usd", $"import_usd", $"balance_usd",
+        $"cov_ratio")
+      .orderBy($"yr", $"mon")
+  }
+
+  private val balanceCovSql =
+    s"""WITH $baseSql
+       |SELECT yr, mon, export_usd, import_usd,
+       |  (export_usd - import_usd) AS balance_usd,
+       |  (export_usd / import_usd) AS cov_ratio
+       |FROM base ORDER BY yr, mon""".stripMargin
+
+  // ---- kpi_prod_monthly: per-category KPI suite (metrics_products.py) ----
+  // Window partitioned by category — the horizontally-scaling form of
+  // the reference's groupby("category").shift/rolling.
+
+  private def prodMonthly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val joined = t.lineitem
+      .select($"l_partkey", year($"l_shipdate").as("yr"),
+        month($"l_shipdate").as("mon"), $"l_linestatus", $"l_extendedprice")
+      .join(broadcast(t.part.select($"p_partkey", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+    val monthly = joined
+      .groupBy($"p_type".as("category"), $"yr", $"mon")
+      .agg(
+        Det.dsum(when($"l_linestatus" === "F", $"l_extendedprice")).as("exp"),
+        Det.dsum(when($"l_linestatus" === "O", $"l_extendedprice")).as("imp"))
+    val w = Window.partitionBy($"category").orderBy($"yr", $"mon")
+    val w3 = w.rowsBetween(-2, 0)
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("balance", $"exp" - $"imp")
+      .withColumn("cov_ratio", $"exp" / $"imp")
+      .withColumn("exp_mom", ($"exp" / lag($"exp", 1).over(w) - 1.0) * 100.0)
+      .withColumn("exp_yoy", ($"exp" / lag($"exp", 12).over(w) - 1.0) * 100.0)
+      .withColumn("imp_mom", ($"imp" / lag($"imp", 1).over(w) - 1.0) * 100.0)
+      .withColumn("imp_yoy", ($"imp" / lag($"imp", 12).over(w) - 1.0) * 100.0)
+      .withColumn("exp_ma3", dMeanOver($"exp", w3))
+      .withColumn("imp_ma3", dMeanOver($"imp", w3))
+      .withColumn("idx_exp", $"exp" / first($"exp").over(wAll) * 100.0)
+      .orderBy($"category", $"yr", $"mon")
+  }
+
+  private val prodMonthlySql = {
+    val over = "(PARTITION BY category ORDER BY yr, mon ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+    s"""WITH m AS (
+       |  SELECT p_type AS category,
+       |    CAST(year(l_shipdate) AS INTEGER) AS yr,
+       |    CAST(month(l_shipdate) AS INTEGER) AS mon,
+       |    ${Det.dsumSql("CASE WHEN l_linestatus = 'F' THEN l_extendedprice END")} AS exp,
+       |    ${Det.dsumSql("CASE WHEN l_linestatus = 'O' THEN l_extendedprice END")} AS imp
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY category, yr, mon)
+       |SELECT category, yr, mon, exp, imp,
+       |  (exp - imp) AS balance,
+       |  (exp / imp) AS cov_ratio,
+       |  ((exp / LAG(exp, 1) OVER (PARTITION BY category ORDER BY yr, mon) - 1.0) * 100.0) AS exp_mom,
+       |  ((exp / LAG(exp, 12) OVER (PARTITION BY category ORDER BY yr, mon) - 1.0) * 100.0) AS exp_yoy,
+       |  ((imp / LAG(imp, 1) OVER (PARTITION BY category ORDER BY yr, mon) - 1.0) * 100.0) AS imp_mom,
+       |  ((imp / LAG(imp, 12) OVER (PARTITION BY category ORDER BY yr, mon) - 1.0) * 100.0) AS imp_yoy,
+       |  (${dMeanOverSql("exp", over)}) AS exp_ma3,
+       |  (${dMeanOverSql("imp", over)}) AS imp_ma3,
+       |  (exp / FIRST_VALUE(exp) OVER (PARTITION BY category ORDER BY yr, mon) * 100.0) AS idx_exp
+       |FROM m ORDER BY category, yr, mon""".stripMargin
+  }
+
+  // ---- kpi_outliers: z-score >2σ on MoM series (eda.py:159-166) ----
+  // Deterministic stddev: E[x²]-E[x]² from exact decimal sums (plain
+  // STDDEV accumulates doubles in engine order → hash-unstable).
+
+  private def outliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"yr", $"mon")
+    val mom = baseMonthly(spark, dir)
+      .withColumn("export_mom",
+        ($"export_usd" / lag($"export_usd", 1).over(w) - 1.0) * 100.0)
+      .filter($"export_mom".isNotNull)
+    val stats = mom.agg(
+      Det.dsum($"export_mom").as("sx"),
+      Det.dsum($"export_mom" * $"export_mom").as("sx2"),
+      count($"export_mom").as("n"))
+      .select(($"sx" / $"n").as("mu"),
+        sqrt(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("sigma"))
+    mom.crossJoin(broadcast(stats))
+      .filter(abs($"export_mom" - $"mu") > lit(2.0) * $"sigma")
+      .select($"yr", $"mon", $"export_mom".as("export_mom"),
+        (abs($"export_mom" - $"mu") / $"sigma").as("z_score"))
+      .orderBy($"yr", $"mon")
+  }
+
+  private val outliersSql =
+    s"""WITH $baseSql,
+       |mom AS (
+       |  SELECT yr, mon,
+       |    (export_usd / LAG(export_usd, 1) OVER (ORDER BY yr, mon) - 1.0) * 100.0 AS export_mom
+       |  FROM base),
+       |mom2 AS (SELECT * FROM mom WHERE export_mom IS NOT NULL),
+       |stats AS (
+       |  SELECT ${Det.dsumSql("export_mom")} / COUNT(export_mom) AS mu,
+       |    SQRT((${Det.dsumSql("export_mom * export_mom")} - ${Det.dsumSql("export_mom")} * ${Det.dsumSql("export_mom")} / COUNT(export_mom)) / (COUNT(export_mom) - 1)) AS sigma
+       |  FROM mom2)
+       |SELECT yr, mon, (export_mom) AS export_mom,
+       |  (ABS(export_mom - mu) / sigma) AS z_score
+       |FROM mom2, stats
+       |WHERE ABS(export_mom - mu) > 2.0 * sigma
+       |ORDER BY yr, mon""".stripMargin
+
+  // ---- kpi_ytd: year-to-date cumulative sums (app.py YTD metrics) ----
+
+  private def ytd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wy = Window.partitionBy($"yr").orderBy($"mon")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    baseMonthly(spark, dir)
+      .withColumn("export_ytd", dSumOver($"export_usd", wy))
+      .withColumn("import_ytd", dSumOver($"import_usd", wy))
+      .select($"yr", $"mon", $"export_usd", $"export_ytd", $"import_ytd")
+      .orderBy($"yr", $"mon")
+  }
+
+  private val ytdSql = {
+    val over = "(PARTITION BY yr ORDER BY mon ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    s"""WITH $baseSql
+       |SELECT yr, mon, export_usd,
+       |  (${dSumOverSql("export_usd", over)}) AS export_ytd,
+       |  (${dSumOverSql("import_usd", over)}) AS import_ytd
+       |FROM base ORDER BY yr, mon""".stripMargin
+  }
+
+  // ---- kpi_seasonality: month-of-year profile (eda.py:93, app.py:313) ----
+
+  private def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    baseMonthly(spark, dir)
+      .groupBy($"mon")
+      .agg(
+        Det.davg($"export_usd").as("avg_export"),
+        Det.davg($"import_usd").as("avg_import"),
+        count(lit(1)).as("n_months"))
+      .orderBy($"mon")
+  }
+
+  private val seasonalitySql =
+    s"""WITH $baseSql
+       |SELECT mon,
+       |  (${Det.davgSql("export_usd")}) AS avg_export,
+       |  (${Det.davgSql("import_usd")}) AS avg_import,
+       |  COUNT(*) AS n_months
+       |FROM base GROUP BY mon ORDER BY mon""".stripMargin
+
+  // ---- kpi_topn_insights: top-N by |YoY| (insights_engine.py:75-78) ----
+
+  private def topnInsights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val latest = prodMonthly(spark, dir).filter($"yr" === 2001)
+      .filter($"exp_yoy".isNotNull)
+    latest
+      .select($"category", $"yr", $"mon", $"exp", $"exp_yoy",
+        ($"exp" - $"imp").as("balance_usd"))
+      .orderBy(abs($"exp_yoy").desc, $"category", $"mon")
+      .limit(10)
+  }
+
+  private val topnInsightsSql =
+    s"""SELECT category, yr, mon, exp, exp_yoy,
+       |  (exp - imp) AS balance_usd
+       |FROM (${prodMonthlySqlInner})
+       |WHERE yr = 2001 AND exp_yoy IS NOT NULL
+       |ORDER BY ABS(exp_yoy) DESC, category, mon
+       |LIMIT 10""".stripMargin
+
+  /** prod_monthly as a subquery (no ORDER BY — DuckDB disallows it
+    * inside FROM with LIMIT-less context anyway).
+    */
+  private lazy val prodMonthlySqlInner: String =
+    prodMonthlySql.replace("ORDER BY category, yr, mon", "")
+
+  // ---- kpi_quick_stats: descriptive stats row (eda.py:252-262) ----
+
+  private def quickStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = baseMonthly(spark, dir)
+      .withColumn("export_b", $"export_usd" / 1e9)
+      .withColumn("balance", $"export_usd" - $"import_usd")
+    val stats = b.agg(
+      Det.dsum($"export_b").as("sx"),
+      Det.dsum($"export_b" * $"export_b").as("sx2"),
+      count(lit(1)).as("n"),
+      max($"export_b").as("mx"),
+      count(when($"balance" > 0.0, lit(1))).as("surplus_months"))
+    stats.select(
+      ($"sx" / $"n").as("mean_busd"),
+      sqrt(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("std_busd"),
+      $"mx".as("max_busd"),
+      $"surplus_months",
+      $"n".as("total_months"))
+  }
+
+  private val quickStatsSql =
+    s"""WITH $baseSql,
+       |b AS (SELECT export_usd / 1e9 AS export_b,
+       |             export_usd - import_usd AS balance FROM base)
+       |SELECT
+       |  (${Det.dsumSql("export_b")} / COUNT(*)) AS mean_busd,
+       |  (SQRT((${Det.dsumSql("export_b * export_b")} - ${Det.dsumSql("export_b")} * ${Det.dsumSql("export_b")} / COUNT(*)) / (COUNT(*) - 1))) AS std_busd,
+       |  (MAX(export_b)) AS max_busd,
+       |  COUNT(CASE WHEN balance > 0.0 THEN 1 END) AS surplus_months,
+       |  COUNT(*) AS total_months
+       |FROM b""".stripMargin
+
+  // ---- kpi_qa_totals: reconciliation QA (etl.py qa_report, etl_products.py qa_totals) ----
+  // Book total (orders.o_totalprice) vs recomputed from line items,
+  // per year — the reference's "annual total vs sum of months" check.
+
+  private def qaTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val lines = t.lineitem
+      .groupBy($"l_orderkey")
+      .agg(Det.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") *
+        (lit(1.0) + $"l_tax")).as("lines_usd"))
+    t.orders
+      .join(lines, $"o_orderkey" === $"l_orderkey", "left")
+      .groupBy(year($"o_orderdate").as("yr"))
+      .agg(
+        Det.dsum($"o_totalprice").as("book_usd"),
+        Det.dsum($"lines_usd").as("lines_usd"),
+        count(when($"lines_usd".isNull, lit(1))).as("orders_missing_lines"))
+      .withColumn("delta_usd", $"book_usd" - $"lines_usd")
+      .orderBy($"yr")
+  }
+
+  private val qaTotalsSql =
+    s"""WITH l AS (
+       |  SELECT l_orderkey,
+       |    ${Det.dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS lines_usd
+       |  FROM lineitem GROUP BY l_orderkey)
+       |SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       |  ${Det.dsumSql("o_totalprice")} AS book_usd,
+       |  ${Det.dsumSql("lines_usd")} AS lines_usd,
+       |  COUNT(CASE WHEN lines_usd IS NULL THEN 1 END) AS orders_missing_lines,
+       |  (${Det.dsumSql("o_totalprice")} - ${Det.dsumSql("lines_usd")}) AS delta_usd
+       |FROM orders LEFT JOIN l ON o_orderkey = l_orderkey
+       |GROUP BY yr ORDER BY yr""".stripMargin
+
+  // ---- kpi_ranking: category leaderboard (app.py:609-624) ----
+
+  private def ranking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val j = t.lineitem
+      .filter(year($"l_shipdate").between(1996, 2000))
+      .select($"l_partkey", $"l_linestatus", $"l_extendedprice")
+      .join(broadcast(t.part.select($"p_partkey", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+    val agg = j.groupBy($"p_type".as("category"))
+      .agg(
+        Det.dsum(when($"l_linestatus" === "F", $"l_extendedprice")).as("exp"),
+        Det.dsum(when($"l_linestatus" === "O", $"l_extendedprice")).as("imp"))
+      .withColumn("balance_usd", $"exp" - $"imp")
+      .withColumn("coverage", $"exp" / $"imp")
+    val w = Window.orderBy($"exp".desc, $"category")
+    agg.withColumn("rk", row_number().over(w))
+      .select($"rk", $"category", $"exp", $"imp", $"balance_usd", $"coverage")
+      .orderBy($"rk")
+  }
+
+  private val rankingSql =
+    s"""WITH a AS (
+       |  SELECT p_type AS category,
+       |    ${Det.dsumSql("CASE WHEN l_linestatus = 'F' THEN l_extendedprice END")} AS exp,
+       |    ${Det.dsumSql("CASE WHEN l_linestatus = 'O' THEN l_extendedprice END")} AS imp
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE year(l_shipdate) BETWEEN 1996 AND 2000
+       |  GROUP BY category)
+       |SELECT ROW_NUMBER() OVER (ORDER BY exp DESC, category) AS rk,
+       |  category, exp, imp,
+       |  (exp - imp) AS balance_usd,
+       |  (exp / imp) AS coverage
+       |FROM a ORDER BY rk""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("kpi_trade_long", tradeLong, Some(tradeLongSql)),
+    Q("kpi_base_monthly", base, Some(baseQSql)),
+    Q("kpi_mom_yoy", momYoy, Some(momYoySql)),
+    Q("kpi_ma3", ma3, Some(ma3Sql)),
+    Q("kpi_idx_base", idxBase, Some(idxBaseSql)),
+    Q("kpi_quarterly", quarterly, Some(quarterlySql)),
+    Q("kpi_annual", annual, Some(annualSql)),
+    Q("kpi_balance_cov", balanceCov, Some(balanceCovSql)),
+    Q("kpi_prod_monthly", prodMonthly, Some(prodMonthlySql)),
+    Q("kpi_outliers", outliers, Some(outliersSql)),
+    Q("kpi_ytd", ytd, Some(ytdSql)),
+    Q("kpi_seasonality", seasonality, Some(seasonalitySql)),
+    Q("kpi_topn_insights", topnInsights, Some(topnInsightsSql)),
+    Q("kpi_quick_stats", quickStats, Some(quickStatsSql)),
+    Q("kpi_qa_totals", qaTotals, Some(qaTotalsSql)),
+    Q("kpi_ranking", ranking, Some(rankingSql))
+  )
+}
