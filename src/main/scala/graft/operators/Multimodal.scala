@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Multimodal-column plumbing (SURVEY §2c): treat media as opaque
+  * `binary` payloads with typed metadata, and run deterministic
+  * decode/sample transforms over them.
+  *
+  * The container has no image/audio codecs, so the *decode* step is
+  * a clearly-marked deterministic stub (see [[StubDecoders]]); the
+  * Spark-side plumbing — binary columns, schema'd metadata, frame
+  * explosion, per-frame hashing, partition-parallel layout — is real
+  * and oracle-checked where SQL-expressible.
+  */
+object Multimodal {
+
+  /** STUB DECODE BOUNDARY ---------------------------------------
+    * Real deployments replace these with codec calls (e.g. JNI
+    * image decode) inside the same column expressions; everything
+    * downstream (schema, partitioning, batch shape) is unchanged.
+    * Dimensions are derived deterministically from payload size so
+    * the oracle can reproduce them.
+    */
+  object StubDecoders {
+    def fakeWidth(nBytes: org.apache.spark.sql.Column) = nBytes % 320 + 320
+    def fakeHeight(nBytes: org.apache.spark.sql.Column) = nBytes % 240 + 240
+  }
+
+  // ---- mm_metadata: binary payload + typed metadata extraction ----
+
+  private def mmMetadata(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .withColumn("payload", $"text".cast("binary"))
+      .select($"doc_id",
+        when($"doc_id" % 3 === 0, "image")
+          .when($"doc_id" % 3 === 1, "audio")
+          .otherwise("video").as("modality"),
+        octet_length($"payload").cast(LongType).as("n_bytes"),
+        md5($"payload").as("checksum"),
+        StubDecoders.fakeWidth(octet_length($"payload").cast(LongType)).as("width"),
+        StubDecoders.fakeHeight(octet_length($"payload").cast(LongType)).as("height"))
+      .orderBy($"doc_id")
+  }
+
+  private val mmMetadataSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS modality,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS checksum,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 320 + 320 AS width,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 240 + 240 AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- mm_framesample: deterministic frame sampling ----
+  // Payload is chunked into 16-byte "frames"; every 4th frame is
+  // sampled and hashed — the plumbing (explode, per-frame transform,
+  // hash) is exactly what a video frame-sampler does after decode.
+
+  private def mmFramesample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id", $"text",
+        posexplode(sequence(lit(0),
+          floor((length($"text") - 1) / 16).cast("int"))))
+      .withColumnRenamed("col", "frame_idx")
+      .filter($"frame_idx" % 4 === 0)
+      .select($"doc_id", $"frame_idx".cast(LongType).as("frame_idx"),
+        md5($"text".substr($"frame_idx" * 16 + 1, lit(16))).as("frame_md5"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  private val mmFramesampleSql =
+    """SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+      |  md5(substr(text, k * 16 + 1, 16)) AS frame_md5
+      |FROM documents, UNNEST(range(0, (length(text) + 15) // 16)) AS t(k)
+      |WHERE k % 4 = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("mm_metadata", mmMetadata, Some(mmMetadataSql)),
+    Q("mm_framesample", mmFramesample, Some(mmFramesampleSql))
+  )
+}

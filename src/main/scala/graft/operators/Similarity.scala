@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY §2c).
+  *
+  * `ann_bruteforce` is the exactness baseline: query set × corpus
+  * cosine ranking. The corpus side stays partitioned; only the small
+  * query set is broadcast, so the scan parallelizes over corpus
+  * splits and the per-query top-k is a partial-aggregating window.
+  *
+  * `ann_lsh` is the scale path: 16 deterministic random-hyperplane
+  * sign bits bucket the corpus; a query only scores its own bucket
+  * (≈ corpus/2^16 of the data at uniform spread). Hyperplane j's
+  * component i is ±1 derived from xxhash64(j,i) — no RNG state, so
+  * the signature is reproducible on any executor.
+  */
+object Similarity {
+
+  /** Queries = every 50th vector: a small deterministic workload at
+    * any SF (10 queries at sf0.001, 1000 at sf0.1).
+    */
+  private def queryFilter(c: Column): Column = c % 50 === 0
+
+  // ---- ann_bruteforce: exact cosine top-5 per query ----
+
+  private def annBrute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables(spark, dir).embeddings
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val q = v.filter(queryFilter($"vec_id"))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_e"), $"nrm".as("q_n"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    v.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        (dot($"q_e", $"embedding") / ($"q_n" * $"nrm")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val annBruteSql =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding AS e, ${normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, v.vec_id,
+       |    ${dotSql("q.e", "v.e", 64)} / (q.nrm * v.nrm) AS cosine
+       |  FROM v q JOIN v ON v.vec_id <> q.vec_id
+       |  WHERE q.vec_id % 50 = 0)
+       |SELECT q_id, rk, vec_id AS neighbor_id, cosine FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
+
+  // ---- ann_lsh: random-hyperplane LSH bucketing (rows-only check) ----
+
+  /** 8-bit signature: bit j = sign of Σ_i e[i]·pm(j,i), with
+    * pm(j,i) = ±1 from the low bit of xxhash64(j, i). 8 bits keeps
+    * buckets non-trivial at the small test SFs; at production scale
+    * the bit count grows with corpus size (log2(n/target_bucket)).
+    */
+  private def lshSig(e: Column): Column = {
+    def shl(c: Column, by: Column) = call_function("shiftleft", c, by)
+    aggregate(
+      transform(sequence(lit(0), lit(7)), j =>
+        when(
+          aggregate(
+            zip_with(e, sequence(lit(0), lit(63)), (x, i) =>
+              when(xxhash64(j, i).bitwiseAND(lit(1L)) === 1L, x.cast("double"))
+                .otherwise(-x.cast("double"))),
+            lit(0.0), (acc, x) => acc + x) >= 0.0,
+          shl(lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  private def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables(spark, dir).embeddings
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"),
+        lshSig($"embedding").as("bucket"))
+    val q = v.filter(queryFilter($"vec_id"))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_e"),
+        $"nrm".as("q_n"), $"bucket".as("q_bucket"))
+    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    v.join(broadcast(q), $"bucket" === $"q_bucket" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        (dot($"q_e", $"embedding") / ($"q_n" * $"nrm")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"q_id", $"rk")
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("ann_bruteforce", annBrute, Some(annBruteSql)),
+    Q("ann_lsh", annLsh, None)
+  )
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis operators for the training-data pipeline (SURVEY
+  * §2c): token counting, quality scoring, language-ID heuristics and
+  * content fingerprinting over the `documents` table.
+  *
+  * All pure narrow transformations — they pipeline inside one
+  * whole-stage-codegen pass over the scan, shuffle nothing, and
+  * scale linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** Small public stopword lists (top function words per language)
+    * for the language-ID vote.
+    */
+  private val stop = Map(
+    "en" -> Seq("the", "of", "and", "to", "a", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "se", "del", "las"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "im", "ein"),
+    "fr" -> Seq("le", "les", "des", "et", "de", "la", "un", "une", "du", "dans")
+  )
+
+  private def inList(vals: Seq[String]): String =
+    vals.map(v => s"'$v'").mkString("(", ", ", ")")
+
+  // ---- text_tokens: whitespace + BPE-ish regex token counts ----
+
+  private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  private def textTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id",
+        size(tokens($"text")).cast(LongType).as("n_ws_tokens"),
+        regexp_count($"text", lit(bpePattern)).cast(LongType).as("n_bpe_tokens"),
+        (length($"text").cast("double") /
+          size(tokens($"text")).cast("double")).as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  private val textTokensSql =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$bpePattern')) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS chars_per_token
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- text_quality: heuristic quality scoring ----
+  // Reference analog: the reference filters series by simple ratio
+  // statistics (eda.py outlier logic); here the ratios are the
+  // standard LLM-corpus quality signals.
+
+  private def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = tokens($"text")
+    val n = size(t).cast("double")
+    val stopHits = size(filter(t,
+      tk => tk.isin(stop("en"): _*))).cast("double")
+    val rep = (n - size(array_distinct(t)).cast("double")) / n
+    val stopRatio = stopHits / n
+    val avgTokLen = (length($"text").cast("double") - (n - 1.0)) / n
+    val score = lit(0.4) * (lit(1.0) - rep) + lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
+      lit(0.3) * when(avgTokLen.between(3.0, 10.0), 1.0).otherwise(0.0)
+    Tables(spark, dir).documents
+      .select($"doc_id", $"n_chars",
+        size(t).cast(LongType).as("n_tokens"),
+        rep.as("repetition_ratio"),
+        stopRatio.as("stopword_ratio"),
+        avgTokLen.as("avg_token_len"),
+        score.as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  private val textQualitySql = {
+    val n = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    val stopHits = s"CAST(len(list_filter(string_split(text, ' '), tk -> tk IN ${inList(stop("en"))})) AS DOUBLE)"
+    val rep = s"(($n - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)) / $n)"
+    val stopRatio = s"($stopHits / $n)"
+    val avgTokLen = s"((CAST(length(text) AS DOUBLE) - ($n - 1.0)) / $n)"
+    s"""SELECT doc_id, n_chars,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  $rep AS repetition_ratio,
+       |  $stopRatio AS stopword_ratio,
+       |  $avgTokLen AS avg_token_len,
+       |  0.4 * (1.0 - $rep) + 0.3 * least($stopRatio * 5.0, 1.0)
+       |    + 0.3 * (CASE WHEN $avgTokLen BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- text_langid: stopword-vote language ID ----
+
+  private def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = tokens($"text")
+    def hits(l: String) =
+      size(filter(t, tk => tk.isin(stop(l): _*))).cast(LongType)
+    Tables(spark, dir).documents
+      .withColumn("en_hits", hits("en"))
+      .withColumn("es_hits", hits("es"))
+      .withColumn("de_hits", hits("de"))
+      .withColumn("fr_hits", hits("fr"))
+      .withColumn("pred_lang",
+        when(greatest($"en_hits", $"es_hits", $"de_hits", $"fr_hits") === 0, "und")
+          .when($"en_hits" >= greatest($"es_hits", $"de_hits", $"fr_hits"), "en")
+          .when($"es_hits" >= greatest($"de_hits", $"fr_hits"), "es")
+          .when($"de_hits" >= $"fr_hits", "de")
+          .otherwise("fr"))
+      .select($"doc_id", $"lang", $"en_hits", $"es_hits", $"de_hits",
+        $"fr_hits", $"pred_lang")
+      .orderBy($"doc_id")
+  }
+
+  private val textLangidSql = {
+    def hits(l: String) =
+      s"CAST(len(list_filter(string_split(text, ' '), tk -> tk IN ${inList(stop(l))})) AS BIGINT)"
+    s"""SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+       |  CASE
+       |    WHEN greatest(en_hits, es_hits, de_hits, fr_hits) = 0 THEN 'und'
+       |    WHEN en_hits >= greatest(es_hits, de_hits, fr_hits) THEN 'en'
+       |    WHEN es_hits >= greatest(de_hits, fr_hits) THEN 'es'
+       |    WHEN de_hits >= fr_hits THEN 'de'
+       |    ELSE 'fr' END AS pred_lang
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    ${hits("en")} AS en_hits, ${hits("es")} AS es_hits,
+       |    ${hits("de")} AS de_hits, ${hits("fr")} AS fr_hits
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- text_fingerprint: order-insensitive content fingerprint ----
+
+  private def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id",
+        md5($"text").as("exact_md5"),
+        bowFingerprint($"text").as("bow_fp"),
+        size(array_distinct(tokens($"text"))).cast(LongType).as("vocab_size"))
+      .orderBy($"doc_id")
+  }
+
+  private val textFingerprintSql =
+    """SELECT doc_id,
+      |  md5(text) AS exact_md5,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS vocab_size
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("text_tokens", textTokens, Some(textTokensSql)),
+    Q("text_quality", textQuality, Some(textQualitySql)),
+    Q("text_langid", textLangid, Some(textLangidSql)),
+    Q("text_fingerprint", textFingerprint, Some(textFingerprintSql))
+  )
+}
