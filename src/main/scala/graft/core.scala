@@ -41,7 +41,9 @@ final case class Tables(spark: SparkSession, dir: String) {
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
+    // integer DIV, not "/1000": double division loses precision on
+    // epoch-nanos magnitudes (2^60) and shifts timestamps by 1 us.
+    t("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup/similarity semantics on the planted near-duplicates. */
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("exact dedup: synthetic corpus has no exact duplicates") {
+    val df = q("dedup_exact")
+    assert(df.count() == 500)
+    assert(df.filter("n_copies > 1").count() == 0)
+  }
+
+  test("minhash LSH recovers the high-similarity pairs (vs unblocked truth)") {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.functions.col
+    // Unblocked ground truth, computed locally over all pairs (only
+    // feasible at test SF — this is exactly what LSH avoids at scale)
+    val sh = Tables(spark, sf).documents
+      .select(col("doc_id"), TextFunctions.shingles3(col("text")).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val truth = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b && sa.nonEmpty
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.5
+    } yield ((a, b), j)).toMap
+    val lsh = q("dedup_minhash_lsh").select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty && lsh.nonEmpty)
+    // precision 1 by construction (exact-Jaccard verification step)
+    assert(lsh.subsetOf(truth.keySet))
+    // banding recall (4x4) is ~0.99 at J=0.9, so the high region
+    // must be fully recovered
+    val high = truth.filter(_._2 >= 0.9).keySet
+    assert(high.forall(lsh.contains), "missed a J>=0.9 pair")
+  }
+
+  test("simhash near-dup pairs include the jaccard pairs") {
+    val jac = q("dedup_ngram_jaccard").select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = q("dedup_simhash").select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = jac.count(sim.contains).toDouble / jac.size
+    assert(recall >= 0.8, s"simhash recall $recall over ${jac.size} pairs")
+  }
+
+  test("embedding near-dup cosines are valid and sorted") {
+    val cos = q("dedup_embedding").select("cosine").collect().map(_.getDouble(0))
+    assert(cos.length == 20)
+    assert(cos.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    assert(cos.sameElements(cos.sorted(Ordering[Double].reverse)))
+  }
+
+  test("ann_lsh candidates score identically to brute force") {
+    val brute = q("ann_bruteforce").select("q_id", "neighbor_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = q("ann_lsh").select("q_id", "neighbor_id", "cosine").collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-12))
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the KPI surface (reference behavior). */
+class KpiSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("base_monthly covers the full 1995-2001 order range") {
+    val rows = q("kpi_base_monthly").collect()
+    assert(rows.length == 80) // 6.5y of months, fixed generator range
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 12))
+  }
+
+  test("mom/yoy are null exactly at series starts") {
+    val df = q("kpi_mom_yoy").orderBy("yr", "mon").collect()
+    assert(df.head.isNullAt(3))           // first month has no MoM
+    assert(df.take(12).forall(_.isNullAt(4))) // first 12 have no YoY
+    assert(df.drop(12).forall(!_.isNullAt(4)))
+  }
+
+  test("ytd resets each January") {
+    val df = q("kpi_ytd").select("yr", "mon", "export_usd", "export_ytd").collect()
+    df.filter(_.getInt(1) == 1).foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-6)
+    }
+  }
+
+  test("idx_base starts at 100") {
+    val first = q("kpi_idx_base").orderBy("yr", "mon").first()
+    assert(math.abs(first.getDouble(2) - 100.0) < 1e-9)
+    assert(math.abs(first.getDouble(3) - 100.0) < 1e-9)
+  }
+
+  test("quarterly totals reconcile with annual totals") {
+    val qd = q("kpi_quarterly").groupBy("yr")
+      .agg(sum("export_musd").as("e")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val ad = q("kpi_annual").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1) * 1000).toMap
+    for ((y, e) <- ad) assert(math.abs(qd(y) - e) < 1e-3, s"year $y")
+  }
+
+  test("cov_ratio equals export/import") {
+    val checked = q("kpi_balance_cov").collect().count { r =>
+      !r.isNullAt(2) && !r.isNullAt(3) && {
+        val (e, i, cov) = (r.getDouble(2), r.getDouble(3), r.getDouble(5))
+        assert(math.abs(cov - e / i) < 1e-12)
+        true
+      }
+    }
+    assert(checked > 0)
+  }
+
+  test("prod_monthly has one series per part category") {
+    val cats = q("kpi_prod_monthly").select("category").distinct().count()
+    assert(cats == 6) // PROMO ECONOMY MEDIUM SMALL LARGE STANDARD
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming plans must produce the same results as their batch
+  * oracles when fed the full input as one burst.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming windowed agg == batch windowed agg") {
+    val stream = EventsStream.windowedAggStreaming(
+      EventsStream.readStreamEvents(spark, sf))
+    val query = stream.writeStream
+      .format("memory").queryName("stream_out").outputMode("complete")
+      .start()
+    try {
+      query.processAllAvailable()
+      val got = spark.table("stream_out")
+        .orderBy("bucket_start", "event_type").collect()
+      val want = EventsStream.windowedAgg(Tables(spark, sf).events)
+        .orderBy("bucket_start", "event_type").collect()
+      assert(got.length == want.length && got.sameElements(want))
+    } finally query.stop()
+  }
+
+  test("stateful sessionize matches the batch window-function form") {
+    import spark.implicits._
+    val events = Tables(spark, sf).events
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventsStream.Event]
+    // NoTimeout + single batch: sessions still in state at end are
+    // not emitted; compare only the emitted (closed) ones.
+    val emitted = EventsStream.sessionize(events)
+      .collect().map(s => (s.user_id, s.session_start.getTime, s.n_events)).toSet
+    val batch = SparkEntry.queries("stream_sessionize")(spark, sf)
+      .select($"user_id", $"session_start", $"n_events").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+    assert(emitted.nonEmpty)
+    assert(emitted.subsetOf(batch),
+      s"emitted=${emitted.size} not within batch=${batch.size}")
+  }
+}
