@@ -26,13 +26,26 @@ final case class Q(
 final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Fact tables: the testdata ships one single-row-group parquet
+    * file per table, which Spark cannot split — every downstream
+    * stage would run on ONE task. Round-robin repartitioning after
+    * the scan restores parallelism; filters/pruning still push down
+    * to the scan (Catalyst pushes through Repartition). On a real
+    * multi-file 100 TB layout the scan has thousands of splits and
+    * this shuffle would be dropped (cheap no-op to remove: AQE also
+    * coalesces it).
+    */
+  private def big(name: String): DataFrame =
+    t(name).repartition(spark.sparkContext.defaultParallelism)
+
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
   def customer: DataFrame = t("customer")
   def supplier: DataFrame = t("supplier")
   def part: DataFrame = t("part")
-  def orders: DataFrame = t("orders")
-  def lineitem: DataFrame = t("lineitem")
+  def orders: DataFrame = big("orders")
+  def lineitem: DataFrame = big("lineitem")
 
   /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
     * parquet reader rejects. Read nanos as long (legacy conf) and
@@ -43,10 +56,10 @@ final case class Tables(spark: SparkSession, dir: String) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // integer DIV, not "/1000": double division loses precision on
     // epoch-nanos magnitudes (2^60) and shifts timestamps by 1 us.
-    t("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    big("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
-  def documents: DataFrame = t("documents")
-  def embeddings: DataFrame = t("embeddings")
+  def documents: DataFrame = big("documents")
+  def embeddings: DataFrame = big("embeddings")
 }
 
 /** Determinism helpers for DuckDB-oracle parity.

@@ -16,15 +16,18 @@ object TextFunctions {
 
   /** Distinct 3-token shingles ("w1 w2 w3") — the unit for n-gram
     * Jaccard and MinHash dedup. Empty array for texts under 3 tokens.
+    *
+    * IMPORTANT: `toks` must be a *materialized column reference*
+    * (`.withColumn("toks", tokens(text))` first), not `tokens(text)`
+    * inline — an inline expression is re-evaluated inside the lambda
+    * for every shingle, turning O(n) into O(n²) per document.
     */
-  def shingles3(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) < 3, array().cast("array<string>")).otherwise(
+  def shingles3(toks: Column): Column =
+    when(size(toks) < 3, array().cast("array<string>")).otherwise(
       array_distinct(transform(
-        sequence(lit(1), size(t) - 2),
+        sequence(lit(1), size(toks) - 2),
         i => concat_ws(" ",
-          element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
-  }
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
 
   /** Bag-of-words fingerprint: md5 over the sorted distinct token
     * set. Robust to token order (near-shuffle duplicates collide).

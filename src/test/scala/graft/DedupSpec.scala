@@ -20,7 +20,8 @@ class DedupSpec extends AnyFunSuite {
     // Unblocked ground truth, computed locally over all pairs (only
     // feasible at test SF — this is exactly what LSH avoids at scale)
     val sh = Tables(spark, sf).documents
-      .select(col("doc_id"), TextFunctions.shingles3(col("text")).as("sh"))
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .select(col("doc_id"), TextFunctions.shingles3(col("toks")).as("sh"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
     val truth = (for {
