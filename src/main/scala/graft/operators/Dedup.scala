@@ -48,13 +48,31 @@ object Dedup {
   // array intersection — ~100× faster than the pairwise-array form
   // at sf0.1 and the only formulation that survives 100 TB.
 
+  /** (doc_id, shingle) postings via posexplode + window `lead` —
+    * O(tokens) per doc and fully parallel. The tempting
+    * `explode(shingles3(toks))` form is O(tokens²): CollapseProject
+    * inlines the split() into every element_at inside the lambda,
+    * and higher-order lambdas are evaluated interpreted.
+    */
+  private def shinglePosting(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    Tables(spark, dir).documents
+      .select($"doc_id", posexplode(tokens($"text")))
+      .withColumnRenamed("col", "t")
+      .select($"doc_id", $"pos", concat_ws(" ",
+        $"t", lead($"t", 1).over(w), lead($"t", 2).over(w)).as("shingle"),
+        lead($"t", 2).over(w).isNotNull.as("full"))
+      .filter($"full")
+      .select($"doc_id", $"shingle")
+      .dropDuplicates("doc_id", "shingle")
+  }
+
   private def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir).documents
-      .withColumn("toks", tokens($"text"))
-      .select($"doc_id", shingles3($"toks").as("sh"))
-    val sizes = docs.select($"doc_id", size($"sh").as("n_sh")).filter($"n_sh" > 0)
-    val posting = docs.select($"doc_id", explode($"sh").as("shingle"))
+    val posting = shinglePosting(spark, dir)
+    val sizes = posting.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     val common = posting.select($"doc_id".as("a_id"), $"shingle")
       .join(posting.select($"doc_id".as("b_id"), $"shingle".as("b_shingle")),
         $"shingle" === $"b_shingle" && $"a_id" < $"b_id")
@@ -105,14 +123,10 @@ object Dedup {
 
   private def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir).documents
-      .withColumn("toks", tokens($"text"))
-      .select($"doc_id", shingles3($"toks").as("sh"))
-      .filter(size($"sh") > 0)
+    val posting = shinglePosting(spark, dir)
     // signature via exploded postings + one codegen'd hash aggregate
     // (16 min-counters per doc in a single pass) instead of nested
     // higher-order lambdas, which Spark evaluates interpreted
-    val posting = docs.select($"doc_id", explode($"sh").as("shingle"))
     val sigs = posting.groupBy($"doc_id")
       .agg(min(xxhash64(lit(0), $"shingle")).as("m0"),
         (1 until 16).map(i => min(xxhash64(lit(i), $"shingle")).as(s"m$i")): _*)
@@ -128,13 +142,23 @@ object Dedup {
         $"band_idx" === $"b_idx" && $"band_hash" === $"b_hash" &&
           $"a_id" < $"b_id")
       .select($"a_id", $"b_id").distinct()
-    // exact-Jaccard verification only on the few candidates
-    cand
-      .join(docs.select($"doc_id".as("a_id"), $"sh".as("a_sh")), "a_id")
-      .join(docs.select($"doc_id".as("b_id"), $"sh".as("b_sh")), "b_id")
-      .withColumn("jaccard",
-        size(array_intersect($"a_sh", $"b_sh")).cast(DoubleType) /
-          size(array_union($"a_sh", $"b_sh")).cast(DoubleType))
+    // exact-Jaccard verification only on the few candidates, as
+    // counting (semi-join the postings down to candidate docs, count
+    // shared shingles) — no shingle arrays cross the shuffle
+    val candIds = cand.select(explode(array($"a_id", $"b_id")).as("doc_id"))
+      .distinct()
+    val postingC = posting.join(broadcast(candIds), "doc_id")
+    val common = postingC.select($"doc_id".as("a_id"), $"shingle")
+      .join(postingC.select($"doc_id".as("b_id"), $"shingle".as("b_shingle")),
+        $"shingle" === $"b_shingle" && $"a_id" < $"b_id")
+      .groupBy($"a_id", $"b_id")
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = posting.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    cand.join(common, Seq("a_id", "b_id"))
+      .join(broadcast(sizes.select($"doc_id".as("a_id"), $"n_sh".as("a_n"))), "a_id")
+      .join(broadcast(sizes.select($"doc_id".as("b_id"), $"n_sh".as("b_n"))), "b_id")
+      .withColumn("jaccard", $"n_common".cast(DoubleType) /
+        ($"a_n" + $"b_n" - $"n_common").cast(DoubleType))
       .filter($"jaccard" >= 0.5)
       .select($"a_id", $"b_id", $"jaccard")
       .orderBy($"a_id", $"b_id")
