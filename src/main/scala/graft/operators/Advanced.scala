@@ -1,0 +1,290 @@
+package graft.operators
+
+import graft.{Det, Q, Tables}
+import graft.functions.RollingHash.rolling_hash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Advanced relational surface: correlated-aggregate patterns, as-of
+  * and range joins (the two operators Spark lacks as primitives),
+  * exact percentiles, and the scalar string/date/conditional
+  * function surface — plus the native-codegen RollingHash Expression.
+  */
+object Advanced {
+
+  // ---- q13_corr_subquery: rows above their group aggregate ----
+  // Reference: metrics_products.py top-category logic (value vs the
+  // category aggregate). Aggregate-then-broadcast-join replaces the
+  // correlated rescan.
+
+  private def q13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val brandAvg = t.part.groupBy($"p_brand".as("b_brand"))
+      .agg(Det.davg($"p_retailprice").as("brand_avg"))
+    t.part
+      .join(broadcast(brandAvg), $"p_brand" === $"b_brand")
+      .filter($"p_retailprice" > $"brand_avg")
+      .select($"p_partkey", $"p_brand", $"p_retailprice", $"brand_avg")
+      .orderBy($"p_partkey")
+  }
+
+  private val q13Sql =
+    s"""WITH b AS (
+       |  SELECT p_brand AS b_brand, ${Det.davgSql("p_retailprice")} AS brand_avg
+       |  FROM part GROUP BY b_brand)
+       |SELECT p_partkey, p_brand, p_retailprice, brand_avg
+       |FROM part JOIN b ON p_brand = b_brand
+       |WHERE p_retailprice > brand_avg
+       |ORDER BY p_partkey""".stripMargin
+
+  // ---- q14_asof_join: latest prior event (as-of semantics) ----
+  // For each purchase, the user's most recent strictly-earlier click.
+  // Spark has no ASOF JOIN primitive; the scalable formulation is a
+  // single per-user sort with last(_, ignoreNulls) over the
+  // preceding-rows frame — one shuffle on user_id, no range join, no
+  // per-row rescans. DuckDB verifies with its native ASOF LEFT JOIN.
+
+  private def q14(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(spark, dir).events
+      .filter($"event_type".isin("click", "purchase"))
+      .withColumn("click_ts", when($"event_type" === "click", $"ts"))
+      .withColumn("last_click_ts", last($"click_ts", ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts",
+        $"last_click_ts",
+        ((unix_micros($"ts") - unix_micros($"last_click_ts")) / 1e6)
+          .as("gap_seconds"))
+      .orderBy($"event_id")
+  }
+
+  private val q14Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM e WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts,
+      |  c.ts AS last_click_ts,
+      |  (epoch_us(p.ts) - epoch_us(c.ts)) / 1e6 AS gap_seconds
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND c.ts < p.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // ---- q15_range_join: events within a time range of an anchor ----
+  // Follow-up events ≤5 min after each error, same user. The range
+  // predicate becomes an equi-join on 5-minute buckets (each anchor
+  // probes its own and the next bucket), so the shuffle key is
+  // (user, bucket) — no O(n²) interval cross-join. DuckDB verifies
+  // with a plain range join.
+
+  private def q15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .select($"event_id", $"user_id", $"ts", $"event_type",
+        (unix_micros($"ts") / lit(300000000L)).cast(LongType).as("bucket"))
+    val err = ev.filter($"event_type" === "error")
+      .select($"event_id".as("err_id"), $"user_id".as("err_user"),
+        $"ts".as("err_ts"),
+        explode(array($"bucket", $"bucket" + 1)).as("probe_bucket"))
+    err.join(ev,
+        $"probe_bucket" === $"bucket" && $"err_user" === $"user_id" &&
+          unix_micros($"ts") > unix_micros($"err_ts") &&
+          unix_micros($"ts") <= unix_micros($"err_ts") + 300000000L,
+        "left")
+      .groupBy($"err_id")   // merges both probe buckets of an anchor
+      .agg(count($"event_id").as("n_follow"))
+      .orderBy($"err_id")
+  }
+
+  private val q15Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events),
+      |err AS (SELECT event_id AS err_id, user_id AS err_user, ts AS err_ts
+      |        FROM e WHERE event_type = 'error')
+      |SELECT err_id, COUNT(e.event_id) AS n_follow
+      |FROM err LEFT JOIN e
+      |  ON e.user_id = err_user
+      | AND e.ts > err_ts
+      | AND epoch_us(e.ts) <= epoch_us(err_ts) + 300000000
+      |GROUP BY err_id
+      |ORDER BY err_id""".stripMargin
+
+  // ---- q16_percentiles: exact interpolated quantiles + stats ----
+  // (percentile_approx is the sketch path at 100 TB; the exact form
+  // is what DuckDB can verify bit-for-bit.)
+
+  private def q16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .groupBy($"o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("median"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"),
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private val q16Sql =
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.25) AS p25,
+      |  quantile_cont(o_totalprice, 0.5) AS median,
+      |  quantile_cont(o_totalprice, 0.75) AS p75,
+      |  MIN(o_totalprice) AS min_price,
+      |  MAX(o_totalprice) AS max_price,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // ---- q17_string_funcs: scalar string surface ----
+
+  private def q17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).customer
+      .filter($"c_custkey" % 10 === 0)
+      .select($"c_custkey",
+        upper($"c_name").as("u_name"),
+        lower($"c_mktsegment").as("l_seg"),
+        length($"c_name").cast(LongType).as("name_len"),
+        lpad($"c_custkey".cast("string"), 8, "0").as("padded_key"),
+        substring($"c_name", 1, 8).as("name_prefix"),
+        regexp_replace($"c_name", "[0-9]+", "#").as("name_masked"),
+        concat_ws("|", $"c_mktsegment", $"c_name").as("tagged"),
+        $"c_name".like("%1%").as("has_one"),
+        instr($"c_name", "Customer").cast(LongType).as("pos_customer"),
+        trim(lit("  x  ")).as("trimmed"),
+        reverse($"c_mktsegment").as("rev_seg"))
+      .orderBy($"c_custkey")
+  }
+
+  private val q17Sql =
+    """SELECT c_custkey,
+      |  upper(c_name) AS u_name,
+      |  lower(c_mktsegment) AS l_seg,
+      |  CAST(length(c_name) AS BIGINT) AS name_len,
+      |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+      |  substr(c_name, 1, 8) AS name_prefix,
+      |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+      |  concat_ws('|', c_mktsegment, c_name) AS tagged,
+      |  c_name LIKE '%1%' AS has_one,
+      |  CAST(strpos(c_name, 'Customer') AS BIGINT) AS pos_customer,
+      |  trim('  x  ') AS trimmed,
+      |  reverse(c_mktsegment) AS rev_seg
+      |FROM customer
+      |WHERE c_custkey % 10 = 0
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- q18_date_funcs: scalar date/time surface ----
+
+  private def q18(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .filter($"o_orderkey" % 100 === 0)
+      .select($"o_orderkey",
+        to_date($"o_orderdate").as("d"),
+        year($"o_orderdate").as("yr"),
+        quarter($"o_orderdate").as("qtr"),
+        month($"o_orderdate").as("mon"),
+        dayofmonth($"o_orderdate").as("dom"),
+        dayofweek($"o_orderdate").as("dow"),
+        dayofyear($"o_orderdate").as("doy"),
+        last_day($"o_orderdate").as("month_end"),
+        date_add(to_date($"o_orderdate"), 90).as("due_date"),
+        add_months(to_date($"o_orderdate"), 3).as("plus_quarter"),
+        datediff(lit("2002-01-01").cast("date"), to_date($"o_orderdate"))
+          .cast(LongType).as("days_to_2002"),
+        date_trunc("month", $"o_orderdate").as("month_start"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val q18Sql =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS d,
+      |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+      |  CAST(month(o_orderdate) AS INTEGER) AS mon,
+      |  CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+      |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(o_orderdate AS DATE) + 90 AS due_date,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_quarter,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+      |  date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month_start
+      |FROM orders
+      |WHERE o_orderkey % 100 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- q19_conditional: null-handling / conditional surface ----
+
+  private def q19(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).lineitem
+      .filter($"l_orderkey" % 500 === 0)
+      .select($"l_orderkey", $"l_linenumber",
+        nullif($"l_discount", lit(0.0)).as("disc_or_null"),
+        coalesce(nullif($"l_discount", lit(0.0)), lit(-1.0)).as("disc_coalesced"),
+        greatest($"l_quantity", $"l_discount" * 100).as("g"),
+        least($"l_tax", $"l_discount").as("l"),
+        when($"l_returnflag" === "R", "returned")
+          .when($"l_linestatus" === "O", "open").otherwise("closed").as("status"),
+        ($"l_quantity".between(10, 40)).as("mid_qty"),
+        isnull(nullif($"l_tax", lit(0.0))).as("tax_free"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  private val q19Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  nullif(l_discount, 0.0) AS disc_or_null,
+      |  coalesce(nullif(l_discount, 0.0), -1.0) AS disc_coalesced,
+      |  greatest(l_quantity, l_discount * 100) AS g,
+      |  least(l_tax, l_discount) AS l,
+      |  CASE WHEN l_returnflag = 'R' THEN 'returned'
+      |       WHEN l_linestatus = 'O' THEN 'open'
+      |       ELSE 'closed' END AS status,
+      |  l_quantity BETWEEN 10 AND 40 AS mid_qty,
+      |  nullif(l_tax, 0.0) IS NULL AS tax_free
+      |FROM lineitem
+      |WHERE l_orderkey % 500 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- text_rollhash: native-codegen RollingHash fingerprint ----
+
+  private def rollhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id",
+        rolling_hash($"text").as("roll_hash"),
+        rolling_hash(substring($"text", 1, 64)).as("prefix_hash"))
+      .orderBy($"doc_id")
+  }
+
+  private val rollhashSql = {
+    import graft.functions.RollingHash
+    s"""SELECT doc_id,
+       |  ${RollingHash.sql("text")} AS roll_hash,
+       |  ${RollingHash.sql("substr(text, 1, 64)")} AS prefix_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q13_corr_subquery", q13, Some(q13Sql)),
+    Q("q14_asof_join", q14, Some(q14Sql)),
+    Q("q15_range_join", q15, Some(q15Sql)),
+    Q("q16_percentiles", q16, Some(q16Sql)),
+    Q("q17_string_funcs", q17, Some(q17Sql)),
+    Q("q18_date_funcs", q18, Some(q18Sql)),
+    Q("q19_conditional", q19, Some(q19Sql)),
+    Q("text_rollhash", rollhash, Some(rollhashSql))
+  )
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the package-private Column↔Expression converters.
+  *
+  * Spark 4 hides the Expression-backed Column constructor behind
+  * `org.apache.spark.sql.classic.ExpressionUtils` (private[sql]);
+  * extension libraries that ship custom Catalyst expressions open it
+  * with a same-package shim like this one (cf. public projects such
+  * as qbeast/spark-extensions which do the same for Dataset).
+  */
+object GraftShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
