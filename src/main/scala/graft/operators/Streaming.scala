@@ -76,8 +76,82 @@ object Streaming {
        |GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
 
+  // ---- stream_sliding_window: 10-min windows sliding by 5 min ----
+  // Each event lands in exactly two windows; the DuckDB oracle
+  // derives both window starts arithmetically (floor-to-slide and
+  // one slide earlier).
+
+  private def slidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), Det.dsum($"value").as("total_value"))
+      .select($"window.start".as("win_start"), $"event_type", $"n_events",
+        $"total_value")
+      .orderBy($"win_start", $"event_type")
+  }
+
+  private val slidingWindowSql =
+    s"""WITH e AS (
+       |  SELECT event_type, value,
+       |    (epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) * 300000000 AS b1
+       |  FROM events),
+       |x AS (
+       |  SELECT event_type, value, make_timestamp(ws) AS win_start
+       |  FROM e, UNNEST([b1 - 300000000, b1]) AS t(ws))
+       |SELECT win_start, event_type,
+       |  COUNT(*) AS n_events,
+       |  ${Det.dsumSql("value")} AS total_value
+       |FROM x
+       |GROUP BY win_start, event_type
+       |ORDER BY win_start, event_type""".stripMargin
+
+  // ---- stream_session_window: built-in session_window operator ----
+  // Spark's native gap-based session operator; the oracle is the
+  // same window-function sessionization as stream_sessionize
+  // (min/max/count per 30-min-gap session).
+
+  private def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        Det.dsum($"value").as("total_value"))
+      .select($"user_id", $"session_start", $"session_end", $"n_events",
+        $"total_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  private val sessionWindowSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+       |  FROM events),
+       |m AS (
+       |  SELECT *,
+       |    CASE WHEN LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |           OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM e),
+       |s AS (
+       |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM m)
+       |SELECT user_id,
+       |  MIN(ts) AS session_start,
+       |  MAX(ts) AS session_end,
+       |  COUNT(*) AS n_events,
+       |  ${Det.dsumSql("value")} AS total_value
+       |FROM s
+       |GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_start""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("stream_windowed_agg", windowedAgg, Some(windowedAggSql)),
-    Q("stream_sessionize", sessionize, Some(sessionizeSql))
+    Q("stream_sessionize", sessionize, Some(sessionizeSql)),
+    Q("stream_sliding_window", slidingWindow, Some(slidingWindowSql)),
+    Q("stream_session_window", sessionWindow, Some(sessionWindowSql))
   )
 }
