@@ -277,8 +277,26 @@ object Advanced {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q20_sketches: the approximate path for 100 TB aggregates ----
+  // HLL distinct counts and quantile sketches replace their exact
+  // forms when the group is too hot to materialize; accuracy is
+  // asserted against the exact values in ScalaTest (no cross-engine
+  // oracle — sketch implementations differ by design).
+
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .groupBy($"o_orderstatus")
+      .agg(
+        approx_count_distinct($"o_custkey").as("approx_custs"),
+        expr("percentile_approx(o_totalprice, 0.5, 1000)").as("approx_median"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q13_corr_subquery", q13, Some(q13Sql)),
+    Q("q20_sketches", q20, None),
     Q("q14_asof_join", q14, Some(q14Sql)),
     Q("q15_range_join", q15, Some(q15Sql)),
     Q("q16_percentiles", q16, Some(q16Sql)),

@@ -100,8 +100,83 @@ object Similarity {
       .orderBy($"q_id", $"rk")
   }
 
+  // ---- ann_ivf: inverted-file (cluster-probe) ANN ----
+  // The production path for corpus-scale search: centroids per
+  // partition (here the label clustering; k-means at scale), each
+  // query probes only its nearest centroid's cluster — scoring work
+  // drops from O(corpus) to O(corpus/nlist) per query. Centroids are
+  // exact decimal-accumulated dimension means, so the DuckDB oracle
+  // reproduces the same floats and the same final ranking.
+
+  private def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables(spark, dir).embeddings
+      .select($"vec_id", $"label", $"embedding", norm($"embedding").as("nrm"))
+    // centroid component = exact mean per (label, dimension)
+    val dims = v.select($"label", posexplode($"embedding"))
+      .groupBy($"label", $"pos")
+      .agg((sum($"col".cast("double").cast(org.apache.spark.sql.types.DecimalType(30, 15)))
+        .cast("double") / count(lit(1))).as("c"))
+    val centroids = dims.groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        x => x.getField("c")).as("cvec"))
+      .select($"label".as("c_label"), $"cvec", norm($"cvec").as("c_nrm"))
+    val q = v.filter(queryFilter($"vec_id"))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_e"), $"nrm".as("q_n"))
+    // probe: nearest centroid per query
+    val wC = Window.partitionBy($"q_id").orderBy($"c_cos".desc, $"c_label")
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", dot($"q_e", $"cvec") / ($"q_n" * $"c_nrm"))
+      .withColumn("c_rk", row_number().over(wC))
+      .filter($"c_rk" === 1)
+      .select($"q_id", $"q_e", $"q_n", $"c_label")
+    // search only the probed cluster
+    val wN = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
+    v.join(broadcast(probed),
+        $"label" === $"c_label" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        (dot($"q_e", $"embedding") / ($"q_n" * $"nrm")).as("cosine"))
+      .withColumn("rk", row_number().over(wN))
+      .filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val annIvfSql =
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding AS e, ${normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT label, pos,
+       |    CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS c
+       |  FROM embeddings, UNNEST(range(1, 65)) AS r(pos)
+       |  GROUP BY label, pos),
+       |cent AS (
+       |  SELECT label AS c_label, list(c ORDER BY pos) AS cvec
+       |  FROM dims GROUP BY label),
+       |cent2 AS (SELECT c_label, cvec, ${normSql("cvec")} AS c_nrm FROM cent),
+       |probe AS (
+       |  SELECT q_id, q_e, q_n, c_label FROM (
+       |    SELECT q.vec_id AS q_id, q.e AS q_e, q.nrm AS q_n, c.c_label,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${dotSql("q.e", "c.cvec", 64)} / (q.nrm * c.c_nrm) DESC, c.c_label) AS c_rk
+       |    FROM v q, cent2 c
+       |    WHERE q.vec_id % 50 = 0)
+       |  WHERE c_rk = 1),
+       |scored AS (
+       |  SELECT p.q_id, v.vec_id,
+       |    ${dotSql("p.q_e", "v.e", 64)} / (p.q_n * v.nrm) AS cosine
+       |  FROM probe p JOIN v ON v.label = p.c_label AND v.vec_id <> p.q_id)
+       |SELECT q_id, rk, vec_id AS neighbor_id, cosine FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("ann_bruteforce", annBrute, Some(annBruteSql)),
-    Q("ann_lsh", annLsh, None)
+    Q("ann_lsh", annLsh, None),
+    Q("ann_ivf", annIvf, Some(annIvfSql))
   )
 }

@@ -153,10 +153,86 @@ object TextAnalysis {
       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS vocab_size
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- text_top_bigrams: corpus-wide n-gram frequencies ----
+  // Exploded tokens + window lead (the scalable shingle pattern),
+  // then a plain count aggregate — vocabulary statistics for corpus
+  // analysis.
+
+  private def topBigrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    Tables(spark, dir).documents
+      .select($"doc_id", posexplode(tokens($"text")))
+      .withColumnRenamed("col", "t")
+      .select(concat_ws(" ", $"t", lead($"t", 1).over(w)).as("bigram"),
+        lead($"t", 1).over(w).isNotNull.as("is_full"))
+      .filter($"is_full")
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(20)
+  }
+
+  private val topBigramsSql =
+    """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (
+      |  SELECT doc_id, toks[ord] AS t, ord
+      |  FROM sp, UNNEST(range(1, len(toks) + 1)) AS r(ord)),
+      |b AS (
+      |  SELECT t || ' ' || LEAD(t, 1) OVER (PARTITION BY doc_id ORDER BY ord) AS bigram,
+      |    LEAD(t, 1) OVER (PARTITION BY doc_id ORDER BY ord) IS NOT NULL AS is_full
+      |  FROM tok)
+      |SELECT bigram, COUNT(*) AS n
+      |FROM b WHERE is_full
+      |GROUP BY bigram
+      |ORDER BY n DESC, bigram
+      |LIMIT 20""".stripMargin
+
+  // ---- text_tfidf: top distinguishing term per document ----
+  // Integer-scaled score tf·1e6 ÷ df (floor division) keeps the
+  // ranking engine-exact — ln-based idf differs in the last ulp
+  // between libm implementations.
+
+  private def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables(spark, dir).documents
+      .select($"doc_id", explode(tokens($"text")).as("t"))
+    val tf = tok.groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"t").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"t")
+    tf.join(df, "t")
+      .withColumn("score", expr("(tf * 1000000) div df"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"t".as("top_term"), $"tf", $"df", $"score")
+      .orderBy($"doc_id")
+  }
+
+  private val tfidfSql =
+    """WITH tok AS (
+      |  SELECT doc_id, u.t
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(t)),
+      |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+      |df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.t, tf.tf, df.df,
+      |    (tf.tf * 1000000) // df.df AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY (tf.tf * 1000000) // df.df DESC, tf.t) AS rk
+      |  FROM tf JOIN df USING (t))
+      |SELECT doc_id, t AS top_term, tf, df, score
+      |FROM scored WHERE rk = 1
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("text_tokens", textTokens, Some(textTokensSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
     Q("text_langid", textLangid, Some(textLangidSql)),
-    Q("text_fingerprint", textFingerprint, Some(textFingerprintSql))
+    Q("text_fingerprint", textFingerprint, Some(textFingerprintSql)),
+    Q("text_top_bigrams", topBigrams, Some(topBigramsSql)),
+    Q("text_tfidf", tfidf, Some(tfidfSql))
   )
 }

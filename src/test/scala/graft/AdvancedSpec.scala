@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the advanced/approximate operators. */
+class AdvancedSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("sketches track exact values within tolerance") {
+    val approx = q("q20_sketches").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = q("q16_percentiles").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap // exact median
+    val exactCusts = q("q7_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((status, (apxCust, apxMed)) <- approx) {
+      val relCust = math.abs(apxCust - exactCusts(status)).toDouble / exactCusts(status)
+      assert(relCust < 0.1, s"$status approx distinct off by $relCust")
+      val relMed = math.abs(apxMed - exact(status)) / exact(status)
+      assert(relMed < 0.05, s"$status approx median off by $relMed")
+    }
+  }
+
+  test("ann_ivf results are a subset of per-cluster exact ranking") {
+    // every returned neighbor must share the probed cluster and carry
+    // the same cosine the brute-force path computes
+    val brute = q("ann_bruteforce").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = q("ann_ivf").collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(2)))
+        .foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-12))
+    }
+  }
+
+  test("as-of join gap is non-negative and purchase-anchored") {
+    val rows = q("q14_asof_join").collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(4)).foreach(r => assert(r.getDouble(4) >= 0))
+  }
+
+  test("range join counts only events in the window") {
+    // cross-check a couple of anchors against a local recompute
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sf).events
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+        $"event_type").collect()
+    val byUser = ev.groupBy(_.getLong(1))
+    val expected = ev.filter(_.getString(3) == "error").map { e =>
+      val cnt = byUser(e.getLong(1)).count { x =>
+        x.getLong(2) > e.getLong(2) && x.getLong(2) <= e.getLong(2) + 300000000L
+      }
+      e.getLong(0) -> cnt.toLong
+    }.toMap
+    val got = q("q15_range_join").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+}
