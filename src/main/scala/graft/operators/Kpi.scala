@@ -526,7 +526,67 @@ object Kpi {
        |  (exp / imp) AS coverage
        |FROM a ORDER BY rk""".stripMargin
 
+  // ---- kpi_share: month's share of its year total (app.py YTD
+  // share tiles). Window-sum over the reduced monthly table.
+
+  private def share(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wy = Window.partitionBy($"yr")
+    baseMonthly(spark, dir)
+      .withColumn("yr_total", dSumOver($"export_usd", wy))
+      .withColumn("share_pct", $"export_usd" / $"yr_total" * 100.0)
+      .select($"yr", $"mon", $"export_usd", $"yr_total", $"share_pct")
+      .orderBy($"yr", $"mon")
+  }
+
+  private val shareSql = {
+    val over = "(PARTITION BY yr)"
+    s"""WITH $baseSql
+       |SELECT yr, mon, export_usd,
+       |  ${dSumOverSql("export_usd", over)} AS yr_total,
+       |  export_usd / ${dSumOverSql("export_usd", over)} * 100.0 AS share_pct
+       |FROM base ORDER BY yr, mon""".stripMargin
+  }
+
+  // ---- kpi_rank_shift: category rank by year + movement vs the
+  // prior year (app.py ranking tab's winners/losers view).
+
+  private def rankShift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val annual = t.lineitem
+      .select($"l_partkey", year($"l_shipdate").as("yr"), $"l_extendedprice")
+      .join(broadcast(t.part.select($"p_partkey", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_type".as("category"), $"yr")
+      .agg(Det.dsum($"l_extendedprice").as("usd"))
+    val wRank = Window.partitionBy($"yr").orderBy($"usd".desc, $"category")
+    val wLag = Window.partitionBy($"category").orderBy($"yr")
+    annual
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("prev_rk", lag($"rk", 1).over(wLag))
+      .withColumn("rank_shift", $"prev_rk" - $"rk")
+      .select($"yr", $"rk", $"category", $"usd", $"prev_rk", $"rank_shift")
+      .orderBy($"yr", $"rk")
+  }
+
+  private val rankShiftSql =
+    s"""WITH a AS (
+       |  SELECT p_type AS category, CAST(year(l_shipdate) AS INTEGER) AS yr,
+       |    ${Det.dsumSql("l_extendedprice")} AS usd
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  GROUP BY category, yr),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY yr ORDER BY usd DESC, category) AS rk
+       |  FROM a)
+       |SELECT yr, rk, category, usd,
+       |  LAG(rk, 1) OVER (PARTITION BY category ORDER BY yr) AS prev_rk,
+       |  LAG(rk, 1) OVER (PARTITION BY category ORDER BY yr) - rk AS rank_shift
+       |FROM r ORDER BY yr, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("kpi_share", share, Some(shareSql)),
+    Q("kpi_rank_shift", rankShift, Some(rankShiftSql)),
     Q("kpi_trade_long", tradeLong, Some(tradeLongSql)),
     Q("kpi_base_monthly", base, Some(baseQSql)),
     Q("kpi_mom_yoy", momYoy, Some(momYoySql)),
