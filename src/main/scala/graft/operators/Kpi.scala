@@ -584,7 +584,44 @@ object Kpi {
        |  LAG(rk, 1) OVER (PARTITION BY category ORDER BY yr) - rk AS rank_shift
        |FROM r ORDER BY yr, rk""".stripMargin
 
+  // ---- kpi_insights_text: narrative insight generation ----
+  // The reference's insights_engine.py renders the top-N |YoY|
+  // categories as markdown findings with trend markers and
+  // recommended actions. Same logic as a distributed string-building
+  // projection over the ranked KPI rows (no oracle: narrative text;
+  // structure asserted in InsightsSpec, mirroring the reference's
+  // tests/test_insights.py).
+
+  private def insightsText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val top = prodMonthly(spark, dir).filter($"yr" === 2001)
+      .filter($"exp_yoy".isNotNull)
+      .orderBy(abs($"exp_yoy").desc, $"category", $"mon")
+      .limit(5)
+    val trend = when($"exp_yoy" > 10, "soaring")
+      .when($"exp_yoy" > 0, "growing")
+      .when($"exp_yoy" > -10, "declining").otherwise("collapsing")
+    val action = when($"exp_yoy" > 15,
+        "Scale capacity and widen promotion.")
+      .when($"exp_yoy" > 5, "Consolidate the positive trend.")
+      .when($"exp_yoy" > -5, "Monitor closely; prepare diversification.")
+      .otherwise("Review sector policy; consider incentives.")
+    top.select($"category", $"yr", $"mon", $"exp_yoy",
+      concat(
+        lit("Finding: exports of "), $"category",
+        lit(" are "), trend,
+        lit(" ("), format_number($"exp_yoy", 1), lit("% YoY, "),
+        $"yr", lit("-"), lpad($"mon", 2, "0"), lit(").\n"),
+        lit("Impact: "),
+        when($"balance" >= 0, "contributes surplus to")
+          .otherwise("deepens deficit of"),
+        lit(" the sector balance.\n"),
+        lit("Action: "), action).as("insight_md"))
+      .orderBy(abs($"exp_yoy").desc, $"category", $"mon")
+  }
+
   val all: Seq[Q] = Seq(
+    Q("kpi_insights_text", insightsText, None),
     Q("kpi_share", share, Some(shareSql)),
     Q("kpi_rank_shift", rankShift, Some(rankShiftSql)),
     Q("kpi_trade_long", tradeLong, Some(tradeLongSql)),

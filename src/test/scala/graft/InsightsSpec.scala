@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference's tests/test_insights.py and
+  * tests/test_products_qa.py: insight narrative structure and data
+  * quality/consistency invariants over the trade analog.
+  */
+class InsightsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // -- insights (reference test_insights.py) --
+
+  test("insights are generated, bounded, and structured") {
+    val insights = q("kpi_insights_text").collect()
+    assert(insights.nonEmpty, "no insights generated")
+    assert(insights.length <= 5, "more insights than requested")
+    insights.map(_.getAs[String]("insight_md")).foreach { md =>
+      assert(md.contains("Finding:"), "missing Finding section")
+      assert(md.contains("Impact:"), "missing Impact section")
+      assert(md.contains("Action:"), "missing Action section")
+    }
+  }
+
+  test("insights are ordered by absolute YoY") {
+    val yoys = q("kpi_insights_text").collect().map(r => math.abs(r.getDouble(3)))
+    assert(yoys.sameElements(yoys.sorted(Ordering[Double].reverse)))
+  }
+
+  // -- data quality (reference test_products_qa.py) --
+
+  test("trade analog has both flows, full year range, positive values") {
+    val long = q("kpi_trade_long").collect()
+    val flows = long.map(_.getString(2)).toSet
+    assert(flows == Set("export", "import"), s"flows=$flows")
+    val years = long.map(_.getInt(0)).toSet
+    assert(years.min == 1995 && years.max == 2001)
+    assert(long.forall(_.getDouble(3) > 0), "non-positive usd")
+  }
+
+  test("monthly sums reconcile with annual totals per flow") {
+    val monthly = q("kpi_trade_long").collect()
+      .groupBy(r => (r.getInt(0), r.getString(2)))
+      .view.mapValues(_.map(_.getDouble(3)).sum).toMap
+    val annual = q("kpi_annual").collect()
+      .flatMap(r => Seq(
+        (r.getInt(0), "export") -> r.getDouble(1) * 1e9,
+        (r.getInt(0), "import") -> r.getDouble(2) * 1e9)).toMap
+    for ((k, v) <- annual) {
+      assert(math.abs(monthly(k) - v) / v < 1e-9, s"mismatch at $k")
+    }
+  }
+
+  test("no category/month cell is duplicated in prod KPIs") {
+    val dup = q("kpi_prod_monthly")
+      .groupBy($"category", $"yr", $"mon").count()
+      .filter($"count" > 1).count()
+    assert(dup == 0)
+  }
+}
