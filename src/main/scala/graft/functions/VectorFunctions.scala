@@ -15,19 +15,17 @@ import org.apache.spark.sql.types.DoubleType
   * dot products, norms, and cosines bit-identical across engines.
   */
 object VectorFunctions {
+  import org.apache.spark.sql.GraftShim.{column, expression}
 
-  private def foldSum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+  private def toD(a: Column): Column = a.cast("array<double>")
 
-  /** Dot product of two float vectors (left-fold accumulation). */
+  /** Dot product (native codegen kernel, left-fold order). */
   def dot(a: Column, b: Column): Column =
-    foldSum(zip_with(a, b,
-      (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))
+    column(DotProduct(expression(toD(a)), expression(toD(b))))
 
-  /** L2 norm. */
+  /** L2 norm (native codegen kernel). */
   def norm(a: Column): Column =
-    sqrt(foldSum(transform(a,
-      x => x.cast(DoubleType) * x.cast(DoubleType))))
+    sqrt(column(SumSquares(expression(toD(a)))))
 
   /** Cosine similarity of two float vectors (assumes non-zero). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
