@@ -10,9 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen and parquet footer caches so the first
-    // measured query doesn't absorb session startup.
-    SparkEntry.entry(spark).count()
+    // Pass 1 warms JIT, codegen caches, and parquet footers; pass 2
+    // is the measurement. Steady-state timings are what a long-lived
+    // cluster sees, and they cut run-to-run variance on a shared box.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
