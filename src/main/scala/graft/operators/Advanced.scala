@@ -294,9 +294,36 @@ object Advanced {
       .orderBy($"o_orderstatus")
   }
 
+  // ---- q21_topk_custom: group-wise top-k via the custom operator ----
+  // graft.plans.TopKPerKey (LogicalPlan + Strategy + SparkPlan):
+  // bounded per-key heaps with a partial pre-shuffle pass, instead of
+  // the full shuffle+sort a window formulation costs. The DuckDB
+  // oracle is the window formulation — same rows, different physics.
+
+  private def q21(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables(spark, dir).orders
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+    graft.plans.TopKPerKey(base,
+        Seq("o_orderpriority"),
+        Seq(graft.plans.TopKPerKey.desc("o_totalprice"),
+          graft.plans.TopKPerKey.asc("o_orderkey")), 3)
+      .orderBy($"o_orderpriority", $"o_totalprice".desc, $"o_orderkey")
+  }
+
+  private val q21Sql =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q13_corr_subquery", q13, Some(q13Sql)),
     Q("q20_sketches", q20, None),
+    Q("q21_topk_custom", q21, Some(q21Sql)),
     Q("q14_asof_join", q14, Some(q14Sql)),
     Q("q15_range_join", q15, Some(q15Sql)),
     Q("q16_percentiles", q16, Some(q16Sql)),

@@ -1,0 +1,131 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Group-wise top-k as a first-class operator (SURVEY §3 tier (c):
+  * LogicalPlan + Strategy + SparkPlan).
+  *
+  * The window formulation (`row_number over (partition by k order by
+  * o) <= k`) shuffles and fully sorts *every* row of every group.
+  * This operator keeps a bounded heap per key instead: a partial
+  * pass caps each (partition, key) at k rows before the shuffle, so
+  * shuffle volume is ≤ k·keys·partitions regardless of fact size,
+  * and nothing is globally sorted. At 100 TB that is the difference
+  * between shuffling the table and shuffling a bounded digest.
+  */
+case class TopKPerKey(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+/** Physical node: per-partition hashmap of bounded heaps. `partial`
+  * instances run before the shuffle (no distribution requirement);
+  * the final instance requires clustering on the keys.
+  */
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val orderExprs = order
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val rowOrd = new LazilyGeneratedOrdering(orderExprs, childOutput)
+      // heap keeps the k smallest under reverse ordering == top-k
+      // under `order`; kept as a sorted buffer since k is small
+      val heaps = collection.mutable.HashMap
+        .empty[UnsafeRow, collection.mutable.ArrayBuffer[UnsafeRow]]
+      iter.foreach { row =>
+        val key = keyProj(row).copy()
+        val buf = heaps.getOrElseUpdate(key,
+          collection.mutable.ArrayBuffer.empty[UnsafeRow])
+        val r = row.asInstanceOf[UnsafeRow].copy()
+        if (buf.length < limit) {
+          buf += r
+          if (buf.length == limit) {
+            val sorted = buf.sorted(rowOrd.asInstanceOf[Ordering[UnsafeRow]])
+            buf.clear(); buf ++= sorted
+          }
+        } else if (rowOrd.compare(r, buf.last) < 0) {
+          // insert in order, drop the current worst
+          var i = buf.length - 1
+          buf.remove(i)
+          i = buf.indexWhere(b => rowOrd.compare(r, b) < 0)
+          if (i < 0) buf += r else buf.insert(i, r)
+        }
+      }
+      heaps.iterator.flatMap(_._2.iterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Plans TopKPerKey as partial → (shuffle to clustered) → final. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      val partial = TopKPerKeyExec(keys, order, k, partial = true, planLater(child))
+      TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+  import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+
+  /** Sort spec: column name + direction. (Column.desc carries the
+    * ColumnNode-level SortOrder — not usable inside a custom logical
+    * node — so attributes are resolved by name against the child.)
+    */
+  final case class Sort(name: String, descending: Boolean = false)
+  def asc(name: String): Sort = Sort(name)
+  def desc(name: String): Sort = Sort(name, descending = true)
+
+  /** API: group-wise top-k. Registers the strategy on first use
+    * (idempotent) and builds the DataFrame over the logical node.
+    */
+  def apply(df: DataFrame, keyCols: Seq[String], order: Seq[Sort],
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    val plan = df.queryExecution.analyzed
+    def attr(n: String): Attribute = plan.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $n not in ${plan.output.map(_.name).mkString(",")}"))
+    val keys = keyCols.map(attr)
+    val sortOrder = order.map(s =>
+      SortOrder(attr(s.name), if (s.descending) Descending else Ascending))
+    GraftShim.ofRows(spark, new TopKPerKey(keys, sortOrder, k, plan))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.plans.TopKPerKey
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKPerKeySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def base = Tables(spark, sf).orders
+    .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+
+  test("custom top-k equals the window formulation") {
+    val custom = TopKPerKey(base, Seq("o_orderpriority"),
+        Seq(TopKPerKey.desc("o_totalprice"), TopKPerKey.asc("o_orderkey")), 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val windowed = base.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(custom == windowed)
+  }
+
+  test("plans as partial + final with a clustering exchange between") {
+    val df = TopKPerKey(base, Seq("o_orderpriority"),
+      Seq(TopKPerKey.desc("o_totalprice"), TopKPerKey.asc("o_orderkey")), 3)
+    val p = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(p).size == 2, s"expected 2 exec nodes:\n$p")
+    assert(p.contains("Exchange hashpartitioning(o_orderpriority"),
+      "missing clustering exchange")
+  }
+
+  test("handles groups smaller than k and k=1") {
+    val one = TopKPerKey(base, Seq("o_orderpriority"),
+      Seq(TopKPerKey.desc("o_totalprice")), 1)
+    val got = one.collect()
+    assert(got.length == 5) // one row per priority
+    val maxes = base.groupBy($"o_orderpriority")
+      .agg(max($"o_totalprice").as("m")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach(r => assert(r.getDouble(2) == maxes(r.getString(0))))
+  }
+}
