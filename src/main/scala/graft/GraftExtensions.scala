@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{DotProduct, RollingHash, SumSquares}
+import graft.plans.TopKStrategy
+
+/** Registration of the engine's custom pieces.
+  *
+  * Cluster deployment path (applies at session build time):
+  * ```
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * ```
+  * Live-session path (e.g. notebooks, tests):
+  * ```
+  * GraftExtensions.install(spark)
+  * ```
+  * Either way, SQL users get `rolling_hash`, `dot_product`,
+  * `sum_squares`, and the planner gets the TopKPerKey strategy.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => TopKStrategy)
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+  }
+}
+
+object GraftExtensions {
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "rolling_hash" -> (exprs => RollingHash(exprs.head)),
+    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "sum_squares" -> (exprs => SumSquares(exprs.head))
+  )
+
+  /** Register on an already-running session. */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}
