@@ -33,10 +33,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def arity(name: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+      b(exprs)
+    }
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "rolling_hash" -> (exprs => RollingHash(exprs.head)),
-    "dot_product" -> (exprs => DotProduct(exprs(0), exprs(1))),
-    "sum_squares" -> (exprs => SumSquares(exprs.head))
+    "rolling_hash" -> arity("rolling_hash", 1)(exprs => RollingHash(exprs.head)),
+    "dot_product" -> arity("dot_product", 2)(exprs => DotProduct(exprs(0), exprs(1))),
+    "sum_squares" -> arity("sum_squares", 1)(exprs => SumSquares(exprs.head))
   )
 
   /** Register on an already-running session. */

@@ -35,17 +35,15 @@ object TextFunctions {
   def bowFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
-  /** MinHash signature: k minima of per-seed xxhash64 over shingles.
-    * One number per seed; `null`-safe for shingle-less docs.
-    */
-  def minhashSig(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles, s => xxhash64(i, s))))
-
   /** 64-bit SimHash over tokens: per bit position, sign of the
     * +1/-1 vote sum across token hashes. Returned as one long.
     * (functions.shiftleft only takes a literal shift, so the
     * column-shift variants go through call_function.)
+    *
+    * This is the reference higher-order formulation; the production
+    * dedup operator computes the identical value via exploded
+    * postings + one hash aggregate (interpreted lambdas are ~50×
+    * slower) — TextFunctionsSpec asserts the two agree.
     */
   def simhash64(toks: Column): Column = {
     def shl(c: Column, by: Column) = call_function("shiftleft", c, by)

@@ -49,8 +49,11 @@ object Advanced {
 
   private def q14(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // RANGE frame over event-time micros, not a ROWS frame: the
+    // oracle's ASOF semantics are *strictly* earlier (c.ts < p.ts),
+    // and a rows-frame would include a same-microsecond click.
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(Window.unboundedPreceding, -1)
     Tables(spark, dir).events
       .filter($"event_type".isin("click", "purchase"))
       .withColumn("click_ts", when($"event_type" === "click", $"ts"))

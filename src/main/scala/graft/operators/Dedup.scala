@@ -67,6 +67,9 @@ object Dedup {
       .filter($"full")
       .select($"doc_id", $"shingle")
       .dropDuplicates("doc_id", "shingle")
+      // referenced 3-4x per dedup query (sizes + both join sides);
+      // persist so the explode+window pipeline runs once per action
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   private def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
@@ -153,7 +156,9 @@ object Dedup {
         $"shingle" === $"b_shingle" && $"a_id" < $"b_id")
       .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("n_common"))
-    val sizes = posting.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    // sizes restricted to candidate docs BEFORE broadcasting — the
+    // corpus-wide per-doc table must never be collected to the driver
+    val sizes = postingC.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     cand.join(common, Seq("a_id", "b_id"))
       .join(broadcast(sizes.select($"doc_id".as("a_id"), $"n_sh".as("a_n"))), "a_id")
       .join(broadcast(sizes.select($"doc_id".as("b_id"), $"n_sh".as("b_n"))), "b_id")

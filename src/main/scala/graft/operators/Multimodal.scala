@@ -64,10 +64,13 @@ object Multimodal {
 
   private def mmFramesample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // guard empty text: sequence(0, -1) would count DOWN to [0, -1]
+    // and emit a phantom frame the oracle's range() doesn't have
+    val nFrames = ((length($"text") + 15) / 16).cast("int")
     Tables(spark, dir).documents
       .select($"doc_id", $"text",
-        posexplode(sequence(lit(0),
-          floor((length($"text") - 1) / 16).cast("int"))))
+        posexplode(when(nFrames > 0, sequence(lit(0), nFrames - 1))
+          .otherwise(array().cast("array<int>"))))
       .withColumnRenamed("col", "frame_idx")
       .filter($"frame_idx" % 4 === 0)
       .select($"doc_id", $"frame_idx".cast(LongType).as("frame_idx"),

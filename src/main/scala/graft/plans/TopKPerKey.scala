@@ -114,6 +114,7 @@ object TopKPerKey {
     */
   def apply(df: DataFrame, keyCols: Seq[String], order: Seq[Sort],
       k: Int): DataFrame = {
+    require(k > 0, s"top-k needs k > 0, got $k")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =

@@ -78,11 +78,16 @@ object EventsStream {
         (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
           // Sort within the group: local smoke feeds one batch; a
           // production stream relies on the watermark for order.
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // micros, not getTime*1000: Timestamp.getTime is millis and
+          // would zero the sub-millisecond component the batch oracle
+          // keeps (a 30min+500us gap must still open a new session)
+          def micros(ts: java.sql.Timestamp): Long =
+            ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var sessions = List.empty[Session]
           var cur = state.getOption
           for (e <- sorted) {
-            val t = e.ts.getTime * 1000
+            val t = micros(e.ts)
             cur match {
               case Some(s) if t - s.last > gapMicros =>
                 sessions ::= Session(userId,

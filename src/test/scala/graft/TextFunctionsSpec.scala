@@ -1,0 +1,37 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference HOF simhash and the production exploded-aggregate
+  * simhash (inside dedup_simhash) must compute identical signatures
+  * — same hash, same ±1 vote rule, same >=0 tie handling.
+  */
+class TextFunctionsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("HOF simhash64 equals the exploded-aggregate formulation") {
+    val docs = Tables(spark, sf).documents.limit(50)
+    val hof = docs
+      .select($"doc_id", TextFunctions.simhash64(
+        TextFunctions.tokens($"text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exploded = docs
+      .select($"doc_id", explode(TextFunctions.tokens($"text")).as("t"))
+      .withColumn("h", xxhash64($"t"))
+      .groupBy($"doc_id")
+      .agg(sum(when(shiftright($"h", 0).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as("v0"),
+        (1 until 64).map(j =>
+          sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)).as(s"v$j")): _*)
+      .select($"doc_id",
+        (0 until 64).map(j =>
+          when(col(s"v$j") >= 0L, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hof == exploded)
+  }
+}
