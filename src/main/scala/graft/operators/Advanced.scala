@@ -323,10 +323,71 @@ object Advanced {
       |WHERE rk <= 3
       |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
 
+  // ---- q22_json_funcs: semi-structured extraction ----
+  // events.props is a JSON string; Spark parses it with from_json
+  // (schema'd, codegen'd); the oracle extracts the same field via
+  // regexp so it needs no DuckDB json extension (offline container).
+
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).events
+      .withColumn("k", from_json($"props",
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+      .groupBy($"event_type")
+      .agg(
+        count($"k").as("n_with_k"),
+        Det.dsum($"k".cast("double")).as("sum_k"),
+        count(when($"k" > 50, lit(1))).as("n_high"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  private val q22Sql =
+    s"""SELECT event_type,
+       |  COUNT(k) AS n_with_k,
+       |  ${Det.dsumSql("CAST(k AS DOUBLE)")} AS sum_k,
+       |  COUNT(CASE WHEN k > 50 THEN 1 END) AS n_high,
+       |  MIN(k) AS min_k,
+       |  MAX(k) AS max_k
+       |FROM (
+       |  SELECT event_type,
+       |    CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INTEGER) AS k
+       |  FROM events)
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  // ---- q23_array_agg: collection aggregation surface ----
+  // Arrays are surfaced as deterministic joined strings so the
+  // cross-engine hash compare sees identical scalar values.
+
+  private def q23(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .groupBy($"o_orderpriority")
+      .agg(
+        concat_ws(",", array_sort(collect_set($"o_orderstatus")))
+          .as("statuses"),
+        countDistinct($"o_orderstatus").as("n_statuses"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q23Sql =
+    """SELECT o_orderpriority,
+      |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+      |  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q13_corr_subquery", q13, Some(q13Sql)),
     Q("q20_sketches", q20, None),
     Q("q21_topk_custom", q21, Some(q21Sql)),
+    Q("q22_json_funcs", q22, Some(q22Sql)),
+    Q("q23_array_agg", q23, Some(q23Sql)),
     Q("q14_asof_join", q14, Some(q14Sql)),
     Q("q15_range_join", q15, Some(q15Sql)),
     Q("q16_percentiles", q16, Some(q16Sql)),
