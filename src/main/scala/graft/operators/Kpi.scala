@@ -620,7 +620,35 @@ object Kpi {
       .orderBy(abs($"exp_yoy").desc, $"category", $"mon")
   }
 
+  // ---- kpi_heatmap: month×year wide matrix (eda.py:93 heatmap,
+  // app.py:313 pivot_table). Static conditional-aggregation pivot:
+  // the year range is data-independent schema, so it stays a single
+  // aggregation pass (no value-discovery job).
+
+  private def heatmap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val years = 1995 to 2001
+    baseMonthly(spark, dir)
+      .groupBy($"mon")
+      .agg(
+        Det.dsum(when($"yr" === years.head, $"export_usd")).as(s"y${years.head}"),
+        years.tail.map(y =>
+          Det.dsum(when($"yr" === y, $"export_usd")).as(s"y$y")): _*)
+      .orderBy($"mon")
+  }
+
+  private val heatmapSql = {
+    val cols = (1995 to 2001).map(y =>
+      s"${Det.dsumSql(s"CASE WHEN yr = $y THEN export_usd END")} AS y$y")
+      .mkString(",\n  ")
+    s"""WITH $baseSql
+       |SELECT mon,
+       |  $cols
+       |FROM base GROUP BY mon ORDER BY mon""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("kpi_heatmap", heatmap, Some(heatmapSql)),
     Q("kpi_insights_text", insightsText, None),
     Q("kpi_share", share, Some(shareSql)),
     Q("kpi_rank_shift", rankShift, Some(rankShiftSql)),
