@@ -56,6 +56,14 @@ object EventsStream {
     windowedAgg(events.withWatermark("ts", "2 hours"))
   }
 
+  /** Streaming exact dedup on event_id with a watermark bounding the
+    * dedup state — the streaming twin of dedup_exact. State size is
+    * O(ids inside the watermark window), not O(stream length).
+    */
+  def dedupStreaming(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -26,6 +26,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup collapses a doubled input to distinct events") {
+    import spark.implicits._
+    // duplicate the stream by reading the same dir twice via union
+    val s1 = EventsStream.readStreamEvents(spark, sf)
+    val doubled = s1.union(EventsStream.readStreamEvents(spark, sf))
+    val q = EventsStream.dedupStreaming(doubled)
+      .select($"event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").count()
+      val want = Tables(spark, sf).events.select($"event_id").distinct().count()
+      assert(got == want, s"stream dedup $got != batch distinct $want")
+    } finally q.stop()
+  }
+
   test("stateful sessionize matches the batch window-function form") {
     import spark.implicits._
     val events = Tables(spark, sf).events
