@@ -85,8 +85,54 @@ object Multimodal {
       |WHERE k % 4 = 0
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---- mm_decode_batch: batch-iterator decode boundary ----
+  // The shape a real codec integration needs: a typed mapPartitions
+  // pipeline where each task walks its partition's payloads through
+  // a (stubbed) decoder exactly once, amortizing decoder init per
+  // batch — the Scala analog of a pandas mapInPandas decode UDF.
+  // Rows-only check (the decode stub's features are asserted against
+  // an independent recompute in MultimodalSpec).
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, n_bytes: Long,
+      brightness: Double, edge_count: Long)
+
+  /** STUB: stands in for a codec call. Deterministic features from
+    * the payload bytes so tests and future rounds can verify the
+    * plumbing without image libraries.
+    */
+  def decodeStub(payload: Array[Byte]): (Double, Long) = {
+    var sum = 0L
+    var edges = 0L
+    var i = 0
+    while (i < payload.length) {
+      sum += payload(i) & 0xFF
+      if (i > 0 && math.abs((payload(i) & 0xFF) - (payload(i - 1) & 0xFF)) > 16)
+        edges += 1
+      i += 1
+    }
+    (if (payload.isEmpty) 0.0 else sum.toDouble / payload.length, edges)
+  }
+
+  private def mmDecodeBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here (once per task)
+        rows.map { r =>
+          val (brightness, edges) = decodeStub(r.payload)
+          MediaFeatures(r.doc_id, r.payload.length.toLong, brightness, edges)
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     Q("mm_metadata", mmMetadata, Some(mmMetadataSql)),
-    Q("mm_framesample", mmFramesample, Some(mmFramesampleSql))
+    Q("mm_framesample", mmFramesample, Some(mmFramesampleSql)),
+    Q("mm_decode_batch", mmDecodeBatch, None)
   )
 }
