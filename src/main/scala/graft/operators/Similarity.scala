@@ -174,9 +174,60 @@ object Similarity {
        |WHERE rk <= 5
        |ORDER BY q_id, rk""".stripMargin
 
+  // ---- ann_kmeans_step: one deterministic Lloyd iteration ----
+  // The IVF index build at scale: seeds are fixed corpus vectors
+  // (vec_id 0,50,...,350), every vector joins the broadcast seed set,
+  // picks its nearest centroid by cosine (deterministic exact math),
+  // and per-cluster stats come from one aggregation pass. Iterating
+  // this step to convergence is the full k-means; one step is enough
+  // to oracle-check assignment + recomputation semantics.
+
+  private def annKmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Tables(spark, dir).embeddings
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val seeds = v.filter($"vec_id" % 50 === 0 && $"vec_id" < 400)
+      .select($"vec_id".as("seed_id"), $"embedding".as("s_e"), $"nrm".as("s_n"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"seed_id")
+    val assigned = v.crossJoin(broadcast(seeds))
+      .withColumn("cos", dot($"embedding", $"s_e") / ($"nrm" * $"s_n"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter($"rk" === 1)
+    assigned.groupBy($"seed_id".as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        graft.Det.dsum(lit(1.0) - $"cos").as("inertia"),
+        min($"vec_id").as("first_member"))
+      .orderBy($"cluster_id")
+  }
+
+  private val annKmeansStepSql =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding AS e, ${normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id AS seed_id, e AS s_e, nrm AS s_n FROM v
+       |  WHERE vec_id % 50 = 0 AND vec_id < 400),
+       |assigned AS (
+       |  SELECT vec_id, seed_id, cos FROM (
+       |    SELECT v.vec_id, s.seed_id,
+       |      ${dotSql("v.e", "s.s_e", 64)} / (v.nrm * s.s_n) AS cos,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${dotSql("v.e", "s.s_e", 64)} / (v.nrm * s.s_n) DESC, s.seed_id) AS rk
+       |    FROM v, seeds s)
+       |  WHERE rk = 1)
+       |SELECT seed_id AS cluster_id,
+       |  COUNT(*) AS n_members,
+       |  ${graft.Det.dsumSql("1.0 - cos")} AS inertia,
+       |  MIN(vec_id) AS first_member
+       |FROM assigned
+       |GROUP BY cluster_id
+       |ORDER BY cluster_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("ann_bruteforce", annBrute, Some(annBruteSql)),
     Q("ann_lsh", annLsh, None),
-    Q("ann_ivf", annIvf, Some(annIvfSql))
+    Q("ann_ivf", annIvf, Some(annIvfSql)),
+    Q("ann_kmeans_step", annKmeansStep, Some(annKmeansStepSql))
   )
 }
