@@ -382,12 +382,76 @@ object Advanced {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q24_window_stats: distribution window functions ----
+
+  private def q24(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir).orders
+      .filter($"o_orderkey" % 50 === 0)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        nth_value($"o_totalprice", 2).over(wFrame).as("second_lowest"),
+        lead($"o_totalprice", 1).over(w).as("next_price"))
+      .orderBy($"o_orderpriority", $"o_totalprice", $"o_orderkey")
+  }
+
+  private val q24Sql =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  NTILE(4) OVER w AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume,
+      |  NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_lowest,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price
+      |FROM orders
+      |WHERE o_orderkey % 50 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin
+
+  // ---- q25_setops: INTERSECT / EXCEPT ----
+
+  private def q25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val withUrgent = t.orders.filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey")
+    val withLow = t.orders.filter($"o_orderpriority" === "5-LOW")
+      .select($"o_custkey")
+    val both = withUrgent.intersect(withLow)
+      .select($"o_custkey", lit("both").as("bucket"))
+    val urgentOnly = withUrgent.except(withLow)
+      .select($"o_custkey", lit("urgent_only").as("bucket"))
+    both.unionAll(urgentOnly).orderBy($"bucket", $"o_custkey")
+  }
+
+  private val q25Sql =
+    """SELECT * FROM (
+      |  SELECT o_custkey, 'both' AS bucket FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |    INTERSECT
+      |    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+      |  UNION ALL
+      |  SELECT o_custkey, 'urgent_only' AS bucket FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |    EXCEPT
+      |    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'))
+      |ORDER BY bucket, o_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q13_corr_subquery", q13, Some(q13Sql)),
     Q("q20_sketches", q20, None),
     Q("q21_topk_custom", q21, Some(q21Sql)),
     Q("q22_json_funcs", q22, Some(q22Sql)),
     Q("q23_array_agg", q23, Some(q23Sql)),
+    Q("q24_window_stats", q24, Some(q24Sql)),
+    Q("q25_setops", q25, Some(q25Sql)),
     Q("q14_asof_join", q14, Some(q14Sql)),
     Q("q15_range_join", q15, Some(q15Sql)),
     Q("q16_percentiles", q16, Some(q16Sql)),
