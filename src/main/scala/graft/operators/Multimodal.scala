@@ -122,8 +122,11 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition decoder init would go here (once per task)
         rows.map { r =>
-          val (brightness, edges) = decodeStub(r.payload)
-          MediaFeatures(r.doc_id, r.payload.length.toLong, brightness, edges)
+          // null-safe like the SQL siblings: a null payload decodes
+          // to empty features instead of NPE-ing the task
+          val p = if (r.payload == null) Array.emptyByteArray else r.payload
+          val (brightness, edges) = decodeStub(p)
+          MediaFeatures(r.doc_id, p.length.toLong, brightness, edges)
         }
       }
       .toDF()

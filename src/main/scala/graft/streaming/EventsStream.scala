@@ -56,13 +56,15 @@ object EventsStream {
     windowedAgg(events.withWatermark("ts", "2 hours"))
   }
 
-  /** Streaming exact dedup on event_id with a watermark bounding the
-    * dedup state — the streaming twin of dedup_exact. State size is
-    * O(ids inside the watermark window), not O(stream length).
+  /** Streaming exact dedup on event_id — the streaming twin of
+    * dedup_exact. dropDuplicatesWithinWatermark is the form whose
+    * state is actually bounded by the watermark: plain
+    * dropDuplicates(key) without the event-time column in the key
+    * keeps one state entry per distinct id forever.
     */
   def dedupStreaming(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
