@@ -72,7 +72,10 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  private def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+  /** Near-dup pairs (J >= 0.5) via the inverted index; shared by the
+    * pair listing and the cluster builder.
+    */
+  private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val posting = shinglePosting(spark, dir)
     val sizes = posting.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
@@ -88,8 +91,82 @@ object Dedup {
         ($"a_n" + $"b_n" - $"n_common").cast(DoubleType))
       .filter($"jaccard" >= 0.5)
       .select($"a_id", $"b_id", $"jaccard")
-      .orderBy($"a_id", $"b_id")
   }
+
+  private def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    ngramPairs(spark, dir).orderBy($"a_id", $"b_id")
+  }
+
+  // ---- dedup_clusters: duplicate groups via connected components ----
+  // The dedup endgame: near-dup pairs form a graph; each component is
+  // one duplicate cluster and one representative survives. Iterative
+  // min-label propagation (the GraphX connected-components algorithm
+  // as plain DataFrame joins): every round each node adopts the
+  // smallest label among itself and its neighbors; converges in
+  // O(component diameter) rounds. localCheckpoint per round cuts the
+  // growing lineage. The DuckDB oracle walks the same closure with a
+  // recursive CTE.
+
+  private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = ngramPairs(spark, dir).select($"a_id", $"b_id")
+    val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
+      .unionAll(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("label", $"id").localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val prop = edges
+        .join(labels.select($"id".as("dst"), $"label"), "dst")
+        .select($"src".as("id"), $"label")
+      val next = labels.select($"id", $"label")
+        .unionAll(prop)
+        .groupBy($"id").agg(min($"label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter($"label" =!= $"old").count()
+      labels = next
+      rounds += 1
+    }
+    labels.groupBy($"label".as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"), min($"id").as("keeper"))
+      .orderBy($"cluster_id")
+  }
+
+  private val dedupClustersSql =
+    """WITH RECURSIVE
+      |sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (SELECT doc_id, toks[ord] AS t, ord
+      |        FROM sp, UNNEST(range(1, len(toks) + 1)) AS r(ord)),
+      |b AS (SELECT doc_id,
+      |        t || ' ' || LEAD(t, 1) OVER w || ' ' || LEAD(t, 2) OVER w AS sh,
+      |        LEAD(t, 2) OVER w IS NOT NULL AS ok
+      |      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+      |posting AS (SELECT DISTINCT doc_id, sh FROM b WHERE ok),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM posting GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n
+      |  FROM posting a JOIN posting b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY a_id, b_id),
+      |pairs AS (
+      |  SELECT a_id, b_id FROM common
+      |  JOIN sizes sa ON sa.doc_id = a_id
+      |  JOIN sizes sb ON sb.doc_id = b_id
+      |  WHERE CAST(n AS DOUBLE) / (sa.n_sh + sb.n_sh - n) >= 0.5),
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+      |          UNION ALL SELECT b_id, a_id FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |walk(id, root) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.src, w.root FROM walk w JOIN edges e ON e.dst = w.id
+      |  WHERE w.root < e.src OR w.root < w.id),
+      |comp AS (SELECT id, MIN(root) AS cluster_id FROM walk GROUP BY id)
+      |SELECT cluster_id, COUNT(*) AS cluster_size, MIN(id) AS keeper
+      |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
   private val dedupNgramSql =
     """WITH s AS (
@@ -248,6 +325,7 @@ object Dedup {
     Q("dedup_ngram_jaccard", dedupNgram, Some(dedupNgramSql)),
     Q("dedup_minhash_lsh", dedupMinhash, None),
     Q("dedup_simhash", dedupSimhash, None),
-    Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql))
+    Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
+    Q("dedup_clusters", dedupClusters, Some(dedupClustersSql))
   )
 }

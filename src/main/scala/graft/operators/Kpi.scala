@@ -647,7 +647,31 @@ object Kpi {
        |FROM base GROUP BY mon ORDER BY mon""".stripMargin
   }
 
+  // ---- kpi_trend: 12/24-month trend moving averages (eda.py:126-127)
+
+  private def trend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w12 = Window.orderBy($"yr", $"mon").rowsBetween(-11, 0)
+    val w24 = Window.orderBy($"yr", $"mon").rowsBetween(-23, 0)
+    baseMonthly(spark, dir)
+      .withColumn("export_ma12", dMeanOver($"export_usd", w12))
+      .withColumn("export_ma24", dMeanOver($"export_usd", w24))
+      .select($"yr", $"mon", $"export_usd", $"export_ma12", $"export_ma24")
+      .orderBy($"yr", $"mon")
+  }
+
+  private val trendSql = {
+    val o12 = "(ORDER BY yr, mon ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)"
+    val o24 = "(ORDER BY yr, mon ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)"
+    s"""WITH $baseSql
+       |SELECT yr, mon, export_usd,
+       |  ${dMeanOverSql("export_usd", o12)} AS export_ma12,
+       |  ${dMeanOverSql("export_usd", o24)} AS export_ma24
+       |FROM base ORDER BY yr, mon""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("kpi_trend", trend, Some(trendSql)),
     Q("kpi_heatmap", heatmap, Some(heatmapSql)),
     Q("kpi_insights_text", insightsText, None),
     Q("kpi_share", share, Some(shareSql)),

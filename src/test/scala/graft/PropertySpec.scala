@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.{RollingHash, TextFunctions}
+import graft.plans.TopKPerKey
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based checks for the custom kernels against independent
+  * Scala models, over generated inputs the fixed testdata can't cover.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop, minTests: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  import TestSpark._
+  import spark.implicits._
+
+  private def modelRollingHash(s: String): Long = {
+    var h = 0L
+    for (b <- s.getBytes("UTF-8")) h = (h * 31L + (b & 0xFF)) % 1000000007L
+    h
+  }
+
+  test("RollingHash equals the model on arbitrary ASCII strings") {
+    val gen = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    check(Prop.forAll(gen) { s =>
+      val got = Seq(s).toDF("t")
+        .select(RollingHash.rolling_hash(col("t"))).first().getLong(0)
+      got == modelRollingHash(s)
+    }, 20)
+  }
+
+  test("dot/norm kernels equal a Scala model on arbitrary vectors") {
+    val vecGen = Gen.listOfN(8, Gen.choose(-10.0f, 10.0f))
+    check(Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val got = df.select(
+        graft.functions.VectorFunctions.dot(col("a"), col("b"))).first().getDouble(0)
+      var want = 0.0
+      for (i <- a.indices) want += a(i).toDouble * b(i).toDouble
+      got == want // bit-exact: same fold order
+    }, 20)
+  }
+
+  test("TopKPerKey equals sort-take on arbitrary grouped data") {
+    val rowGen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0, 4), Gen.choose(-1000, 1000)))
+    check(Prop.forAll(rowGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (g, v, i.toLong) }
+        .toDF("grp", "value", "uid")
+      val got = TopKPerKey(df, Seq("grp"),
+          Seq(TopKPerKey.desc("value"), TopKPerKey.asc("uid")), 3)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      val want = rows.zipWithIndex
+        .map { case ((g, v), i) => (g, v, i.toLong) }
+        .groupBy(_._1).values.flatMap(group =>
+          group.sortBy(t => (-t._2, t._3)).take(3)).toSet
+      got == want
+    }, 10)
+  }
+
+  test("shingles3 HOF equals a Scala sliding-window model") {
+    val gen = Gen.listOfN(12, Gen.oneOf("a", "b", "cc", "dd")).map(_.mkString(" "))
+    check(Prop.forAll(gen) { text =>
+      val got = Seq(text).toDF("t")
+        .withColumn("toks", TextFunctions.tokens(col("t")))
+        .select(TextFunctions.shingles3(col("toks")))
+        .first().getSeq[String](0).toSet
+      val toks = text.split(" ")
+      val want = if (toks.length < 3) Set.empty[String]
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      got == want
+    }, 10)
+  }
+}
