@@ -670,7 +670,123 @@ object Kpi {
        |FROM base ORDER BY yr, mon""".stripMargin
   }
 
+  // ---- kpi_exec_summary: executive summary row ----
+  // insights_engine.py build_summary_insights: latest-year country
+  // totals + leading category and its share, as one joined row.
+
+  private def execSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val latest = t.orders
+      .filter(year($"o_orderdate") === 2001)
+      .agg(
+        Det.dsum(when($"o_orderstatus" === "F", $"o_totalprice")).as("total_exp"),
+        Det.dsum(when($"o_orderstatus" =!= "F", $"o_totalprice")).as("total_imp"))
+      .withColumn("balance", $"total_exp" - $"total_imp")
+    val topCat = t.lineitem
+      .filter(year($"l_shipdate") === 2001 && $"l_linestatus" === "F")
+      .join(broadcast(t.part.select($"p_partkey", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_type")
+      .agg(Det.dsum($"l_extendedprice").as("cat_exp"))
+      .orderBy($"cat_exp".desc, $"p_type")
+      .limit(1)
+      .select($"p_type".as("top_category"), $"cat_exp".as("top_value"))
+    latest.crossJoin(topCat)
+      .select(lit(2001).as("yr"), $"total_exp", $"total_imp", $"balance",
+        $"top_category", $"top_value")
+  }
+
+  private val execSummarySql =
+    s"""WITH latest AS (
+       |  SELECT
+       |    ${Det.dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS total_exp,
+       |    ${Det.dsumSql("CASE WHEN o_orderstatus <> 'F' THEN o_totalprice END")} AS total_imp
+       |  FROM orders WHERE year(o_orderdate) = 2001),
+       |topcat AS (
+       |  SELECT p_type AS top_category,
+       |    ${Det.dsumSql("l_extendedprice")} AS top_value
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE year(l_shipdate) = 2001 AND l_linestatus = 'F'
+       |  GROUP BY p_type
+       |  ORDER BY top_value DESC, top_category
+       |  LIMIT 1)
+       |SELECT 2001 AS yr, total_exp, total_imp,
+       |  total_exp - total_imp AS balance,
+       |  top_category, top_value
+       |FROM latest, topcat""".stripMargin
+
+  // ---- kpi_funnel: signup→click→purchase conversion ----
+  // Classic event-pipeline funnel: a user converts a stage only if
+  // the stage's first event follows the previous stage's first event.
+  // One aggregation pass (min ts per stage per user), then counting.
+
+  private def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stages = Tables(spark, dir).events
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "signup", $"ts")).as("t_signup"),
+        min(when($"event_type" === "click", $"ts")).as("t_click"),
+        min(when($"event_type" === "purchase", $"ts")).as("t_purchase"))
+    stages.agg(
+      count($"t_signup").as("n_signup"),
+      count(when($"t_click" > $"t_signup", lit(1))).as("n_click_after_signup"),
+      count(when($"t_purchase" > $"t_click" && $"t_click" > $"t_signup",
+        lit(1))).as("n_full_funnel"),
+      count(lit(1)).as("n_users"))
+  }
+
+  private val funnelSql =
+    """WITH stages AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS t_signup,
+      |    MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT
+      |  COUNT(t_signup) AS n_signup,
+      |  COUNT(CASE WHEN t_click > t_signup THEN 1 END) AS n_click_after_signup,
+      |  COUNT(CASE WHEN t_purchase > t_click AND t_click > t_signup THEN 1 END) AS n_full_funnel,
+      |  COUNT(*) AS n_users
+      |FROM stages""".stripMargin
+
+  // ---- kpi_cohort: daily cohort retention ----
+  // Users cohorted by first-activity day; retention = distinct users
+  // of cohort c active on day c+k. The (cohort, offset) matrix is the
+  // standard growth-analytics operator.
+
+  private def cohort(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val activity = Tables(spark, dir).events
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val firstDay = activity.groupBy($"user_id")
+      .agg(min($"day").as("cohort_day"))
+    activity.join(firstDay, "user_id")
+      .withColumn("offset_days", datediff($"day", $"cohort_day"))
+      .filter($"offset_days" <= 7)
+      .groupBy($"cohort_day", $"offset_days")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort_day", $"offset_days")
+  }
+
+  private val cohortSql =
+    """WITH activity AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |first_day AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id)
+      |SELECT cohort_day,
+      |  CAST(date_diff('day', cohort_day, day) AS INTEGER) AS offset_days,
+      |  COUNT(DISTINCT a.user_id) AS n_active
+      |FROM activity a JOIN first_day f ON a.user_id = f.user_id
+      |WHERE date_diff('day', cohort_day, day) <= 7
+      |GROUP BY cohort_day, offset_days
+      |ORDER BY cohort_day, offset_days""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("kpi_exec_summary", execSummary, Some(execSummarySql)),
+    Q("kpi_funnel", funnel, Some(funnelSql)),
+    Q("kpi_cohort", cohort, Some(cohortSql)),
     Q("kpi_trend", trend, Some(trendSql)),
     Q("kpi_heatmap", heatmap, Some(heatmapSql)),
     Q("kpi_insights_text", insightsText, None),
