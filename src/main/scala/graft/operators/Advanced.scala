@@ -382,6 +382,28 @@ object Advanced {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q26_cube: CUBE — all grouping-set combinations ----
+  // Complements q9's ROLLUP: one pass produces per-(status,priority),
+  // per-status, per-priority, and grand-total aggregates.
+
+  private def q26(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(Det.dsum($"o_totalprice").as("total_usd"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderstatus".asc_nulls_first,
+        $"o_orderpriority".asc_nulls_first)
+  }
+
+  private val q26Sql =
+    s"""SELECT o_orderstatus, o_orderpriority,
+       |  ${Det.dsumSql("o_totalprice")} AS total_usd,
+       |  COUNT(*) AS n_orders
+       |FROM orders
+       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   // ---- q24_window_stats: distribution window functions ----
 
   private def q24(spark: SparkSession, dir: String): DataFrame = {
@@ -452,6 +474,7 @@ object Advanced {
     Q("q23_array_agg", q23, Some(q23Sql)),
     Q("q24_window_stats", q24, Some(q24Sql)),
     Q("q25_setops", q25, Some(q25Sql)),
+    Q("q26_cube", q26, Some(q26Sql)),
     Q("q14_asof_join", q14, Some(q14Sql)),
     Q("q15_range_join", q15, Some(q15Sql)),
     Q("q16_percentiles", q16, Some(q16Sql)),
