@@ -211,9 +211,11 @@ object Dedup {
       .agg(min(xxhash64(lit(0), $"shingle")).as("m0"),
         (1 until 16).map(i => min(xxhash64(lit(i), $"shingle")).as(s"m$i")): _*)
     // 8 bands × 2 rows; candidates carry only ids through the shuffle
+    // (band key is a long hash, not an md5 string — 8 bytes through
+    // the exchange instead of 32)
     val bands = sigs.select($"doc_id",
         posexplode(array((0 until 8).map(b =>
-          md5(concat_ws(",", col(s"m${2 * b}"), col(s"m${2 * b + 1}")))): _*)))
+          xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_hash")
     val cand = bands.select($"band_idx", $"band_hash", $"doc_id".as("a_id"))
