@@ -1,14 +1,16 @@
 package graft
-import org.apache.spark.sql.SparkSession
+/** Benchmark main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR through a noop sink and prints ONE short JSON
+  * line {"metric","value","unit","queries","sf"}. The line is printed
+  * last (after spark.stop()) and timings are rounded to ms so the
+  * whole line stays well inside a log-tail capture window; a copy is
+  * also written to BENCH_SELF.json in the working directory.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     // Force FULL evaluation: count() lets Catalyst prune every
     // computed column and eliminate sorts, so projection-heavy
@@ -34,10 +36,18 @@ object Bench {
       // failures are reported as -1, never as a fake timing
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def ms(v: Double): String = // 3 decimals, no sci-notation, locale-proof
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    println(line)
   }
 }

@@ -15,6 +15,25 @@ final case class Q(
     oracle: Option[String]
 )
 
+/** One place to build a correctly-configured session: every main
+  * (Verify/Bench/Pipeline/Report) and the test harness go through
+  * here, so session-scoped settings live in exactly one spot instead
+  * of being mutated as side effects inside table loaders.
+  */
+object GraftSession {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores TIMESTAMP(NANOS), which the vectorized
+      // reader rejects; read nanos as long and truncate in the plan
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cpus: String): SparkSession = builder(cpus).getOrCreate()
+}
+
 /** Loaders for the driver-generated TPC-H-ish testdata.
   *
   * Reads are plain parquet scans so Catalyst pushes filters and
@@ -47,17 +66,15 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = big("orders")
   def lineitem: DataFrame = big("lineitem")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read nanos as long (legacy conf) and
-    * floor-truncate to a microsecond TimestampType column — the same
-    * truncation DuckDB applies, so oracle parity holds.
+  /** events.parquet stores TIMESTAMP(NANOS): nanos arrive as long
+    * (GraftSession sets the legacy conf at build time) and are
+    * floor-truncated to a microsecond TimestampType column — the
+    * same truncation DuckDB applies, so oracle parity holds.
+    * Integer DIV, not "/1000": double division loses precision at
+    * epoch-nanos magnitudes (2^60) and shifts timestamps by 1 us.
     */
-  def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer DIV, not "/1000": double division loses precision on
-    // epoch-nanos magnitudes (2^60) and shifts timestamps by 1 us.
+  def events: DataFrame =
     big("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
   def documents: DataFrame = big("documents")
   def embeddings: DataFrame = big("embeddings")
 }

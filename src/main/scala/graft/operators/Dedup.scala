@@ -53,24 +53,47 @@ object Dedup {
     * `explode(shingles3(toks))` form is O(tokens²): CollapseProject
     * inlines the split() into every element_at inside the lambda,
     * and higher-order lambdas are evaluated interpreted.
+    *
+    * The posting is referenced 3-4x per dedup query (sizes + both
+    * join sides) and by four different dedup queries, so it is
+    * persisted — but through a BOUNDED keyed cache, not a fresh
+    * persist per call: unbounded per-invocation persists would pin a
+    * new copy every query for the life of the session (Bench runs
+    * every query twice → a dozen pinned copies ≈ a storage leak).
     */
-  private def shinglePosting(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"pos")
-    Tables(spark, dir).documents
-      .select($"doc_id", posexplode(tokens($"text")))
-      .withColumnRenamed("col", "t")
-      .select($"doc_id", $"pos", concat_ws(" ",
-        $"t", lead($"t", 1).over(w), lead($"t", 2).over(w)).as("shingle"),
-        lead($"t", 2).over(w).isNotNull.as("full"))
-      .filter($"full")
-      .select($"doc_id", $"shingle")
-      .dropDuplicates("doc_id", "shingle")
-      // referenced 3-4x per dedup query (sizes + both join sides);
-      // persist so the explode+window pipeline runs once per action
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  private val postingCache =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame]()
+
+  private def shinglePosting(spark: SparkSession, dir: String): DataFrame =
+    postingCache.synchronized {
+      val key = (spark, dir)
+      val hit = postingCache.get(key)
+      if (hit != null) hit
+      else {
+        import spark.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"pos")
+        val posting = Tables(spark, dir).documents
+          .select($"doc_id", posexplode(tokens($"text")))
+          .withColumnRenamed("col", "t")
+          .select($"doc_id", $"pos", concat_ws(" ",
+            $"t", lead($"t", 1).over(w), lead($"t", 2).over(w)).as("shingle"),
+            lead($"t", 2).over(w).isNotNull.as("full"))
+          .filter($"full")
+          .select($"doc_id", $"shingle")
+          .dropDuplicates("doc_id", "shingle")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        postingCache.put(key, posting)
+        // keep at most 2 entries (tests interleave SF dirs); evict
+        // oldest with a real unpersist so storage stays bounded
+        while (postingCache.size() > 2) {
+          val eldest = postingCache.keySet().iterator().next()
+          val df = postingCache.remove(eldest)
+          try df.unpersist(false) catch { case _: Throwable => () }
+        }
+        posting
+      }
+    }
 
   /** Near-dup pairs (J >= 0.5) via the inverted index; shared by the
     * pair listing and the cluster builder.
@@ -118,7 +141,12 @@ object Dedup {
       .withColumn("label", $"id").localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    // 64 rounds covers any realistic duplicate-chain diameter; if a
+    // component is still moving we FAIL LOUDLY instead of silently
+    // returning partial clusters (the scale path past this is
+    // large-star/small-star contraction, O(log n) rounds)
+    val maxRounds = 64
+    while (changed > 0 && rounds < maxRounds) {
       val prop = edges
         .join(labels.select($"id".as("dst"), $"label"), "dst")
         .select($"src".as("id"), $"label")
@@ -131,6 +159,11 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    try edges.unpersist(false) catch { case _: Throwable => () }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds " +
+          s"($changed labels still moving) — refusing to emit partial clusters")
     labels.groupBy($"label".as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"), min($"id").as("keeper"))
       .orderBy($"cluster_id")

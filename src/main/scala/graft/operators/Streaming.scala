@@ -67,7 +67,8 @@ object Streaming {
        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
        |  FROM m)
-       |SELECT user_id, session_idx,
+       |SELECT user_id,
+       |  CAST(session_idx AS BIGINT) AS session_idx,
        |  MIN(ts) AS session_start,
        |  MAX(ts) AS session_end,
        |  COUNT(*) AS n_events,

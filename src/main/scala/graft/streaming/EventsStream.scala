@@ -28,7 +28,7 @@ object EventsStream {
     StructField("props", StringType)))
 
   def readStreamEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong comes from GraftSession at session-build time
     // the source is a single file; streaming file sources need a
     // directory, so point at the dir and glob-filter to events
     spark.readStream.schema(rawSchema)
@@ -93,6 +93,14 @@ object EventsStream {
           // keeps (a 30min+500us gap must still open a new session)
           def micros(ts: java.sql.Timestamp): Long =
             ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+          // full-precision emit: new Timestamp(us/1000) alone would
+          // truncate to millis and lose the sub-ms component the
+          // batch oracle (min/max ts) keeps
+          def toTs(us: Long): java.sql.Timestamp = {
+            val t = new java.sql.Timestamp(us / 1000)
+            t.setNanos(((us % 1000000) * 1000).toInt)
+            t
+          }
           val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var sessions = List.empty[Session]
           var cur = state.getOption
@@ -100,9 +108,8 @@ object EventsStream {
             val t = micros(e.ts)
             cur match {
               case Some(s) if t - s.last > gapMicros =>
-                sessions ::= Session(userId,
-                  new java.sql.Timestamp(s.start / 1000),
-                  new java.sql.Timestamp(s.last / 1000), s.n, s.total)
+                sessions ::= Session(userId, toTs(s.start), toTs(s.last),
+                  s.n, s.total)
                 cur = Some(SessionState(t, t, 1, e.value))
               case Some(s) =>
                 cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))

@@ -24,10 +24,13 @@ fails = 0
 for qname in sorted(oracles):
     sql = oracles[qname]
     pdir = f"{out}/{qname}"
-    files = glob.glob(f"{pdir}/*.parquet")
+    files = sorted(glob.glob(f"{pdir}/*.parquet"))
     if not files:
         print(f"FAIL {qname}: no spark output");  fails += 1;  continue
-    got = pq.read_table(files[0]).to_pandas()
+    # read EVERY part file: Verify coalesces to 1 today, but if that
+    # ever changes a files[0] read would silently diff a row subset
+    got = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                    ignore_index=True)
     try:
         exp = con.sql(sql).df()
     except Exception as e:
@@ -42,6 +45,13 @@ for qname in sorted(oracles):
     bad = []
     for c in gcols:
         gv, ev = g[c], e[c]
+        # the driver's hash compare stringifies values, so an int64
+        # on one side vs float64 on the other (e.g. DuckDB HUGEINT
+        # from SUM(int) surfacing as float) hashes "1" vs "1.0" —
+        # treat kind mismatch as failure instead of casting it away
+        if (gv.dtype.kind in 'iu') != (ev.dtype.kind in 'iu'):
+            bad.append(f"{c}: dtype spark={gv.dtype} duck={ev.dtype}")
+            continue
         if gv.dtype.kind == 'f' or ev.dtype.kind == 'f':
             gv2 = gv.astype(float); ev2 = ev.astype(float)
             neq = ~((gv2 == ev2) | (gv2.isna() & ev2.isna()))
