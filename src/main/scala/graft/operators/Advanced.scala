@@ -297,6 +297,66 @@ object Advanced {
       .orderBy($"o_orderstatus")
   }
 
+  // ---- q27_kmv_sketch: an ORACLE-CHECKED distinct-count sketch ----
+  // q20's HLL is rows-checked because sketch internals differ per
+  // engine; KMV (k minimum values) over the cross-engine rolling
+  // hash is the sketch whose estimate IS engine-portable: keep the k
+  // smallest distinct hash values per group, estimate
+  // (k-1)·HASH_SPACE / h_k in integer arithmetic. Same map-side
+  // bounded state as HLL (k longs per group), exact oracle parity.
+
+  private val kmvK = 64
+  private val kmvSpace = 1000000007L // rolling-hash modulus
+
+  private def q27(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.RollingHash.rolling_hash(
+      concat(lit("k|"), $"o_custkey".cast("string")))
+    val dh = Tables(spark, dir).orders
+      .select($"o_orderstatus", h.as("h")).distinct()
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"h")
+    val kth = dh.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= kmvK)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_kept"), max($"h").as("h_k"))
+    val exact = Tables(spark, dir).orders
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("exact_distinct"))
+    kth.join(exact, "o_orderstatus")
+      .select($"o_orderstatus", $"exact_distinct",
+        when($"n_kept" < kmvK, $"n_kept")
+          .otherwise(expr(s"${(kmvK - 1).toLong * kmvSpace}L div h_k"))
+          .as("kmv_estimate"))
+      .withColumn("rel_err",
+        ($"kmv_estimate" - $"exact_distinct").cast("double") /
+          $"exact_distinct".cast("double"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private val q27Sql = {
+    val rh = graft.functions.RollingHash.sql("'k|' || CAST(o_custkey AS VARCHAR)")
+    s"""WITH dh AS (
+       |  SELECT DISTINCT o_orderstatus, $rh AS h FROM orders),
+       |kth AS (
+       |  SELECT o_orderstatus, COUNT(*) AS n_kept, MAX(h) AS h_k FROM (
+       |    SELECT o_orderstatus, h,
+       |      ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rk
+       |    FROM dh)
+       |  WHERE rk <= $kmvK GROUP BY o_orderstatus),
+       |exact AS (
+       |  SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_distinct
+       |  FROM orders GROUP BY o_orderstatus)
+       |SELECT k.o_orderstatus, e.exact_distinct,
+       |  CAST(CASE WHEN k.n_kept < $kmvK THEN k.n_kept
+       |       ELSE CAST(${(kmvK - 1).toLong * kmvSpace} AS BIGINT) // k.h_k END AS BIGINT) AS kmv_estimate,
+       |  CAST(CASE WHEN k.n_kept < $kmvK THEN k.n_kept
+       |       ELSE CAST(${(kmvK - 1).toLong * kmvSpace} AS BIGINT) // k.h_k END - e.exact_distinct AS DOUBLE)
+       |    / CAST(e.exact_distinct AS DOUBLE) AS rel_err
+       |FROM kth k JOIN exact e USING (o_orderstatus)
+       |ORDER BY k.o_orderstatus""".stripMargin
+  }
+
   // ---- q21_topk_custom: group-wise top-k via the custom operator ----
   // graft.plans.TopKPerKey (LogicalPlan + Strategy + SparkPlan):
   // bounded per-key heaps with a partial pre-shuffle pass, instead of
@@ -475,6 +535,7 @@ object Advanced {
     Q("q24_window_stats", q24, Some(q24Sql)),
     Q("q25_setops", q25, Some(q25Sql)),
     Q("q26_cube", q26, Some(q26Sql)),
+    Q("q27_kmv_sketch", q27, Some(q27Sql)),
     Q("q14_asof_join", q14, Some(q14Sql)),
     Q("q15_range_join", q15, Some(q15Sql)),
     Q("q16_percentiles", q16, Some(q16Sql)),

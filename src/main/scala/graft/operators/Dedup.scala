@@ -229,10 +229,25 @@ object Dedup {
   // k=16 hashes, 8 bands × 2 rows: recall ≈ 1 - (1-J²)⁸ — ≥ 0.9999999
   // at J=0.9 — at the cost of more low-J candidates, which the exact
   // shingle-Jaccard verification step then discards (precision 1).
-  // Candidates = docs sharing any band hash; the band-key equi-join
+  // Candidates = docs sharing any band; the band-key equi-join
   // replaces the all-pairs comparison, so shuffle volume is
-  // bands × docs, never n². (Not SQL-expressible 1:1 in DuckDB →
-  // rows-only check.)
+  // bands × docs, never n².
+  //
+  // The seeded hash is the cross-engine rolling hash ("i|" + shingle
+  // through the base-31 polynomial), so the DuckDB oracle computes
+  // the IDENTICAL signatures, bands, candidates and verified pairs —
+  // the approximate pipeline is exactly oracle-checked, not just
+  // rows-counted.
+
+  private val minhashK = 16 // 8 bands × 2 rows
+
+  /** Seeded cross-engine hash: seed folded in as a string prefix so
+    * both engines run the same byte sequence through the polynomial.
+    */
+  private def seededHash(seed: String, c: org.apache.spark.sql.Column) =
+    graft.functions.RollingHash.rolling_hash(concat(lit(seed + "|"), c))
+  private def seededHashSql(seed: String, e: String): String =
+    graft.functions.RollingHash.sql(s"'$seed|' || $e")
 
   private def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -241,20 +256,21 @@ object Dedup {
     // (16 min-counters per doc in a single pass) instead of nested
     // higher-order lambdas, which Spark evaluates interpreted
     val sigs = posting.groupBy($"doc_id")
-      .agg(min(xxhash64(lit(0), $"shingle")).as("m0"),
-        (1 until 16).map(i => min(xxhash64(lit(i), $"shingle")).as(s"m$i")): _*)
-    // 8 bands × 2 rows; candidates carry only ids through the shuffle
-    // (band key is a long hash, not an md5 string — 8 bytes through
-    // the exchange instead of 32)
+      .agg(min(seededHash("0", $"shingle")).as("m0"),
+        (1 until minhashK).map(i =>
+          min(seededHash(i.toString, $"shingle")).as(s"m$i")): _*)
+    // 8 bands × 2 rows; the band key is the raw (minhash, minhash)
+    // value pair — engine-neutral, no re-hash — 16 bytes + band idx
+    // through the exchange
     val bands = sigs.select($"doc_id",
-        posexplode(array((0 until 8).map(b =>
-          xxhash64(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))): _*)))
-      .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_hash")
-    val cand = bands.select($"band_idx", $"band_hash", $"doc_id".as("a_id"))
-      .join(bands.select($"band_idx".as("b_idx"), $"band_hash".as("b_hash"),
-        $"doc_id".as("b_id")),
-        $"band_idx" === $"b_idx" && $"band_hash" === $"b_hash" &&
+        posexplode(array((0 until minhashK / 2).map(b =>
+          struct(col(s"m${2 * b}").as("v1"), col(s"m${2 * b + 1}").as("v2"))): _*)))
+      .select($"doc_id", $"pos".as("band_idx"),
+        $"col.v1".as("v1"), $"col.v2".as("v2"))
+    val cand = bands.select($"band_idx", $"v1", $"v2", $"doc_id".as("a_id"))
+      .join(bands.select($"band_idx".as("b_idx"), $"v1".as("w1"),
+        $"v2".as("w2"), $"doc_id".as("b_id")),
+        $"band_idx" === $"b_idx" && $"v1" === $"w1" && $"v2" === $"w2" &&
           $"a_id" < $"b_id")
       .select($"a_id", $"b_id").distinct()
     // exact-Jaccard verification only on the few candidates, as
@@ -281,34 +297,96 @@ object Dedup {
       .orderBy($"a_id", $"b_id")
   }
 
-  // ---- dedup_simhash: 64-bit SimHash, banded hamming candidates ----
-  // Candidates share at least one of four 16-bit chunks (guarantees
+  /** DuckDB twin of the full MinHash+LSH pipeline: same postings,
+    * same 16 seeded rolling-hash mins, same 8 value-pair bands, same
+    * candidate join, same exact-Jaccard verification — generated
+    * mechanically so the two engines stay in lockstep.
+    */
+  private val dedupMinhashSql: String = {
+    val hashCols = (0 until minhashK)
+      .map(i => s"${seededHashSql(i.toString, "sh")} AS h$i").mkString(",\n    ")
+    val minCols = (0 until minhashK)
+      .map(i => s"MIN(h$i) AS m$i").mkString(", ")
+    val bandArms = (0 until minhashK / 2)
+      .map(b => s"SELECT doc_id, $b AS band_idx, m${2 * b} AS v1, m${2 * b + 1} AS v2 FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tok AS (SELECT doc_id, toks[ord] AS t, ord
+       |        FROM sp, UNNEST(range(1, len(toks) + 1)) AS r(ord)),
+       |g AS (SELECT doc_id,
+       |        t || ' ' || LEAD(t, 1) OVER w || ' ' || LEAD(t, 2) OVER w AS sh,
+       |        LEAD(t, 2) OVER w IS NOT NULL AS ok
+       |      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+       |posting AS (SELECT DISTINCT doc_id, sh FROM g WHERE ok),
+       |vh AS (
+       |  SELECT sh,
+       |    $hashCols
+       |  FROM (SELECT DISTINCT sh FROM posting)),
+       |sigs AS (
+       |  SELECT doc_id, $minCols
+       |  FROM posting JOIN vh USING (sh) GROUP BY doc_id),
+       |bands AS (
+       |  $bandArms),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.v1 = b.v1 AND a.v2 = b.v2
+       |      AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM posting GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+       |  FROM posting a JOIN posting b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a_id, b_id)
+       |SELECT c.a_id, c.b_id,
+       |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+       |FROM cand c
+       |JOIN common ON common.a_id = c.a_id AND common.b_id = c.b_id
+       |JOIN sizes sa ON sa.doc_id = c.a_id
+       |JOIN sizes sb ON sb.doc_id = c.b_id
+       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---- dedup_simhash: 60-bit SimHash, banded hamming candidates ----
+  // Candidates share at least one of four 15-bit chunks (guarantees
   // recall for hamming distance ≤ 3 by pigeonhole; good recall to
-  // ~8). Rows-only check.
+  // ~8). The signature is built from TWO seeded cross-engine rolling
+  // hashes per token (30 usable bits each → 60 signature bits), so
+  // the DuckDB oracle reproduces the identical signatures and the
+  // pipeline is exactly hash-checked end to end.
+
+  private val simBits = 30 * 2 // bits 0..29 from hash "a", 30..59 from "b"
+  private val simChunks = 4 // 15-bit chunks
+  // 6 of 60 bits: on this template-correlated corpus the all-pairs
+  // hamming histogram is left-shifted (mass at 8-20, not the random
+  // 30±4), so a "rescaled 12-of-64" threshold would pass ~9% of all
+  // pairs; ≤6 keeps the near-dup band (~1% of pairs at sf0.01)
+  private val simThreshold = 6
 
   private def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def chunk(sig: org.apache.spark.sql.Column, k: Int) =
-      call_function("shiftright", sig, lit(16 * k)).bitwiseAND(lit(0xFFFFL))
+      call_function("shiftright", sig, lit(15 * k)).bitwiseAND(lit(0x7FFFL))
     // single-pass formulation: explode tokens, then one codegen'd
-    // hash aggregate with 64 ±1 vote counters per doc; the nested
-    // higher-order TextFunctions.simhash64 computes the same value
-    // but is interpreted (64 lambda passes per row)
+    // hash aggregate with 60 ±1 vote counters per doc — nested
+    // higher-order lambda forms evaluate interpreted
+    def voteBit(j: Int) = {
+      val h = if (j < 30) $"ha" else $"hb"
+      sum(when(shiftright(h, j % 30).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$j")
+    }
     val votes = Tables(spark, dir).documents
       .select($"doc_id", explode(tokens($"text")).as("t"))
-      .withColumn("h", xxhash64($"t"))
+      .withColumn("ha", seededHash("a", $"t"))
+      .withColumn("hb", seededHash("b", $"t"))
       .groupBy($"doc_id")
-      .agg(sum(when(shiftright($"h", 0).bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L)).as("v0"),
-        (1 until 64).map(j =>
-          sum(when(shiftright($"h", j).bitwiseAND(lit(1L)) === 1L, 1L)
-            .otherwise(-1L)).as(s"v$j")): _*)
+      .agg(voteBit(0), (1 until simBits).map(voteBit): _*)
     val docs = votes.select($"doc_id",
-      (0 until 64).map(j =>
+      (0 until simBits).map(j =>
         when(col(s"v$j") >= 0L, lit(1L << j)).otherwise(lit(0L)))
         .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
     val chunks = docs.select($"doc_id", $"sig",
-      posexplode(array((0 to 3).map(k => chunk($"sig", k)): _*)))
+      posexplode(array((0 until simChunks).map(k => chunk($"sig", k)): _*)))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_val")
     val a = chunks.select($"chunk_idx", $"chunk_val", $"doc_id".as("a_id"), $"sig".as("a_sig"))
@@ -319,8 +397,51 @@ object Dedup {
       .select($"a_id", $"b_id",
         bit_count($"a_sig".bitwiseXOR($"b_sig")).cast(LongType).as("hamming"))
       .distinct()
-      .filter($"hamming" <= 12)
+      .filter($"hamming" <= simThreshold)
       .orderBy($"a_id", $"b_id")
+  }
+
+  /** DuckDB twin of the SimHash pipeline: hashes per DISTINCT token
+    * (then re-joined to keep occurrence weights), the same 60 vote
+    * counters, bit-assembled signature, 15-bit chunk blocking and
+    * hamming filter.
+    */
+  private val dedupSimhashSql: String = {
+    val voteCols = (0 until simBits).map { j =>
+      val h = if (j < 30) "ha" else "hb"
+      s"SUM(CASE WHEN ($h >> ${j % 30}) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n    ")
+    val sigExpr = (0 until simBits)
+      .map(j => s"(CASE WHEN v$j >= 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)")
+      .mkString(" + ")
+    val chunkArms = (0 until simChunks)
+      .map(k => s"SELECT doc_id, sig, $k AS ci, (sig >> ${15 * k}) & 32767 AS cv FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tok AS (SELECT doc_id, toks[ord] AS t
+       |        FROM sp, UNNEST(range(1, len(toks) + 1)) AS r(ord)),
+       |vh AS (
+       |  SELECT t,
+       |    ${seededHashSql("a", "t")} AS ha,
+       |    ${seededHashSql("b", "t")} AS hb
+       |  FROM (SELECT DISTINCT t FROM tok)),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $voteCols
+       |  FROM tok JOIN vh USING (t) GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $sigExpr AS sig FROM votes),
+       |chunks AS (
+       |  $chunkArms),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.sig AS a_sig, b.sig AS b_sig
+       |  FROM chunks a JOIN chunks b
+       |    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id,
+       |  CAST(bit_count(xor(a_sig, b_sig)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(a_sig, b_sig)) <= $simThreshold
+       |ORDER BY a_id, b_id""".stripMargin
   }
 
   // ---- dedup_embedding: cosine near-dup, blocked by cluster label ----
@@ -358,8 +479,8 @@ object Dedup {
   val all: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("dedup_ngram_jaccard", dedupNgram, Some(dedupNgramSql)),
-    Q("dedup_minhash_lsh", dedupMinhash, None),
-    Q("dedup_simhash", dedupSimhash, None),
+    Q("dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
+    Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Q("dedup_clusters", dedupClusters, Some(dedupClustersSql))
   )

@@ -588,9 +588,23 @@ object Kpi {
   // The reference's insights_engine.py renders the top-N |YoY|
   // categories as markdown findings with trend markers and
   // recommended actions. Same logic as a distributed string-building
-  // projection over the ranked KPI rows (no oracle: narrative text;
-  // structure asserted in InsightsSpec, mirroring the reference's
-  // tests/test_insights.py).
+  // projection over the ranked KPI rows. The one-decimal pct is
+  // rendered through INTEGER arithmetic (trunc(x·10) → sign/div/mod)
+  // instead of format_number, whose locale+HALF_UP rounding has no
+  // cross-engine twin — so even the narrative strings oracle-check.
+
+  /** Deterministic one-decimal rendering: trunc toward zero on the
+    * (bit-identical) double, then pure integer string building.
+    */
+  private def pct1(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val a = abs((c * 10.0).cast("long")) // double→long cast truncates toward 0
+    concat(when(c < 0, "-").otherwise(""),
+      (a / 10).cast("long").cast("string"), lit("."), (a % 10).cast("string"))
+  }
+  private def pct1Sql(e: String): String = {
+    val a = s"CAST(abs(trunc(($e) * 10.0)) AS BIGINT)"
+    s"(CASE WHEN ($e) < 0 THEN '-' ELSE '' END || CAST($a // 10 AS VARCHAR) || '.' || CAST($a % 10 AS VARCHAR))"
+  }
 
   private def insightsText(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -610,7 +624,7 @@ object Kpi {
       concat(
         lit("Finding: exports of "), $"category",
         lit(" are "), trend,
-        lit(" ("), format_number($"exp_yoy", 1), lit("% YoY, "),
+        lit(" ("), pct1($"exp_yoy"), lit("% YoY, "),
         $"yr", lit("-"), lpad($"mon", 2, "0"), lit(").\n"),
         lit("Impact: "),
         when($"balance" >= 0, "contributes surplus to")
@@ -618,6 +632,32 @@ object Kpi {
         lit(" the sector balance.\n"),
         lit("Action: "), action).as("insight_md"))
       .orderBy(abs($"exp_yoy").desc, $"category", $"mon")
+  }
+
+  private val insightsTextSql = {
+    val trend =
+      """CASE WHEN exp_yoy > 10 THEN 'soaring'
+        |       WHEN exp_yoy > 0 THEN 'growing'
+        |       WHEN exp_yoy > -10 THEN 'declining'
+        |       ELSE 'collapsing' END""".stripMargin
+    val action =
+      """CASE WHEN exp_yoy > 15 THEN 'Scale capacity and widen promotion.'
+        |       WHEN exp_yoy > 5 THEN 'Consolidate the positive trend.'
+        |       WHEN exp_yoy > -5 THEN 'Monitor closely; prepare diversification.'
+        |       ELSE 'Review sector policy; consider incentives.' END""".stripMargin
+    s"""SELECT category, yr, mon, exp_yoy,
+       |  'Finding: exports of ' || category || ' are ' || ($trend)
+       |  || ' (' || ${pct1Sql("exp_yoy")} || '% YoY, '
+       |  || CAST(yr AS VARCHAR) || '-' || lpad(CAST(mon AS VARCHAR), 2, '0') || ').' || chr(10)
+       |  || 'Impact: '
+       |  || (CASE WHEN balance >= 0 THEN 'contributes surplus to'
+       |           ELSE 'deepens deficit of' END)
+       |  || ' the sector balance.' || chr(10)
+       |  || 'Action: ' || ($action) AS insight_md
+       |FROM ($prodMonthlySql) pm
+       |WHERE yr = 2001 AND exp_yoy IS NOT NULL
+       |ORDER BY abs(exp_yoy) DESC, category, mon
+       |LIMIT 5""".stripMargin
   }
 
   // ---- kpi_heatmap: month×year wide matrix (eda.py:93 heatmap,
@@ -789,7 +829,7 @@ object Kpi {
     Q("kpi_cohort", cohort, Some(cohortSql)),
     Q("kpi_trend", trend, Some(trendSql)),
     Q("kpi_heatmap", heatmap, Some(heatmapSql)),
-    Q("kpi_insights_text", insightsText, None),
+    Q("kpi_insights_text", insightsText, Some(insightsTextSql)),
     Q("kpi_share", share, Some(shareSql)),
     Q("kpi_rank_shift", rankShift, Some(rankShiftSql)),
     Q("kpi_trade_long", tradeLong, Some(tradeLongSql)),

@@ -90,8 +90,10 @@ object Multimodal {
   // pipeline where each task walks its partition's payloads through
   // a (stubbed) decoder exactly once, amortizing decoder init per
   // batch — the Scala analog of a pandas mapInPandas decode UDF.
-  // Rows-only check (the decode stub's features are asserted against
-  // an independent recompute in MultimodalSpec).
+  // The stub features are pure integer/byte arithmetic, so the
+  // DuckDB oracle recomputes them over the ASCII payload bytes and
+  // the mapPartitions boundary is hash-checked like everything else
+  // (MultimodalSpec additionally asserts the per-task batch shape).
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaFeatures(doc_id: Long, n_bytes: Long,
@@ -133,9 +135,23 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  private val mmDecodeBatchSql =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    [CAST(ascii(ch) AS BIGINT) for ch in string_split(text, '')] AS cs
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(cs) AS BIGINT) AS n_bytes,
+      |  CASE WHEN len(cs) = 0 THEN 0.0
+      |       ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+      |                 (a, x) -> a + x) AS DOUBLE) / len(cs) END AS brightness,
+      |  CAST(len([i for i in range(2, len(cs) + 1)
+      |            if abs(cs[i] - cs[i-1]) > 16]) AS BIGINT) AS edge_count
+      |FROM b ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("mm_metadata", mmMetadata, Some(mmMetadataSql)),
     Q("mm_framesample", mmFramesample, Some(mmFramesampleSql)),
-    Q("mm_decode_batch", mmDecodeBatch, None)
+    Q("mm_decode_batch", mmDecodeBatch, Some(mmDecodeBatchSql))
   )
 }

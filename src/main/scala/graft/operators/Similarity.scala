@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   * query set is broadcast, so the scan parallelizes over corpus
   * splits and the per-query top-k is a partial-aggregating window.
   *
-  * `ann_lsh` is the scale path: 16 deterministic random-hyperplane
+  * `ann_lsh` is the scale path: deterministic random-hyperplane
   * sign bits bucket the corpus; a query only scores its own bucket
-  * (≈ corpus/2^16 of the data at uniform spread). Hyperplane j's
-  * component i is ±1 derived from xxhash64(j,i) — no RNG state, so
-  * the signature is reproducible on any executor.
+  * (≈ corpus/2^bits of the data at uniform spread). Hyperplane j's
+  * component i is ±1 derived from a build-time hash — no RNG state,
+  * so the signature is reproducible on any executor AND in the
+  * DuckDB oracle, which embeds the same literal sign matrix.
   */
 object Similarity {
 
@@ -61,26 +62,51 @@ object Similarity {
        |WHERE rk <= 5
        |ORDER BY q_id, rk""".stripMargin
 
-  // ---- ann_lsh: random-hyperplane LSH bucketing (rows-only check) ----
+  // ---- ann_lsh: random-hyperplane LSH bucketing ----
 
-  /** 8-bit signature: bit j = sign of Σ_i e[i]·pm(j,i), with
-    * pm(j,i) = ±1 from the low bit of xxhash64(j, i). 8 bits keeps
-    * buckets non-trivial at the small test SFs; at production scale
-    * the bit count grows with corpus size (log2(n/target_bucket)).
+  /** Deterministic ±1 hyperplane components: the low bit of the
+    * cross-engine rolling hash of "h|plane|dim", precomputed at
+    * plan-build time so both the Spark plan and the DuckDB oracle
+    * embed the SAME literal sign matrix — no in-engine RNG, no
+    * hash-library skew.
     */
-  private def lshSig(e: Column): Column = {
-    def shl(c: Column, by: Column) = call_function("shiftleft", c, by)
-    aggregate(
-      transform(sequence(lit(0), lit(7)), j =>
-        when(
-          aggregate(
-            zip_with(e, sequence(lit(0), lit(63)), (x, i) =>
-              when(xxhash64(j, i).bitwiseAND(lit(1L)) === 1L, x.cast("double"))
-                .otherwise(-x.cast("double"))),
-            lit(0.0), (acc, x) => acc + x) >= 0.0,
-          shl(lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  private val lshPlanes = 8
+  private val lshDim = 64
+  private def rollhash(s: String): Long = {
+    var h = 0L
+    for (b <- s.getBytes("UTF-8")) h = (h * 31L + (b & 0xFF)) % 1000000007L
+    h
   }
+  private val lshSigns: Array[Array[Int]] =
+    Array.tabulate(lshPlanes, lshDim)((j, i) =>
+      if ((rollhash(s"h|$j|$i") & 1L) == 1L) 1 else -1)
+
+  /** 8-bit signature: bit j = sign of Σ_i e[i]·pm(j,i). The dot is
+    * an UNROLLED strict left-to-right sum of codegen'd double terms,
+    * so every intermediate rounding matches the oracle's identically
+    * unrolled expression (and it JITs instead of running interpreted
+    * lambdas). 8 bits keeps buckets non-trivial at the small test
+    * SFs; at production scale the bit count grows with corpus size
+    * (log2(n/target_bucket)).
+    */
+  private def lshSig(e: Column): Column =
+    (0 until lshPlanes).map { j =>
+      val dot = (0 until lshDim).map { i =>
+        val x = element_at(e, i + 1).cast("double")
+        if (lshSigns(j)(i) > 0) x else -x
+      }.reduceLeft(_ + _)
+      when(dot >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** DuckDB twin of lshSig over a list column expression. */
+  private def lshSigSql(e: String): String =
+    (0 until lshPlanes).map { j =>
+      val dot = (0 until lshDim).map { i =>
+        val sgn = if (lshSigns(j)(i) > 0) "" else "-"
+        s"${sgn}CAST($e[${i + 1}] AS DOUBLE)"
+      }.mkString(" + ")
+      s"(CASE WHEN $dot >= 0.0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   private def annLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -99,6 +125,23 @@ object Similarity {
       .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), $"cosine")
       .orderBy($"q_id", $"rk")
   }
+
+  private val annLshSql =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding AS e, ${normSql("embedding")} AS nrm,
+       |    ${lshSigSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, v.vec_id,
+       |    ${dotSql("q.e", "v.e", 64)} / (q.nrm * v.nrm) AS cosine
+       |  FROM v q JOIN v ON v.bucket = q.bucket AND v.vec_id <> q.vec_id
+       |  WHERE q.vec_id % 50 = 0)
+       |SELECT q_id, rk, vec_id AS neighbor_id, cosine FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
 
   // ---- ann_ivf: inverted-file (cluster-probe) ANN ----
   // The production path for corpus-scale search: centroids per
@@ -226,7 +269,7 @@ object Similarity {
 
   val all: Seq[Q] = Seq(
     Q("ann_bruteforce", annBrute, Some(annBruteSql)),
-    Q("ann_lsh", annLsh, None),
+    Q("ann_lsh", annLsh, Some(annLshSql)),
     Q("ann_ivf", annIvf, Some(annIvfSql)),
     Q("ann_kmeans_step", annKmeansStep, Some(annKmeansStepSql))
   )

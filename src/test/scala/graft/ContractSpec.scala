@@ -21,8 +21,12 @@ class ContractSpec extends AnyFunSuite {
         sql.trim.toUpperCase.startsWith("WITH")))
   }
 
-  test("inventory size matches SURVEY status (74 ops, 68 oracles)") {
-    assert(SparkEntry.allQueries.size == 74)
-    assert(SparkEntry.oracleSql.size == 68)
+  test("inventory size matches SURVEY status (75 ops, 74 oracles)") {
+    assert(SparkEntry.allQueries.size == 75)
+    assert(SparkEntry.oracleSql.size == 74)
+    // the single rows-checked survivor is the engine-specific HLL /
+    // quantile sketch pair (its KMV twin q27 IS oracle-checked)
+    assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+      == Set("q20_sketches"))
   }
 }
