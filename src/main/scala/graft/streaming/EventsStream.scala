@@ -76,9 +76,51 @@ object EventsStream {
 
   val gapMicros: Long = 30L * 60 * 1000 * 1000
 
-  /** Streaming sessionizer: emits a session when a user is idle past
-    * the gap (event-time timeout would be used with a watermark; the
-    * local smoke test flushes remaining state at end of input).
+  // micros, not getTime*1000: Timestamp.getTime is millis and would
+  // zero the sub-millisecond component the batch oracle keeps (a
+  // 30min+500us gap must still open a new session)
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+
+  // full-precision emit: new Timestamp(us/1000) alone would truncate
+  // to millis and lose the sub-ms component the batch oracle
+  // (min/max ts) keeps
+  private def toTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000)
+    t.setNanos(((us % 1000000) * 1000).toInt)
+    t
+  }
+
+  private def emit(userId: Long, s: SessionState): Session =
+    Session(userId, toTs(s.start), toTs(s.last), s.n, s.total)
+
+  /** Fold one trigger's events (time-sorted) into the running
+    * session state; returns the sessions closed by in-batch gaps and
+    * the still-open tail state.
+    */
+  private def foldEvents(userId: Long, evs: Seq[Event],
+      init: Option[SessionState]): (List[Session], Option[SessionState]) = {
+    var sessions = List.empty[Session]
+    var cur = init
+    for (e <- evs) {
+      val t = micros(e.ts)
+      cur match {
+        case Some(s) if t - s.last > gapMicros =>
+          sessions ::= emit(userId, s)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case Some(s) =>
+          cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    (sessions.reverse, cur)
+  }
+
+  /** Streaming sessionizer (NoTimeout): emits a session only when a
+    * later event for the same user arrives past the gap. Sessions
+    * still open at end of input stay in state — the single-burst
+    * smoke-test form.
     */
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -88,37 +130,48 @@ object EventsStream {
         (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
           // Sort within the group: local smoke feeds one batch; a
           // production stream relies on the watermark for order.
-          // micros, not getTime*1000: Timestamp.getTime is millis and
-          // would zero the sub-millisecond component the batch oracle
-          // keeps (a 30min+500us gap must still open a new session)
-          def micros(ts: java.sql.Timestamp): Long =
-            ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
-          // full-precision emit: new Timestamp(us/1000) alone would
-          // truncate to millis and lose the sub-ms component the
-          // batch oracle (min/max ts) keeps
-          def toTs(us: Long): java.sql.Timestamp = {
-            val t = new java.sql.Timestamp(us / 1000)
-            t.setNanos(((us % 1000000) * 1000).toInt)
-            t
-          }
           val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var sessions = List.empty[Session]
-          var cur = state.getOption
-          for (e <- sorted) {
-            val t = micros(e.ts)
-            cur match {
-              case Some(s) if t - s.last > gapMicros =>
-                sessions ::= Session(userId, toTs(s.start), toTs(s.last),
-                  s.n, s.total)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case Some(s) =>
-                cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
-            }
-          }
+          val (sessions, cur) = foldEvents(userId, sorted, state.getOption)
           cur.foreach(state.update)
-          sessions.reverse.iterator
+          sessions.iterator
+      }
+  }
+
+  /** Production sessionizer: EVENT-TIME TIMEOUT + watermark. A
+    * session closes either by an in-batch gap or — the part NoTimeout
+    * can't do — when the watermark passes last_event + gap with no
+    * new data for the user, so idle sessions are emitted and their
+    * state is dropped instead of living forever. State per user is
+    * O(1); the watermark bounds total state to active users.
+    */
+  def sessionizeEventTime(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val closed = emit(userId, state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            val (sessions, cur) = foldEvents(userId, sorted, state.getOption)
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                // close when the watermark passes last + gap; clamp
+                // above the current watermark (a very-late event's
+                // timeout may otherwise land in the past → error)
+                val timeoutMs = math.max((s.last + gapMicros) / 1000 + 1,
+                  state.getCurrentWatermarkMs() + 1)
+                state.setTimeoutTimestamp(timeoutMs)
+              case None => // no events and no prior state
+            }
+            sessions.iterator
+          }
       }
   }
 }

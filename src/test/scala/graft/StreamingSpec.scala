@@ -65,6 +65,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(n2 == n1, s"restart reprocessed: $n1 -> $n2")
   }
 
+  test("event-time-timeout sessionize closes idle sessions via watermark") {
+    import spark.implicits._
+    val all = Tables(spark, sf).events
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventsStream.Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    assert(all.length > 100)
+    val (b1, b2) = all.splitAt(all.length / 2)
+    // sentinel far past the data: advances the watermark beyond every
+    // real session's (last + gap), so EventTimeTimeout must fire and
+    // emit them all; the sentinel's own session stays open in state
+    val maxTs = all.last.ts.getTime
+    val sentinel = EventsStream.Event(-1L,
+      new java.sql.Timestamp(maxTs + 6L * 3600 * 1000), -1L, "sentinel", 0.0)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventsStream.Event]
+    val q = EventsStream.sessionizeEventTime(mem.toDS())
+      .writeStream.format("memory").queryName("ett_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      mem.addData(Seq(sentinel)); q.processAllAvailable()
+      // one more empty-ish trigger so timeouts fire against the
+      // sentinel-advanced watermark
+      mem.addData(Seq(sentinel.copy(event_id = -2L))); q.processAllAvailable()
+      val emitted = spark.table("ett_out").as[EventsStream.Session]
+        .collect().filter(_.user_id >= 0)
+        .map(s => (s.user_id, s.session_start.getTime * 1000 +
+          (s.session_start.getNanos / 1000) % 1000, s.n_events)).toSet
+      val batch = SparkEntry.queries("stream_sessionize")(spark, sf)
+        .select($"user_id", $"session_start", $"n_events").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+          (r.getTimestamp(1).getNanos / 1000) % 1000, r.getLong(2))).toSet
+      assert(emitted == batch,
+        s"emitted=${emitted.size} batch=${batch.size} " +
+          s"missing=${(batch -- emitted).take(3)} extra=${(emitted -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("stateful sessionize matches the batch window-function form") {
     import spark.implicits._
     val events = Tables(spark, sf).events
