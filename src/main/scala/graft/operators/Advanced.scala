@@ -357,6 +357,71 @@ object Advanced {
        |ORDER BY k.o_orderstatus""".stripMargin
   }
 
+  // ---- q28_skew_salted_join: explicit salt fan-out for hot keys ----
+  // l_returnflag has 3 values over the whole fact table — the
+  // pathological single-key hotspot where a plain hash join lands
+  // ~1/3 of 100 TB on one task. SkewJoin.saltedJoin spreads each key
+  // over 8 salt sub-keys; the oracle is the UNSALTED join (salting
+  // must be result-invariant, which is exactly what this checks).
+
+  private def q28(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables(spark, dir).lineitem
+      .select($"l_returnflag", $"l_extendedprice")
+    val dim = li.groupBy($"l_returnflag")
+      .agg(graft.Det.davg($"l_extendedprice").as("avg_price"))
+      .withColumnRenamed("l_returnflag", "r_flag")
+    SkewJoin.saltedJoin(li, dim, $"l_returnflag", $"r_flag", 8)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when($"l_extendedprice" > $"avg_price", 1L).otherwise(0L))
+          .as("n_above_avg"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q28Sql =
+    s"""WITH d AS (
+       |  SELECT l_returnflag AS r_flag,
+       |    ${graft.Det.davgSql("l_extendedprice")} AS avg_price
+       |  FROM lineitem GROUP BY r_flag)
+       |SELECT l_returnflag,
+       |  COUNT(*) AS n_items,
+       |  CAST(SUM(CASE WHEN l_extendedprice > d.avg_price THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+       |FROM lineitem l JOIN d ON l.l_returnflag = d.r_flag
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
+  // ---- q29_grouping_sets: explicit GROUPING SETS + grouping_id ----
+  // The general form behind q9's ROLLUP and q26's CUBE: an arbitrary
+  // set list in ONE aggregation pass (Expand: each input row fans to
+  // its matching sets map-side, then a single shuffle) instead of
+  // unioning three scans.
+
+  private def q29(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).orders
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"),
+          Seq($"o_orderstatus"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        graft.Det.dsum($"o_totalprice").as("total"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"gid", $"n", $"total")
+      .orderBy($"gid", $"status", $"priority")
+  }
+
+  private val q29Sql =
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       |  coalesce(o_orderpriority, 'ALL') AS priority,
+       |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       |  COUNT(*) AS n,
+       |  ${graft.Det.dsumSql("o_totalprice")} AS total
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+       |ORDER BY gid, status, priority""".stripMargin
+
   // ---- q21_topk_custom: group-wise top-k via the custom operator ----
   // graft.plans.TopKPerKey (LogicalPlan + Strategy + SparkPlan):
   // bounded per-key heaps with a partial pre-shuffle pass, instead of
@@ -536,6 +601,8 @@ object Advanced {
     Q("q25_setops", q25, Some(q25Sql)),
     Q("q26_cube", q26, Some(q26Sql)),
     Q("q27_kmv_sketch", q27, Some(q27Sql)),
+    Q("q28_skew_salted_join", q28, Some(q28Sql)),
+    Q("q29_grouping_sets", q29, Some(q29Sql)),
     Q("q14_asof_join", q14, Some(q14Sql)),
     Q("q15_range_join", q15, Some(q15Sql)),
     Q("q16_percentiles", q16, Some(q16Sql)),

@@ -38,6 +38,36 @@ object Dedup {
       |GROUP BY content_hash
       |ORDER BY content_hash""".stripMargin
 
+  // ---- dedup_canonical: normalize-then-hash dedup ----
+  // The first pass of every LLM-corpus dedup stack: case-fold, strip
+  // punctuation, collapse whitespace, THEN hash — catching the
+  // trivially-reformatted copies exact dedup misses. Pure narrow
+  // projection + one hash-keyed aggregate; same shuffle profile as
+  // dedup_exact.
+
+  private def canonical(c: org.apache.spark.sql.Column) =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  private def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .groupBy(md5(canonical($"text")).as("canonical_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("keeper_doc_id"),
+        countDistinct(md5($"text")).as("n_distinct_raw"))
+      .orderBy($"canonical_hash")
+  }
+
+  private val dedupCanonicalSql =
+    """SELECT
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS canonical_hash,
+      |  COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS keeper_doc_id,
+      |  COUNT(DISTINCT md5(text)) AS n_distinct_raw
+      |FROM documents
+      |GROUP BY canonical_hash
+      |ORDER BY canonical_hash""".stripMargin
+
   // ---- dedup_ngram_jaccard: 3-gram shingle Jaccard within length bands ----
 
   // Inverted-index formulation: explode distinct shingles, equi-join
@@ -478,6 +508,7 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
+    Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalSql)),
     Q("dedup_ngram_jaccard", dedupNgram, Some(dedupNgramSql)),
     Q("dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
