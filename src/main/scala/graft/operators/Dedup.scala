@@ -271,13 +271,27 @@ object Dedup {
 
   private val minhashK = 16 // 8 bands × 2 rows
 
-  /** Seeded cross-engine hash: seed folded in as a string prefix so
-    * both engines run the same byte sequence through the polynomial.
+  /** Universal-family seeded hashes: ONE base-31 rolling hash h per
+    * string, then h_i = (a_i·h + b_i) mod p. One byte-loop instead
+    * of k, pure 64-bit integer arithmetic (max product ≈ 1e18 < 2^63)
+    * that DuckDB evaluates identically — so the oracle also pays one
+    * list_reduce per distinct string instead of k.
     */
-  private def seededHash(seed: String, c: org.apache.spark.sql.Column) =
-    graft.functions.RollingHash.rolling_hash(concat(lit(seed + "|"), c))
-  private def seededHashSql(seed: String, e: String): String =
-    graft.functions.RollingHash.sql(s"'$seed|' || $e")
+  private val hashP = 1000000007L
+  private def scalaRollhash(s: String): Long = {
+    var h = 0L
+    for (b <- s.getBytes("UTF-8")) h = (h * 31L + (b & 0xFF)) % hashP
+    h
+  }
+  private def seedA(i: Int): Long = scalaRollhash(s"a|$i") % (hashP - 1) + 1
+  private def seedB(i: Int): Long = scalaRollhash(s"b|$i")
+
+  private def baseHash(c: org.apache.spark.sql.Column) =
+    graft.functions.RollingHash.rolling_hash(c)
+  private def seeded(i: Int, h: org.apache.spark.sql.Column) =
+    (lit(seedA(i)) * h + lit(seedB(i))) % hashP
+  private def seededSql(i: Int, h: String): String =
+    s"(${seedA(i)} * $h + ${seedB(i)}) % $hashP"
 
   private def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -285,10 +299,11 @@ object Dedup {
     // signature via exploded postings + one codegen'd hash aggregate
     // (16 min-counters per doc in a single pass) instead of nested
     // higher-order lambdas, which Spark evaluates interpreted
-    val sigs = posting.groupBy($"doc_id")
-      .agg(min(seededHash("0", $"shingle")).as("m0"),
+    val sigs = posting.withColumn("h", baseHash($"shingle"))
+      .groupBy($"doc_id")
+      .agg(min(seeded(0, $"h")).as("m0"),
         (1 until minhashK).map(i =>
-          min(seededHash(i.toString, $"shingle")).as(s"m$i")): _*)
+          min(seeded(i, $"h")).as(s"m$i")): _*)
     // 8 bands × 2 rows; the band key is the raw (minhash, minhash)
     // value pair — engine-neutral, no re-hash — 16 bytes + band idx
     // through the exchange
@@ -333,10 +348,10 @@ object Dedup {
     * mechanically so the two engines stay in lockstep.
     */
   private val dedupMinhashSql: String = {
-    val hashCols = (0 until minhashK)
-      .map(i => s"${seededHashSql(i.toString, "sh")} AS h$i").mkString(",\n    ")
+    val hashCols =
+      s"${graft.functions.RollingHash.sql("sh")} AS h"
     val minCols = (0 until minhashK)
-      .map(i => s"MIN(h$i) AS m$i").mkString(", ")
+      .map(i => s"MIN(${seededSql(i, "h")}) AS m$i").mkString(", ")
     val bandArms = (0 until minhashK / 2)
       .map(b => s"SELECT doc_id, $b AS band_idx, m${2 * b} AS v1, m${2 * b + 1} AS v2 FROM sigs")
       .mkString("\n  UNION ALL ")
@@ -407,8 +422,9 @@ object Dedup {
     }
     val votes = Tables(spark, dir).documents
       .select($"doc_id", explode(tokens($"text")).as("t"))
-      .withColumn("ha", seededHash("a", $"t"))
-      .withColumn("hb", seededHash("b", $"t"))
+      .withColumn("h", baseHash($"t"))
+      .withColumn("ha", seeded(101, $"h"))
+      .withColumn("hb", seeded(102, $"h"))
       .groupBy($"doc_id")
       .agg(voteBit(0), (1 until simBits).map(voteBit): _*)
     val docs = votes.select($"doc_id",
@@ -452,9 +468,10 @@ object Dedup {
        |        FROM sp, UNNEST(range(1, len(toks) + 1)) AS r(ord)),
        |vh AS (
        |  SELECT t,
-       |    ${seededHashSql("a", "t")} AS ha,
-       |    ${seededHashSql("b", "t")} AS hb
-       |  FROM (SELECT DISTINCT t FROM tok)),
+       |    ${seededSql(101, "h")} AS ha,
+       |    ${seededSql(102, "h")} AS hb
+       |  FROM (SELECT ${graft.functions.RollingHash.sql("t")} AS h, t
+       |        FROM (SELECT DISTINCT t FROM tok))),
        |votes AS (
        |  SELECT doc_id,
        |    $voteCols
