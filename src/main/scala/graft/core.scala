@@ -25,6 +25,9 @@ object GraftSession {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // managed tables (bucketed layouts) land in tmp, not the repo
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet stores TIMESTAMP(NANOS), which the vectorized
       // reader rejects; read nanos as long and truncate in the plan

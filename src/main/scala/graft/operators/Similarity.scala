@@ -151,7 +151,7 @@ object Similarity {
   // exact decimal-accumulated dimension means, so the DuckDB oracle
   // reproduces the same floats and the same final ranking.
 
-  private def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  private def annIvfProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import spark.implicits._
     val v = Tables(spark, dir).embeddings
       .select($"vec_id", $"label", $"embedding", norm($"embedding").as("nrm"))
@@ -166,14 +166,14 @@ object Similarity {
       .select($"label".as("c_label"), $"cvec", norm($"cvec").as("c_nrm"))
     val q = v.filter(queryFilter($"vec_id"))
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"), $"nrm".as("q_n"))
-    // probe: nearest centroid per query
+    // probe: the nprobe nearest centroids per query
     val wC = Window.partitionBy($"q_id").orderBy($"c_cos".desc, $"c_label")
     val probed = q.crossJoin(broadcast(centroids))
       .withColumn("c_cos", dot($"q_e", $"cvec") / ($"q_n" * $"c_nrm"))
       .withColumn("c_rk", row_number().over(wC))
-      .filter($"c_rk" === 1)
+      .filter($"c_rk" <= nprobe)
       .select($"q_id", $"q_e", $"q_n", $"c_label")
-    // search only the probed cluster
+    // search only the probed clusters
     val wN = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
     v.join(broadcast(probed),
         $"label" === $"c_label" && $"vec_id" =!= $"q_id")
@@ -185,7 +185,19 @@ object Similarity {
       .orderBy($"q_id", $"rk")
   }
 
-  private val annIvfSql =
+  private def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfProbe(spark, dir, 1)
+
+  // ---- ann_ivf_multiprobe: nprobe=2 — the recall knob ----
+  // The standard IVF accuracy/latency dial: scoring the two nearest
+  // clusters instead of one recovers the neighbors that fall just
+  // across a centroid boundary, at 2× the per-query scan (still
+  // corpus/nlist·nprobe, never the full corpus).
+
+  private def annIvfMulti(spark: SparkSession, dir: String): DataFrame =
+    annIvfProbe(spark, dir, 2)
+
+  private def annIvfSqlProbe(nprobe: Int): String =
     s"""WITH v AS (
        |  SELECT vec_id, label, embedding AS e, ${normSql("embedding")} AS nrm
        |  FROM embeddings),
@@ -205,7 +217,7 @@ object Similarity {
        |        ${dotSql("q.e", "c.cvec", 64)} / (q.nrm * c.c_nrm) DESC, c.c_label) AS c_rk
        |    FROM v q, cent2 c
        |    WHERE q.vec_id % 50 = 0)
-       |  WHERE c_rk = 1),
+       |  WHERE c_rk <= $nprobe),
        |scored AS (
        |  SELECT p.q_id, v.vec_id,
        |    ${dotSql("p.q_e", "v.e", 64)} / (p.q_n * v.nrm) AS cosine
@@ -270,7 +282,8 @@ object Similarity {
   val all: Seq[Q] = Seq(
     Q("ann_bruteforce", annBrute, Some(annBruteSql)),
     Q("ann_lsh", annLsh, Some(annLshSql)),
-    Q("ann_ivf", annIvf, Some(annIvfSql)),
+    Q("ann_ivf", annIvf, Some(annIvfSqlProbe(1))),
+    Q("ann_ivf_multiprobe", annIvfMulti, Some(annIvfSqlProbe(2))),
     Q("ann_kmeans_step", annKmeansStep, Some(annKmeansStepSql))
   )
 }

@@ -52,6 +52,48 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.count() < allYears.count())
   }
 
+  test("bucketed tables join and aggregate with ZERO shuffle exchanges") {
+    // the 100 TB co-location story: both fact tables bucketed on the
+    // join key at write time → SortMergeJoin reads buckets pairwise
+    // and the same-key aggregation reuses the layout, so the whole
+    // plan runs without a single Exchange
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse dirs persist — clear them or CTAS refuses the location
+    for (t <- Seq("orders_bucketed", "lineitem_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/$t")
+      if (dir.exists()) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+    Tables(spark, sf).orders.select($"o_orderkey", $"o_totalprice")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_bucketed")
+    Tables(spark, sf).lineitem.select($"l_orderkey", $"l_extendedprice")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_bucketed")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // a broadcast join would DISCARD the bucket partitioning (BHJ
+    // only propagates the stream side's layout under the stream
+    // side's column names) and force a shuffle before the aggregate
+    // — at 100 TB neither side broadcasts anyway, so test that shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("orders_bucketed")
+        .join(spark.table("lineitem_bucketed"),
+          $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderkey")
+        .agg(sum($"l_extendedprice").as("rev"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("sorted-within-partitions write keeps min/max stats tight") {
     Tables(spark, sf).lineitem
       .repartition($"l_returnflag")
