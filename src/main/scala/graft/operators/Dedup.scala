@@ -153,47 +153,69 @@ object Dedup {
 
   // ---- dedup_clusters: duplicate groups via connected components ----
   // The dedup endgame: near-dup pairs form a graph; each component is
-  // one duplicate cluster and one representative survives. Iterative
-  // min-label propagation (the GraphX connected-components algorithm
-  // as plain DataFrame joins): every round each node adopts the
-  // smallest label among itself and its neighbors; converges in
-  // O(component diameter) rounds. localCheckpoint per round cuts the
-  // growing lineage. The DuckDB oracle walks the same closure with a
-  // recursive CTE.
+  // one duplicate cluster and one representative survives.
+  // Large-star/small-star contraction (Kiveris et al., "Connected
+  // Components in MapReduce and Beyond"): alternate
+  //   large-star — every node points its LARGER neighbors at its
+  //                minimum neighbor,
+  //   small-star — every node and its smaller neighbors all point at
+  //                their minimum,
+  // until the edge set is a fixpoint, which is then a star per
+  // component (every node → component min). Converges in O(log n)
+  // rounds regardless of component DIAMETER — min-label propagation
+  // is O(diameter) and a 100 TB duplicate chain can be long.
+  // localCheckpoint per round cuts the growing lineage. The DuckDB
+  // oracle walks the same closure with a recursive CTE.
+
+  /** (a_id, b_id) undirected pairs → (id, label=component min) for
+    * every node that appears in a pair.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    // normalize to src > dst (no self-loops: a_id < b_id upstream)
+    var edges = pairs
+      .select(greatest($"a_id", $"b_id").as("src"),
+        least($"a_id", $"b_id").as("dst"))
+      .distinct().localCheckpoint()
+    var converged = false
+    var rounds = 0
+    val maxRounds = 32 // ≥ log2(nodes) for any conceivable corpus
+    while (!converged && rounds < maxRounds) {
+      // large-star: for each node u (over symmetric neighbor lists),
+      // m = min(N(u) ∪ {u}); emit (v, m) for every neighbor v > u
+      val nbrs = edges
+        .unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
+      val lsMin = nbrs.groupBy($"src").agg(min($"dst").as("mn"))
+        .select($"src", least($"mn", $"src").as("m"))
+      val ls = nbrs.join(lsMin, "src").filter($"dst" > $"src")
+        .select($"dst".as("src"), $"m".as("dst")).distinct()
+      // small-star: edges already point down (src > dst); for each
+      // src, m = min(dst); re-point src and all its dsts at m
+      val ssMin = ls.groupBy($"src").agg(min($"dst").as("m"))
+      val ss = ls.join(ssMin, "src").filter($"dst" =!= $"m")
+        .select($"dst".as("src"), $"m".as("dst"))
+        .unionAll(ssMin.select($"src", $"m".as("dst")))
+        .distinct().localCheckpoint()
+      converged = ss.count() == edges.count() && ss.exceptAll(edges).isEmpty
+      edges = ss
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds star rounds " +
+          "— refusing to emit partial clusters")
+    // fixpoint is a star per component: (node → root) edges; roots
+    // appear only on the dst side
+    edges.select($"src".as("id"), $"dst".as("label"))
+      .unionAll(edges.select($"dst").distinct()
+        .join(edges.select($"src"), $"dst" === $"src", "left_anti")
+        .select($"dst".as("id"), $"dst".as("label")))
+  }
 
   private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = ngramPairs(spark, dir).select($"a_id", $"b_id")
-    val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
-      .unionAll(pairs.select($"b_id".as("src"), $"a_id".as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select($"src".as("id")).distinct()
-      .withColumn("label", $"id").localCheckpoint()
-    var changed = 1L
-    var rounds = 0
-    // 64 rounds covers any realistic duplicate-chain diameter; if a
-    // component is still moving we FAIL LOUDLY instead of silently
-    // returning partial clusters (the scale path past this is
-    // large-star/small-star contraction, O(log n) rounds)
-    val maxRounds = 64
-    while (changed > 0 && rounds < maxRounds) {
-      val prop = edges
-        .join(labels.select($"id".as("dst"), $"label"), "dst")
-        .select($"src".as("id"), $"label")
-      val next = labels.select($"id", $"label")
-        .unionAll(prop)
-        .groupBy($"id").agg(min($"label").as("label"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter($"label" =!= $"old").count()
-      labels = next
-      rounds += 1
-    }
-    try edges.unpersist(false) catch { case _: Throwable => () }
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"connected components did not converge in $maxRounds rounds " +
-          s"($changed labels still moving) — refusing to emit partial clusters")
+    val labels = connectedComponents(
+      ngramPairs(spark, dir).select($"a_id", $"b_id"))
     labels.groupBy($"label".as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"), min($"id").as("keeper"))
       .orderBy($"cluster_id")

@@ -8,6 +8,23 @@ class DedupSpec extends AnyFunSuite {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("star-contraction CC handles a 300-diameter chain in O(log n) rounds") {
+    import spark.implicits._
+    // a path graph 0-1-2-...-300: one component, the worst case for
+    // min-label propagation (diameter rounds) — star contraction
+    // must still converge inside its 32-round cap
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = graft.operators.Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 301)
+    assert(labels.forall(_._2 == 0L), "every node must label to the chain min")
+    // two separate components stay separate
+    val two = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val l2 = graft.operators.Dedup.connectedComponents(two)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("exact dedup: synthetic corpus has no exact duplicates") {
     val df = q("dedup_exact")
     assert(df.count() == 500)
