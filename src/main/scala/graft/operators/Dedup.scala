@@ -334,12 +334,16 @@ object Dedup {
           struct(col(s"m${2 * b}").as("v1"), col(s"m${2 * b + 1}").as("v2"))): _*)))
       .select($"doc_id", $"pos".as("band_idx"),
         $"col.v1".as("v1"), $"col.v2".as("v2"))
+    // localCheckpoint: cand feeds BOTH the candidate-id broadcast and
+    // the final join — without materialization the whole sigs→bands→
+    // join subplan executes twice per action
     val cand = bands.select($"band_idx", $"v1", $"v2", $"doc_id".as("a_id"))
       .join(bands.select($"band_idx".as("b_idx"), $"v1".as("w1"),
         $"v2".as("w2"), $"doc_id".as("b_id")),
         $"band_idx" === $"b_idx" && $"v1" === $"w1" && $"v2" === $"w2" &&
           $"a_id" < $"b_id")
       .select($"a_id", $"b_id").distinct()
+      .localCheckpoint()
     // exact-Jaccard verification only on the few candidates, as
     // counting (semi-join the postings down to candidate docs, count
     // shared shingles) — no shingle arrays cross the shuffle
