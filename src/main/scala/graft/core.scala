@@ -98,6 +98,11 @@ object Det {
   def dsumSql(e: String): String =
     s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
 
+  // NOTE: do NOT add a DECIMAL(38,6) variant for large squares —
+  // DuckDB's double→wide-decimal cast runs through a lossier path
+  // than the (18,6) one and breaks last-ulp parity. Scale values
+  // down (e.g. to millions) before squaring instead.
+
   /** Exact mean: decimal sum / count, both deterministic. */
   def davg(c: Column): Column =
     sum(c.cast(Dec)).cast(DoubleType) / count(c)

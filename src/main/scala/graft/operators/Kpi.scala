@@ -376,6 +376,51 @@ object Kpi {
 
   // ---- kpi_seasonality: month-of-year profile (eda.py:93, app.py:313) ----
 
+  // ---- kpi_month_stats: per-calendar-month mean±std bands ----
+  // app.py:336 month_stats = groupby('month')['export'].agg(['mean',
+  // 'std']) — the seasonality confidence band behind the dashboard
+  // chart. Deterministic std via E[x²]-E[x]² from exact decimal sums
+  // (same pattern as kpi_outliers; engine-order STDDEV is
+  // hash-unstable).
+
+  // Values are scaled to MILLIONS before squaring (the dashboard
+  // reports scaled units anyway): squares of raw ~1e7 sums would
+  // need DECIMAL(38,6) accumulation, and DuckDB's double→wide-decimal
+  // cast runs through a lossier path than the proven DECIMAL(18,6)
+  // one — scaled squares (~5e2) stay inside the exact regime.
+  private def monthStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val eM = $"export_usd" / 1000000.0
+    baseMonthly(spark, dir)
+      .groupBy($"mon")
+      .agg(
+        Det.dsum(eM).as("sx"),
+        Det.dsum(eM * eM).as("sx2"),
+        count(lit(1)).as("n_years"))
+      .select($"mon",
+        ($"sx" / $"n_years").as("mean_export_m"),
+        sqrt(($"sx2" - $"sx" * $"sx" / $"n_years") / ($"n_years" - 1))
+          .as("std_export_m"),
+        $"n_years")
+      .orderBy($"mon")
+  }
+
+  private val monthStatsSql = {
+    val eM = "(export_usd / 1000000.0)"
+    s"""WITH $baseSql,
+       |s AS (
+       |  SELECT mon,
+       |    ${Det.dsumSql(eM)} AS sx,
+       |    ${Det.dsumSql(s"$eM * $eM")} AS sx2,
+       |    COUNT(*) AS n_years
+       |  FROM base GROUP BY mon)
+       |SELECT mon,
+       |  sx / n_years AS mean_export_m,
+       |  sqrt((sx2 - sx * sx / n_years) / (n_years - 1)) AS std_export_m,
+       |  n_years
+       |FROM s ORDER BY mon""".stripMargin
+  }
+
   private def seasonality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     baseMonthly(spark, dir)
@@ -844,6 +889,7 @@ object Kpi {
     Q("kpi_outliers", outliers, Some(outliersSql)),
     Q("kpi_ytd", ytd, Some(ytdSql)),
     Q("kpi_seasonality", seasonality, Some(seasonalitySql)),
+    Q("kpi_month_stats", monthStats, Some(monthStatsSql)),
     Q("kpi_topn_insights", topnInsights, Some(topnInsightsSql)),
     Q("kpi_quick_stats", quickStats, Some(quickStatsSql)),
     Q("kpi_qa_totals", qaTotals, Some(qaTotalsSql)),

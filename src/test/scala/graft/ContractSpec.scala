@@ -21,9 +21,9 @@ class ContractSpec extends AnyFunSuite {
         sql.trim.toUpperCase.startsWith("WITH")))
   }
 
-  test("inventory size matches SURVEY status (79 ops, 78 oracles)") {
-    assert(SparkEntry.allQueries.size == 79)
-    assert(SparkEntry.oracleSql.size == 78)
+  test("inventory size matches SURVEY status (80 ops, 79 oracles)") {
+    assert(SparkEntry.allQueries.size == 80)
+    assert(SparkEntry.oracleSql.size == 79)
     // the single rows-checked survivor is the engine-specific HLL /
     // quantile sketch pair (its KMV twin q27 IS oracle-checked)
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
