@@ -4,9 +4,12 @@ import graft.functions.TextFunctions
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The reference HOF simhash and the production exploded-aggregate
-  * simhash (inside dedup_simhash) must compute identical signatures
-  * — same hash, same ±1 vote rule, same >=0 tie handling.
+/** The reference HOF simhash and the exploded-aggregate formulation
+  * must compute identical signatures — same hash, same ±1 vote rule,
+  * same >=0 tie handling. (dedup_simhash itself now builds its 60-bit
+  * signature from the cross-engine rolling hash so it can be
+  * oracle-checked; this spec keeps the xxhash64 HOF/aggregate pair
+  * honest as a general pattern equivalence.)
   */
 class TextFunctionsSpec extends AnyFunSuite {
   import TestSpark._
