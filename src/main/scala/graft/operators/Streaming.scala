@@ -149,8 +149,51 @@ object Streaming {
        |GROUP BY user_id, session_idx
        |ORDER BY user_id, session_start""".stripMargin
 
+  // ---- stream_attribution: last-click attribution ----
+  // Funnel attribution: each purchase is credited to the user's most
+  // recent click within the preceding hour. The pair generation is a
+  // per-user time-interval join — EXACTLY the shape Structured
+  // Streaming's stream-stream join executes incrementally with
+  // watermark-bounded state (StreamingSpec proves stream pairs ==
+  // batch pairs); the rank-1 pick is the batch reduction on top.
+
+  private def attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).events
+    val pairs = graft.streaming.EventsStream.clickPurchasePairs(
+      e.filter($"event_type" === "purchase"),
+      e.filter($"event_type" === "click"))
+    val w = Window.partitionBy($"purchase_id")
+      .orderBy($"click_ts".desc, $"click_id".desc)
+    pairs.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"purchase_id", $"user_id", $"purchase_ts",
+        $"click_id", $"click_ts",
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
+          .as("gap_s"))
+      .orderBy($"purchase_id")
+  }
+
+  private val attributionSql =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id,
+      |    CAST(ts AS TIMESTAMP) AS purchase_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT event_id AS click_id, user_id AS c_user,
+      |    CAST(ts AS TIMESTAMP) AS click_ts
+      |  FROM events WHERE event_type = 'click')
+      |SELECT purchase_id, user_id, purchase_ts, click_id, click_ts,
+      |  (epoch_us(purchase_ts) - epoch_us(click_ts)) // 1000000 AS gap_s
+      |FROM p JOIN c ON c_user = user_id
+      |  AND click_ts <= purchase_ts
+      |  AND click_ts >= purchase_ts - INTERVAL 1 HOUR
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY purchase_id
+      |  ORDER BY click_ts DESC, click_id DESC) = 1
+      |ORDER BY purchase_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("stream_windowed_agg", windowedAgg, Some(windowedAggSql)),
+    Q("stream_attribution", attribution, Some(attributionSql)),
     Q("stream_sessionize", sessionize, Some(sessionizeSql)),
     Q("stream_sliding_window", slidingWindow, Some(slidingWindowSql)),
     Q("stream_session_window", sessionWindow, Some(sessionWindowSql))

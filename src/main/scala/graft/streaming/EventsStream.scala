@@ -66,6 +66,26 @@ object EventsStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  // ---- click→purchase attribution (stream-stream interval join) ----
+
+  /** All (purchase, click) pairs where the click is by the same user
+    * within the hour before the purchase — the join core shared by
+    * the batch attribution query and the stream-stream spec. In
+    * streaming, the time-interval condition plus watermarks bound
+    * the join state: clicks older than purchase-watermark − 1h are
+    * dropped.
+    */
+  def clickPurchasePairs(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts").as("purchase_ts"))
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("click_ts"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .drop("c_user")
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

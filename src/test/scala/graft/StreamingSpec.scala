@@ -65,6 +65,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(n2 == n1, s"restart reprocessed: $n1 -> $n2")
   }
 
+  test("stream-stream interval join matches the batch pair join") {
+    import spark.implicits._
+    val s = EventsStream.readStreamEvents(spark, sf)
+    val streamPairs = EventsStream.clickPurchasePairs(
+      s.filter($"event_type" === "purchase").withWatermark("ts", "2 hours"),
+      s.filter($"event_type" === "click").withWatermark("ts", "2 hours"))
+    val q = streamPairs
+      .select($"purchase_id", $"click_id")
+      .writeStream.format("memory").queryName("attr_pairs")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attr_pairs").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val e = Tables(spark, sf).events
+      val want = EventsStream.clickPurchasePairs(
+          e.filter($"event_type" === "purchase"),
+          e.filter($"event_type" === "click"))
+        .select($"purchase_id", $"click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty, "batch join produced no pairs")
+      assert(got == want,
+        s"stream=${got.size} batch=${want.size} " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("event-time-timeout sessionize closes idle sessions via watermark") {
     import spark.implicits._
     val all = Tables(spark, sf).events
