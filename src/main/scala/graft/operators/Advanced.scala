@@ -422,6 +422,39 @@ object Advanced {
        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
        |ORDER BY gid, status, priority""".stripMargin
 
+  // ---- q30_histogram: fixed-width distribution histogram ----
+  // The eda.py distribution chart as one aggregation pass: bucket =
+  // floor(price / width) in integer arithmetic (engine-exact),
+  // count + share per bucket. At 100 TB this is the map-side-combine
+  // friendliest shape there is — #buckets partial states per task.
+
+  private def q30(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val width = 25000L
+    val o = Tables(spark, dir).orders
+    val total = o.count() // single scalar, fine on the driver
+    // integer div, not Column./ (double division): engine-exact floors
+    o.select(expr(s"CAST(o_totalprice AS BIGINT) div ${width}L").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(($"bucket" * width).as("bucket_lo"),
+        (($"bucket" + 1) * width).as("bucket_hi"),
+        $"n",
+        ($"n".cast("double") / total.toDouble).as("share"))
+      .orderBy($"bucket_lo")
+  }
+
+  private val q30Sql =
+    """WITH b AS (
+      |  SELECT CAST(trunc(o_totalprice) AS BIGINT) // 25000 AS bucket
+      |  FROM orders),
+      |t AS (SELECT COUNT(*) AS total FROM orders)
+      |SELECT bucket * 25000 AS bucket_lo,
+      |  (bucket + 1) * 25000 AS bucket_hi,
+      |  COUNT(*) AS n,
+      |  CAST(COUNT(*) AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM t) AS share
+      |FROM b GROUP BY bucket ORDER BY bucket_lo""".stripMargin
+
   // ---- q21_topk_custom: group-wise top-k via the custom operator ----
   // graft.plans.TopKPerKey (LogicalPlan + Strategy + SparkPlan):
   // bounded per-key heaps with a partial pre-shuffle pass, instead of
@@ -603,6 +636,7 @@ object Advanced {
     Q("q27_kmv_sketch", q27, Some(q27Sql)),
     Q("q28_skew_salted_join", q28, Some(q28Sql)),
     Q("q29_grouping_sets", q29, Some(q29Sql)),
+    Q("q30_histogram", q30, Some(q30Sql)),
     Q("q14_asof_join", q14, Some(q14Sql)),
     Q("q15_range_join", q15, Some(q15Sql)),
     Q("q16_percentiles", q16, Some(q16Sql)),

@@ -21,9 +21,9 @@ class ContractSpec extends AnyFunSuite {
         sql.trim.toUpperCase.startsWith("WITH")))
   }
 
-  test("inventory size matches SURVEY status (81 ops, 80 oracles)") {
-    assert(SparkEntry.allQueries.size == 81)
-    assert(SparkEntry.oracleSql.size == 80)
+  test("inventory size matches SURVEY status (82 ops, 81 oracles)") {
+    assert(SparkEntry.allQueries.size == 82)
+    assert(SparkEntry.oracleSql.size == 81)
     // the single rows-checked survivor is the engine-specific HLL /
     // quantile sketch pair (its KMV twin q27 IS oracle-checked)
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
