@@ -41,7 +41,9 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // sum only successes — the -1 sentinels are failure markers, not
+    // timings, and must not deflate the total
+    val total = results.values.filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(

@@ -31,7 +31,7 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     var h = 0L
     var i = 0
     while (i < bytes.length) {
-      h = (h * 31L + (bytes(i) & 0xFF)) % 1000000007L
+      h = (h * RollingHash.Base + (bytes(i) & 0xFF)) % RollingHash.P
       i += 1
     }
     h
@@ -46,7 +46,7 @@ case class RollingHash(child: Expression) extends UnaryExpression {
          |byte[] $bytes = $c.getBytes();
          |long $h = 0L;
          |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  $h = ($h * 31L + ($bytes[$i] & 0xFF)) % 1000000007L;
+         |  $h = ($h * ${RollingHash.Base}L + ($bytes[$i] & 0xFF)) % ${RollingHash.P}L;
          |}
          |${ev.value} = $h;
        """.stripMargin
@@ -59,11 +59,28 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 object RollingHash {
   import org.apache.spark.sql.GraftShim
 
+  /** The single source of truth for the hash parameters: everything
+    * derived from this hash (minhash seeds, simhash bits, LSH sign
+    * matrices, the KMV estimator's hash-space size) references these
+    * — change them here and every engine-side copy follows.
+    */
+  val Base = 31L
+  val P = 1000000007L
+
+  /** Driver-side twin of the Expression (for build-time constants
+    * like hyperplane signs and universal-hash seeds).
+    */
+  def hash(s: String): Long = {
+    var h = 0L
+    for (b <- s.getBytes("UTF-8")) h = (h * Base + (b & 0xFF)) % P
+    h
+  }
+
   /** Column API: rolling_hash(text). */
   def rolling_hash(c: Column): Column =
     GraftShim.column(RollingHash(GraftShim.expression(c)))
 
   /** DuckDB twin (ASCII input, as in the testdata corpus). */
   def sql(e: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(ch) AS BIGINT) for ch in string_split($e, '')]), (acc, x) -> (acc * 31 + x) % 1000000007)"
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(ch) AS BIGINT) for ch in string_split($e, '')]), (acc, x) -> (acc * $Base + x) % $P)"
 }

@@ -306,7 +306,9 @@ object Advanced {
   // bounded state as HLL (k longs per group), exact oracle parity.
 
   private val kmvK = 64
-  private val kmvSpace = 1000000007L // rolling-hash modulus
+  // the estimator's hash-space size IS the rolling-hash modulus —
+  // referenced, not copied, so a parameter change can't skew it
+  private val kmvSpace = graft.functions.RollingHash.P
 
   private def q27(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

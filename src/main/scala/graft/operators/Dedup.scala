@@ -91,8 +91,11 @@ object Dedup {
     * new copy every query for the life of the session (Bench runs
     * every query twice → a dozen pinned copies ≈ a storage leak).
     */
+  // access-ORDER map: a cache hit refreshes the entry so eviction
+  // removes the least-recently-used posting, not the least-recently-
+  // inserted one (which could be the entry just used)
   private val postingCache =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true)
 
   private def shinglePosting(spark: SparkSession, dir: String): DataFrame =
     postingCache.synchronized {
@@ -299,14 +302,10 @@ object Dedup {
     * that DuckDB evaluates identically — so the oracle also pays one
     * list_reduce per distinct string instead of k.
     */
-  private val hashP = 1000000007L
-  private def scalaRollhash(s: String): Long = {
-    var h = 0L
-    for (b <- s.getBytes("UTF-8")) h = (h * 31L + (b & 0xFF)) % hashP
-    h
-  }
-  private def seedA(i: Int): Long = scalaRollhash(s"a|$i") % (hashP - 1) + 1
-  private def seedB(i: Int): Long = scalaRollhash(s"b|$i")
+  private val hashP = graft.functions.RollingHash.P
+  private def seedA(i: Int): Long =
+    graft.functions.RollingHash.hash(s"a|$i") % (hashP - 1) + 1
+  private def seedB(i: Int): Long = graft.functions.RollingHash.hash(s"b|$i")
 
   private def baseHash(c: org.apache.spark.sql.Column) =
     graft.functions.RollingHash.rolling_hash(c)

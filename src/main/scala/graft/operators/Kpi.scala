@@ -327,7 +327,7 @@ object Kpi {
       Det.dsum($"export_mom" * $"export_mom").as("sx2"),
       count($"export_mom").as("n"))
       .select(($"sx" / $"n").as("mu"),
-        sqrt(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("sigma"))
+        sqrt(greatest(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1), lit(0.0))).as("sigma"))
     mom.crossJoin(broadcast(stats))
       .filter(abs($"export_mom" - $"mu") > lit(2.0) * $"sigma")
       .select($"yr", $"mon", $"export_mom".as("export_mom"),
@@ -344,7 +344,7 @@ object Kpi {
        |mom2 AS (SELECT * FROM mom WHERE export_mom IS NOT NULL),
        |stats AS (
        |  SELECT ${Det.dsumSql("export_mom")} / COUNT(export_mom) AS mu,
-       |    SQRT((${Det.dsumSql("export_mom * export_mom")} - ${Det.dsumSql("export_mom")} * ${Det.dsumSql("export_mom")} / COUNT(export_mom)) / (COUNT(export_mom) - 1)) AS sigma
+       |    SQRT(GREATEST((${Det.dsumSql("export_mom * export_mom")} - ${Det.dsumSql("export_mom")} * ${Det.dsumSql("export_mom")} / COUNT(export_mom)) / (COUNT(export_mom) - 1), 0.0)) AS sigma
        |  FROM mom2)
        |SELECT yr, mon, (export_mom) AS export_mom,
        |  (ABS(export_mom - mu) / sigma) AS z_score
@@ -399,8 +399,8 @@ object Kpi {
         count(lit(1)).as("n_years"))
       .select($"mon",
         ($"sx" / $"n_years").as("mean_export_m"),
-        sqrt(($"sx2" - $"sx" * $"sx" / $"n_years") / ($"n_years" - 1))
-          .as("std_export_m"),
+        sqrt(greatest(($"sx2" - $"sx" * $"sx" / $"n_years") / ($"n_years" - 1),
+            lit(0.0))).as("std_export_m"),
         $"n_years")
       .orderBy($"mon")
   }
@@ -416,7 +416,7 @@ object Kpi {
        |  FROM base GROUP BY mon)
        |SELECT mon,
        |  sx / n_years AS mean_export_m,
-       |  sqrt((sx2 - sx * sx / n_years) / (n_years - 1)) AS std_export_m,
+       |  sqrt(greatest((sx2 - sx * sx / n_years) / (n_years - 1), 0.0)) AS std_export_m,
        |  n_years
        |FROM s ORDER BY mon""".stripMargin
   }
@@ -482,7 +482,7 @@ object Kpi {
       count(when($"balance" > 0.0, lit(1))).as("surplus_months"))
     stats.select(
       ($"sx" / $"n").as("mean_busd"),
-      sqrt(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("std_busd"),
+      sqrt(greatest(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1), lit(0.0))).as("std_busd"),
       $"mx".as("max_busd"),
       $"surplus_months",
       $"n".as("total_months"))
@@ -494,7 +494,7 @@ object Kpi {
        |             export_usd - import_usd AS balance FROM base)
        |SELECT
        |  (${Det.dsumSql("export_b")} / COUNT(*)) AS mean_busd,
-       |  (SQRT((${Det.dsumSql("export_b * export_b")} - ${Det.dsumSql("export_b")} * ${Det.dsumSql("export_b")} / COUNT(*)) / (COUNT(*) - 1))) AS std_busd,
+       |  (SQRT(GREATEST((${Det.dsumSql("export_b * export_b")} - ${Det.dsumSql("export_b")} * ${Det.dsumSql("export_b")} / COUNT(*)) / (COUNT(*) - 1), 0.0))) AS std_busd,
        |  (MAX(export_b)) AS max_busd,
        |  COUNT(CASE WHEN balance > 0.0 THEN 1 END) AS surplus_months,
        |  COUNT(*) AS total_months

@@ -138,7 +138,9 @@ object Multimodal {
   private val mmDecodeBatchSql =
     """WITH b AS (
       |  SELECT doc_id,
-      |    [CAST(ascii(ch) AS BIGINT) for ch in string_split(text, '')] AS cs
+      |    CASE WHEN text = '' THEN CAST([] AS BIGINT[])
+      |         ELSE [CAST(ascii(ch) AS BIGINT) for ch in string_split(text, '')]
+      |    END AS cs
       |  FROM documents)
       |SELECT doc_id,
       |  CAST(len(cs) AS BIGINT) AS n_bytes,

@@ -72,14 +72,9 @@ object Similarity {
     */
   private val lshPlanes = 8
   private val lshDim = 64
-  private def rollhash(s: String): Long = {
-    var h = 0L
-    for (b <- s.getBytes("UTF-8")) h = (h * 31L + (b & 0xFF)) % 1000000007L
-    h
-  }
   private val lshSigns: Array[Array[Int]] =
     Array.tabulate(lshPlanes, lshDim)((j, i) =>
-      if ((rollhash(s"h|$j|$i") & 1L) == 1L) 1 else -1)
+      if ((graft.functions.RollingHash.hash(s"h|$j|$i") & 1L) == 1L) 1 else -1)
 
   /** 8-bit signature: bit j = sign of Σ_i e[i]·pm(j,i). The dot is
     * an UNROLLED strict left-to-right sum of codegen'd double terms,

@@ -61,10 +61,14 @@ class SourcesSpec extends AnyFunSuite {
     // warehouse dirs persist — clear them or CTAS refuses the location
     for (t <- Seq("orders_bucketed", "lineitem_bucketed")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val dir = new java.io.File(
+      val dir = java.nio.file.Paths.get(
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/$t")
-      if (dir.exists()) {
-        dir.listFiles().foreach(_.delete()); dir.delete()
+      if (java.nio.file.Files.exists(dir)) {
+        // recursive: a stale _temporary/ subdir from a killed JVM
+        // would make a flat delete fail silently
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
       }
     }
     Tables(spark, sf).orders.select($"o_orderkey", $"o_totalprice")
