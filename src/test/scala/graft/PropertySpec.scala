@@ -35,6 +35,39 @@ class PropertySpec extends AnyFunSuite {
     }, 20)
   }
 
+  test("star-contraction CC equals union-find on random graphs") {
+    // small number of cases (each is several Spark jobs), but each
+    // case is an arbitrary multigraph — shapes (cliques, chains,
+    // isolated pairs, dup edges) the corpus-derived tests never hit
+    val edgeGen = for {
+      n <- Gen.choose(2, 25)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges
+    check(Prop.forAll(edgeGen) { edges =>
+      edges.isEmpty || {
+        val got = graft.operators.Dedup.connectedComponents(
+            edges.toDF("a_id", "b_id"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // model: plain union-find with min-root relabel
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        for ((a, b) <- edges) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.toList.map(x => x -> find(x)).toMap
+        got == want
+      }
+    }, 8)
+  }
+
   test("dot/norm kernels equal a Scala model on arbitrary vectors") {
     val vecGen = Gen.listOfN(8, Gen.choose(-10.0f, 10.0f))
     check(Prop.forAll(vecGen, vecGen) { (a, b) =>
