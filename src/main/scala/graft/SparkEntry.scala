@@ -1,14 +1,15 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Advanced, Dedup, Kpi, Multimodal, Relational, Similarity, Streaming, TextAnalysis}
+import graft.operators.{Advanced, CorpusSelect, Dedup, Kpi, Multimodal, Relational, Similarity, Streaming, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§7. */
 object SparkEntry {
   /** Every implemented operator, in SURVEY §2 order. */
   def allQueries: Seq[Q] =
     Relational.all ++ Advanced.all ++ Kpi.all ++ Dedup.all ++
-      Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++ Streaming.all
+      Similarity.all ++ TextAnalysis.all ++ CorpusSelect.all ++
+      Multimodal.all ++ Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -224,9 +224,21 @@ object Dedup {
       .orderBy($"cluster_id")
   }
 
-  private val dedupClustersSql =
-    """WITH RECURSIVE
-      |sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  /** Docs that lose their near-dup cluster to a smaller-id keeper —
+    * the drop-list the corpus-selection pipeline anti-joins against.
+    */
+  private[graft] def nonKeepers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    connectedComponents(ngramPairs(spark, dir).select($"a_id", $"b_id"))
+      .filter($"id" =!= $"label").select($"id")
+  }
+
+  /** The recursive-CTE chain computing (id, cluster_id) per clustered
+    * doc — shared by the dedup_clusters oracle and the corpus-select
+    * oracle's drop-list.
+    */
+  private[graft] val clusterWalkSql =
+    """sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |tok AS (SELECT doc_id, toks[ord] AS t, ord
       |        FROM sp, UNNEST(range(1, len(toks) + 1)) AS r(ord)),
       |b AS (SELECT doc_id,
@@ -252,9 +264,13 @@ object Dedup {
       |  UNION
       |  SELECT e.src, w.root FROM walk w JOIN edges e ON e.dst = w.id
       |  WHERE w.root < e.src OR w.root < w.id),
-      |comp AS (SELECT id, MIN(root) AS cluster_id FROM walk GROUP BY id)
-      |SELECT cluster_id, COUNT(*) AS cluster_size, MIN(id) AS keeper
-      |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+      |comp AS (SELECT id, MIN(root) AS cluster_id FROM walk GROUP BY id)""".stripMargin
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE
+       |$clusterWalkSql
+       |SELECT cluster_id, COUNT(*) AS cluster_size, MIN(id) AS keeper
+       |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
   private val dedupNgramSql =
     """WITH s AS (

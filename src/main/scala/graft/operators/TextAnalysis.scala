@@ -56,7 +56,7 @@ object TextAnalysis {
   // statistics (eda.py outlier logic); here the ratios are the
   // standard LLM-corpus quality signals.
 
-  private def textQuality(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def textQuality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = tokens($"text")
     val n = size(t).cast("double")
@@ -77,7 +77,7 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  private val textQualitySql = {
+  private[graft] val textQualitySql = {
     val n = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
     val stopHits = s"CAST(len(list_filter(string_split(text, ' '), tk -> tk IN ${inList(stop("en"))})) AS DOUBLE)"
     val rep = s"(($n - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)) / $n)"
@@ -95,7 +95,7 @@ object TextAnalysis {
 
   // ---- text_langid: stopword-vote language ID ----
 
-  private def textLangid(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def textLangid(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = tokens($"text")
     def hits(l: String) =
@@ -116,7 +116,7 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  private val textLangidSql = {
+  private[graft] val textLangidSql = {
     def hits(l: String) =
       s"CAST(len(list_filter(string_split(text, ' '), tk -> tk IN ${inList(stop(l))})) AS BIGINT)"
     s"""SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
