@@ -8,8 +8,8 @@ object SparkEntry {
   /** Every implemented operator, in SURVEY §2 order. */
   def allQueries: Seq[Q] =
     Relational.all ++ Advanced.all ++ Kpi.all ++ Dedup.all ++
-      Similarity.all ++ TextAnalysis.all ++ CorpusSelect.all ++
-      Multimodal.all ++ Streaming.all
+      Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++
+      CorpusSelect.all ++ Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

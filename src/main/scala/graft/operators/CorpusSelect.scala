@@ -12,12 +12,14 @@ import org.apache.spark.sql.functions._
   *   quality threshold (text_quality), and is the keeper of its
   *   near-dup cluster (dedup_clusters' connected components).
   *
-  * Each stage is a join/anti-join over the documents fact, so the
-  * whole selection is one declarative plan: Catalyst fuses the
-  * narrow quality/langid projections into a single pass over the
-  * scan and the drop-list anti-join is the only extra shuffle. At
-  * 100 TB this is the shape you want — selection as a plan, not a
-  * sequence of materialized intermediate tables.
+  * The quality and langid columns are ROW-LOCAL projections stacked
+  * on one scan of documents (withQuality ∘ withLangid — no join
+  * between them), so the drop-list anti-join is the plan's only
+  * shuffle. At 100 TB this is the shape you want — selection as one
+  * declarative plan over a single corpus pass, not a sequence of
+  * materialized intermediate tables. (The DuckDB oracle joins the
+  * stage CTEs instead — same rows, oracle clarity over oracle
+  * physics.)
   */
 object CorpusSelect {
 
@@ -25,13 +27,11 @@ object CorpusSelect {
 
   private def corpusSelect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val quality = TextAnalysis.textQuality(spark, dir)
-      .select($"doc_id", $"quality_score", $"n_tokens")
-    val lang = TextAnalysis.textLangid(spark, dir)
-      .select($"doc_id", $"pred_lang")
+    val scored = TextAnalysis.withLangid(
+      TextAnalysis.withQuality(graft.Tables(spark, dir).documents))
     val dropList = Dedup.nonKeepers(spark, dir)
       .select($"id".as("doc_id"))
-    quality.join(lang, "doc_id")
+    scored
       .filter($"pred_lang" === "en" && $"quality_score" >= minQuality)
       .join(dropList, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"pred_lang", $"quality_score", $"n_tokens")

@@ -215,11 +215,38 @@ object Dedup {
         .select($"dst".as("id"), $"dst".as("label")))
   }
 
+  /** CC labels cached per (session, dir) — dedup_clusters and the
+    * corpus-select drop-list both need them, and the iterative
+    * contraction (per-round count + exceptAll actions) is the most
+    * expensive job in the suite. The cached frame is the product of
+    * localCheckpoint, so eviction just drops the reference (the
+    * checkpoint blocks free with it via the ContextCleaner).
+    */
+  private val ccCache =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true)
+
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    ccCache.synchronized {
+      val key = (spark, dir)
+      val hit = ccCache.get(key)
+      if (hit != null) hit
+      else {
+        import spark.implicits._
+        val labels = connectedComponents(
+          ngramPairs(spark, dir).select($"a_id", $"b_id")).localCheckpoint()
+        ccCache.put(key, labels)
+        while (ccCache.size() > 2) {
+          val eldest = ccCache.keySet().iterator().next()
+          ccCache.remove(eldest)
+        }
+        labels
+      }
+    }
+
   private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val labels = connectedComponents(
-      ngramPairs(spark, dir).select($"a_id", $"b_id"))
-    labels.groupBy($"label".as("cluster_id"))
+    clusterLabels(spark, dir)
+      .groupBy($"label".as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"), min($"id").as("keeper"))
       .orderBy($"cluster_id")
   }
@@ -229,8 +256,7 @@ object Dedup {
     */
   private[graft] def nonKeepers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    connectedComponents(ngramPairs(spark, dir).select($"a_id", $"b_id"))
-      .filter($"id" =!= $"label").select($"id")
+    clusterLabels(spark, dir).filter($"id" =!= $"label").select($"id")
   }
 
   /** The recursive-CTE chain computing (id, cluster_id) per clustered

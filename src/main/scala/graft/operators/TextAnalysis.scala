@@ -56,24 +56,33 @@ object TextAnalysis {
   // statistics (eda.py outlier logic); here the ratios are the
   // standard LLM-corpus quality signals.
 
-  private[graft] def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val t = tokens($"text")
+  /** Appends the quality columns to any frame with a `text` column —
+    * row-local projections, so composing with other with* stages
+    * stays a single pass over the scan (llm_corpus_select relies on
+    * this).
+    */
+  private[graft] def withQuality(df: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
     val n = size(t).cast("double")
     val stopHits = size(filter(t,
       tk => tk.isin(stop("en"): _*))).cast("double")
     val rep = (n - size(array_distinct(t)).cast("double")) / n
     val stopRatio = stopHits / n
-    val avgTokLen = (length($"text").cast("double") - (n - 1.0)) / n
+    val avgTokLen = (length(col("text")).cast("double") - (n - 1.0)) / n
     val score = lit(0.4) * (lit(1.0) - rep) + lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
       lit(0.3) * when(avgTokLen.between(3.0, 10.0), 1.0).otherwise(0.0)
-    Tables(spark, dir).documents
-      .select($"doc_id", $"n_chars",
-        size(t).cast(LongType).as("n_tokens"),
-        rep.as("repetition_ratio"),
-        stopRatio.as("stopword_ratio"),
-        avgTokLen.as("avg_token_len"),
-        score.as("quality_score"))
+    df.withColumn("n_tokens", size(t).cast(LongType))
+      .withColumn("repetition_ratio", rep)
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("avg_token_len", avgTokLen)
+      .withColumn("quality_score", score)
+  }
+
+  private[graft] def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withQuality(Tables(spark, dir).documents)
+      .select($"doc_id", $"n_chars", $"n_tokens", $"repetition_ratio",
+        $"stopword_ratio", $"avg_token_len", $"quality_score")
       .orderBy($"doc_id")
   }
 
@@ -95,22 +104,28 @@ object TextAnalysis {
 
   // ---- text_langid: stopword-vote language ID ----
 
-  private[graft] def textLangid(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val t = tokens($"text")
+  /** Appends the stopword-vote columns + pred_lang (row-local, same
+    * single-pass composition property as withQuality).
+    */
+  private[graft] def withLangid(df: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
     def hits(l: String) =
       size(filter(t, tk => tk.isin(stop(l): _*))).cast(LongType)
-    Tables(spark, dir).documents
-      .withColumn("en_hits", hits("en"))
+    df.withColumn("en_hits", hits("en"))
       .withColumn("es_hits", hits("es"))
       .withColumn("de_hits", hits("de"))
       .withColumn("fr_hits", hits("fr"))
       .withColumn("pred_lang",
-        when(greatest($"en_hits", $"es_hits", $"de_hits", $"fr_hits") === 0, "und")
-          .when($"en_hits" >= greatest($"es_hits", $"de_hits", $"fr_hits"), "en")
-          .when($"es_hits" >= greatest($"de_hits", $"fr_hits"), "es")
-          .when($"de_hits" >= $"fr_hits", "de")
+        when(greatest(col("en_hits"), col("es_hits"), col("de_hits"), col("fr_hits")) === 0, "und")
+          .when(col("en_hits") >= greatest(col("es_hits"), col("de_hits"), col("fr_hits")), "en")
+          .when(col("es_hits") >= greatest(col("de_hits"), col("fr_hits")), "es")
+          .when(col("de_hits") >= col("fr_hits"), "de")
           .otherwise("fr"))
+  }
+
+  private[graft] def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withLangid(Tables(spark, dir).documents)
       .select($"doc_id", $"lang", $"en_hits", $"es_hits", $"de_hits",
         $"fr_hits", $"pred_lang")
       .orderBy($"doc_id")

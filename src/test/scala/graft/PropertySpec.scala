@@ -49,9 +49,13 @@ class PropertySpec extends AnyFunSuite {
     } yield edges
     check(Prop.forAll(edgeGen) { edges =>
       edges.isEmpty || {
-        val got = graft.operators.Dedup.connectedComponents(
+        val rows = graft.operators.Dedup.connectedComponents(
             edges.toDF("a_id", "b_id"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        val got = rows.toMap
+        // exactly one label row per node — a duplicate would be
+        // silently collapsed by toMap but inflate cluster_size
+        assert(rows.length == got.size, s"duplicate label rows: $rows")
         // model: plain union-find with min-root relabel
         val parent = scala.collection.mutable.Map[Long, Long]()
         def find(x: Long): Long = {
