@@ -29,8 +29,12 @@ object CorpusSelect {
     import spark.implicits._
     val scored = TextAnalysis.withLangid(
       TextAnalysis.withQuality(graft.Tables(spark, dir).documents))
-    val dropList = Dedup.nonKeepers(spark, dir)
-      .select($"id".as("doc_id"))
+    // explicit broadcast: the drop-list comes off a localCheckpoint
+    // (no stats → planner assumes huge and picks a sort-merge anti
+    // join shuffling the whole corpus). It is ids-only — 8 bytes per
+    // duplicate — so broadcasting holds far beyond test scale.
+    val dropList = broadcast(Dedup.nonKeepers(spark, dir)
+      .select($"id".as("doc_id")))
     scored
       .filter($"pred_lang" === "en" && $"quality_score" >= minQuality)
       .join(dropList, Seq("doc_id"), "left_anti")

@@ -50,6 +50,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(category"))
   }
 
+  test("corpus select anti-joins its drop-list via broadcast") {
+    // without the explicit hint the stats-less checkpointed drop-list
+    // is assumed huge and the whole corpus shuffles into a sort-merge
+    // anti join. (AQE prints the pre-final plan without join
+    // selection — disable it for this inspection.)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("llm_corpus_select")
+      assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+        "drop-list anti-join is not broadcast")
+      assert(!p.contains("SortMergeJoin"), "corpus select shuffles the corpus")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("grouping-sets and histogram aggregate with map-side partials") {
+    for (q <- Seq("q29_grouping_sets", "q30_histogram")) {
+      val p = plan(q)
+      // partial + final HashAggregate pair around one exchange
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q lacks partial agg")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    }
+  }
+
   test("rolling_hash participates in whole-stage codegen") {
     // AQE prints the pre-execution plan without codegen regions;
     // disable it for this inspection only
