@@ -421,6 +421,42 @@ object Kpi {
        |FROM s ORDER BY mon""".stripMargin
   }
 
+  // ---- kpi_volatility: YoY volatility (insights_engine.py:224) ----
+  // The reference's "volatilidad" quick stat: std of the YoY pct
+  // series — one row summarizing how stable the trade trend is.
+  // Same deterministic E[x²]-E[x]² pattern (pct magnitudes stay well
+  // inside the exact DECIMAL(18,6) regime).
+
+  private def volatility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.orderBy($"yr", $"mon")
+    val yoy = baseMonthly(spark, dir)
+      .withColumn("export_yoy",
+        ($"export_usd" / lag($"export_usd", 12).over(w) - 1.0) * 100.0)
+      .filter($"export_yoy".isNotNull)
+    yoy.agg(
+        Det.dsum($"export_yoy").as("sx"),
+        Det.dsum($"export_yoy" * $"export_yoy").as("sx2"),
+        count(lit(1)).as("n_months"))
+      .select(
+        ($"sx" / $"n_months").as("mean_yoy"),
+        sqrt(greatest(($"sx2" - $"sx" * $"sx" / $"n_months") / ($"n_months" - 1),
+          lit(0.0))).as("yoy_volatility"),
+        $"n_months")
+  }
+
+  private val volatilitySql =
+    s"""WITH $baseSql,
+       |y AS (
+       |  SELECT ((export_usd / LAG(export_usd, 12) OVER (ORDER BY yr, mon) - 1.0) * 100.0) AS export_yoy
+       |  FROM base),
+       |y2 AS (SELECT export_yoy FROM y WHERE export_yoy IS NOT NULL)
+       |SELECT
+       |  ${Det.dsumSql("export_yoy")} / COUNT(*) AS mean_yoy,
+       |  SQRT(GREATEST((${Det.dsumSql("export_yoy * export_yoy")} - ${Det.dsumSql("export_yoy")} * ${Det.dsumSql("export_yoy")} / COUNT(*)) / (COUNT(*) - 1), 0.0)) AS yoy_volatility,
+       |  COUNT(*) AS n_months
+       |FROM y2""".stripMargin
+
   private def seasonality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     baseMonthly(spark, dir)
@@ -890,6 +926,7 @@ object Kpi {
     Q("kpi_ytd", ytd, Some(ytdSql)),
     Q("kpi_seasonality", seasonality, Some(seasonalitySql)),
     Q("kpi_month_stats", monthStats, Some(monthStatsSql)),
+    Q("kpi_volatility", volatility, Some(volatilitySql)),
     Q("kpi_topn_insights", topnInsights, Some(topnInsightsSql)),
     Q("kpi_quick_stats", quickStats, Some(quickStatsSql)),
     Q("kpi_qa_totals", qaTotals, Some(qaTotalsSql)),
