@@ -433,16 +433,22 @@ object Advanced {
   private def q30(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val width = 25000L
-    val o = Tables(spark, dir).orders
-    val total = o.count() // single scalar, fine on the driver
+    // ONE scan: bucket-aggregate, then the grand total for the share
+    // comes from an unpartitioned window over the ~#buckets aggregate
+    // rows (a single partition of tiny cardinality) — never a second
+    // pass over orders or a driver-side count().
     // integer div, not Column./ (double division): engine-exact floors
-    o.select(expr(s"CAST(o_totalprice AS BIGINT) div ${width}L").as("bucket"))
+    val byBucket = Tables(spark, dir).orders
+      .select(expr(s"CAST(o_totalprice AS BIGINT) div ${width}L").as("bucket"))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byBucket
       .select(($"bucket" * width).as("bucket_lo"),
         (($"bucket" + 1) * width).as("bucket_hi"),
         $"n",
-        ($"n".cast("double") / total.toDouble).as("share"))
+        ($"n".cast("double") / sum($"n").over(wAll).cast("double")).as("share"))
       .orderBy($"bucket_lo")
   }
 
@@ -450,12 +456,12 @@ object Advanced {
     """WITH b AS (
       |  SELECT CAST(trunc(o_totalprice) AS BIGINT) // 25000 AS bucket
       |  FROM orders),
-      |t AS (SELECT COUNT(*) AS total FROM orders)
+      |g AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket)
       |SELECT bucket * 25000 AS bucket_lo,
       |  (bucket + 1) * 25000 AS bucket_hi,
-      |  COUNT(*) AS n,
-      |  CAST(COUNT(*) AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM t) AS share
-      |FROM b GROUP BY bucket ORDER BY bucket_lo""".stripMargin
+      |  n,
+      |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
+      |FROM g ORDER BY bucket_lo""".stripMargin
 
   // ---- q21_topk_custom: group-wise top-k via the custom operator ----
   // graft.plans.TopKPerKey (LogicalPlan + Strategy + SparkPlan):

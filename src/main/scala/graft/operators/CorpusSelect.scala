@@ -29,12 +29,16 @@ object CorpusSelect {
     import spark.implicits._
     val scored = TextAnalysis.withLangid(
       TextAnalysis.withQuality(graft.Tables(spark, dir).documents))
-    // explicit broadcast: the drop-list comes off a localCheckpoint
-    // (no stats → planner assumes huge and picks a sort-merge anti
-    // join shuffling the whole corpus). It is ids-only — 8 bytes per
-    // duplicate — so broadcasting holds far beyond test scale.
-    val dropList = broadcast(Dedup.nonKeepers(spark, dir)
-      .select($"id".as("doc_id")))
+    // The drop-list is every doc that loses its near-dup cluster —
+    // O(duplicate count) ≈ O(corpus) in the worst case — so it must
+    // NEVER be a broadcast build side: a corpus-proportional
+    // broadcast OOMs driver and executors at 100 TB. A shuffled hash
+    // anti-join keeps both sides distributed and hash-partitioned on
+    // doc_id (ids-only build rows, ~16 bytes each through the
+    // exchange); SHUFFLE_HASH also skips the sort a stats-less
+    // checkpointed side would otherwise be given under sort-merge.
+    val dropList = Dedup.nonKeepers(spark, dir)
+      .select($"id".as("doc_id")).hint("shuffle_hash")
     scored
       .filter($"pred_lang" === "en" && $"quality_score" >= minQuality)
       .join(dropList, Seq("doc_id"), "left_anti")

@@ -97,35 +97,83 @@ object Dedup {
   private val postingCache =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true)
 
+  /** Document-frequency cap on the shingle universe. A shingle that
+    * occurs in more than this many documents is corpus boilerplate
+    * (template headers, license blurbs): it carries no near-dup
+    * signal, and — the scale hazard — it is a hot key in the posting
+    * self-join, producing df² candidate pairs inside ONE reducer. At
+    * 1e9 docs a single shingle with df = 1e6 would emit 5·10¹¹ pairs.
+    *
+    * The SEMANTIC contract: all shingle-based similarity (ngram
+    * Jaccard, the minhash signatures that approximate it, the cluster
+    * graph built from the pairs) is defined over the DISCRIMINATIVE
+    * shingle universe {shingle : df ≤ cap}. Both engines apply the
+    * identical cap before any similarity math, so oracle parity is
+    * exact, and a pair's Jaccard can only move when one of its docs is
+    * mostly boilerplate — which is precisely the pair you do not want
+    * declared a near-duplicate. Dropping by df is the standard
+    * stop-shingle move (cf. spark.mllib's MinHashLSH guidance and
+    * every production near-dup stack).
+    *
+    * The cap never fires on the synthetic corpus (max df at sf0.1 is
+    * 25), so test hashes are unchanged; capPosting() has its own
+    * synthetic-frame spec, and the fill path logs LOUDLY when real
+    * data trips it.
+    */
+  private[graft] val shingleDfCap = 128L
+
+  /** Filter a (doc_id, shingle) posting to shingles with df ≤ cap.
+    * The df comes from a count window partitioned by shingle — one
+    * hash exchange on the shingle key, no driver collection, no
+    * broadcast of a (corpus-proportional) hot-key list.
+    */
+  private[graft] def capPosting(posting: DataFrame, cap: Long): DataFrame = {
+    import posting.sparkSession.implicits._
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy($"shingle")
+    posting.withColumn("sh_df", count(lit(1)).over(wSh))
+  }
+
   private def shinglePosting(spark: SparkSession, dir: String): DataFrame =
     postingCache.synchronized {
       val key = (spark, dir)
       val hit = postingCache.get(key)
-      if (hit != null) hit
-      else {
-        import spark.implicits._
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id").orderBy($"pos")
-        val posting = Tables(spark, dir).documents
-          .select($"doc_id", posexplode(tokens($"text")))
-          .withColumnRenamed("col", "t")
-          .select($"doc_id", $"pos", concat_ws(" ",
-            $"t", lead($"t", 1).over(w), lead($"t", 2).over(w)).as("shingle"),
-            lead($"t", 2).over(w).isNotNull.as("full"))
-          .filter($"full")
-          .select($"doc_id", $"shingle")
-          .dropDuplicates("doc_id", "shingle")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        postingCache.put(key, posting)
-        // keep at most 2 entries (tests interleave SF dirs); evict
-        // oldest with a real unpersist so storage stays bounded
-        while (postingCache.size() > 2) {
-          val eldest = postingCache.keySet().iterator().next()
-          val df = postingCache.remove(eldest)
-          try df.unpersist(false) catch { case _: Throwable => () }
+      val withDf =
+        if (hit != null) hit
+        else {
+          import spark.implicits._
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy($"doc_id").orderBy($"pos")
+          val posting = capPosting(Tables(spark, dir).documents
+            .select($"doc_id", posexplode(tokens($"text")))
+            .withColumnRenamed("col", "t")
+            .select($"doc_id", $"pos", concat_ws(" ",
+              $"t", lead($"t", 1).over(w), lead($"t", 2).over(w)).as("shingle"),
+              lead($"t", 2).over(w).isNotNull.as("full"))
+            .filter($"full")
+            .select($"doc_id", $"shingle")
+            .dropDuplicates("doc_id", "shingle"), shingleDfCap)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // loud cap report, once per cache fill (this action also
+          // warms the cache): silent key-dropping would read as
+          // "covered everything" when it didn't
+          val nHot = posting.filter(col("sh_df") > shingleDfCap)
+            .agg(countDistinct($"shingle")).head().getLong(0)
+          if (nHot > 0)
+            System.err.println(
+              s"[graft] shingle df-cap DROPPED $nHot boilerplate shingle(s) " +
+                s"(df > $shingleDfCap) from the dedup posting — near-dup " +
+                "similarity is defined over the remaining discriminative shingles")
+          postingCache.put(key, posting)
+          // keep at most 2 entries (tests interleave SF dirs); evict
+          // oldest with a real unpersist so storage stays bounded
+          while (postingCache.size() > 2) {
+            val eldest = postingCache.keySet().iterator().next()
+            val df = postingCache.remove(eldest)
+            try df.unpersist(false) catch { case _: Throwable => () }
+          }
+          posting
         }
-        posting
-      }
+      withDf.filter(col("sh_df") <= shingleDfCap).select("doc_id", "shingle")
     }
 
   /** Near-dup pairs (J >= 0.5) via the inverted index; shared by the
@@ -259,19 +307,32 @@ object Dedup {
     clusterLabels(spark, dir).filter($"id" =!= $"label").select($"id")
   }
 
+  /** Shared DuckDB posting construction — tokens → 3-gram shingles →
+    * distinct per doc → df-cap — textually identical across the
+    * ngram / minhash / cluster-walk oracles so every oracle sees the
+    * exact shingle universe the Spark side computes (the cap is the
+    * same [[shingleDfCap]] constant, spliced in).
+    */
+  private[graft] val postingSqlCtes: String =
+    s"""sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tok AS (SELECT doc_id, toks[ord] AS t, ord
+       |        FROM sp, UNNEST(range(1, len(toks) + 1)) AS r(ord)),
+       |shg AS (SELECT doc_id,
+       |        t || ' ' || LEAD(t, 1) OVER w || ' ' || LEAD(t, 2) OVER w AS sh,
+       |        LEAD(t, 2) OVER w IS NOT NULL AS ok
+       |      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+       |posting0 AS (SELECT DISTINCT doc_id, sh FROM shg WHERE ok),
+       |posting AS (SELECT doc_id, sh FROM (
+       |    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS sh_df
+       |    FROM posting0)
+       |  WHERE sh_df <= $shingleDfCap)""".stripMargin
+
   /** The recursive-CTE chain computing (id, cluster_id) per clustered
     * doc — shared by the dedup_clusters oracle and the corpus-select
     * oracle's drop-list.
     */
   private[graft] val clusterWalkSql =
-    """sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |tok AS (SELECT doc_id, toks[ord] AS t, ord
-      |        FROM sp, UNNEST(range(1, len(toks) + 1)) AS r(ord)),
-      |b AS (SELECT doc_id,
-      |        t || ' ' || LEAD(t, 1) OVER w || ' ' || LEAD(t, 2) OVER w AS sh,
-      |        LEAD(t, 2) OVER w IS NOT NULL AS ok
-      |      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
-      |posting AS (SELECT DISTINCT doc_id, sh FROM b WHERE ok),
+    s"""$postingSqlCtes,
       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM posting GROUP BY doc_id),
       |common AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n
@@ -299,20 +360,12 @@ object Dedup {
        |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
   private val dedupNgramSql =
-    """WITH s AS (
-      |  SELECT doc_id,
-      |    list_distinct(list_transform(
-      |      range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-      |      i -> string_split(text, ' ')[i] || ' ' ||
-      |           string_split(text, ' ')[i+1] || ' ' ||
-      |           string_split(text, ' ')[i+2])) AS sh
-      |  FROM documents),
-      |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM s WHERE len(sh) > 0),
-      |posting AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    s"""WITH $postingSqlCtes,
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM posting GROUP BY doc_id),
       |common AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
       |  FROM posting a JOIN posting b
-      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |    ON a.sh = b.sh AND a.doc_id < b.doc_id
       |  GROUP BY a_id, b_id)
       |SELECT a_id, b_id,
       |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
@@ -387,21 +440,33 @@ object Dedup {
       .localCheckpoint()
     // exact-Jaccard verification only on the few candidates, as
     // counting (semi-join the postings down to candidate docs, count
-    // shared shingles) — no shingle arrays cross the shuffle
+    // shared shingles) — no shingle arrays cross the shuffle.
+    //
+    // NOTHING candidate-derived is ever broadcast: the candidate set
+    // is O(duplicate count) ≈ O(corpus) in the worst case, so candIds
+    // and the per-candidate sizes go through shuffled hash joins keyed
+    // on doc_id (ids/counters only — 16 bytes a row through the
+    // exchange), which stay distributed at any duplicate rate. The
+    // SHUFFLE_HASH hint skips the sort that the stats-less
+    // checkpoint-derived sides would otherwise get under sort-merge;
+    // PlanSpec asserts the no-broadcast property.
     val candIds = cand.select(explode(array($"a_id", $"b_id")).as("doc_id"))
       .distinct()
-    val postingC = posting.join(broadcast(candIds), "doc_id")
+    val postingC = posting.join(candIds.hint("shuffle_hash"),
+      Seq("doc_id"), "left_semi")
     val common = postingC.select($"doc_id".as("a_id"), $"shingle")
       .join(postingC.select($"doc_id".as("b_id"), $"shingle".as("b_shingle")),
         $"shingle" === $"b_shingle" && $"a_id" < $"b_id")
       .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("n_common"))
-    // sizes restricted to candidate docs BEFORE broadcasting — the
-    // corpus-wide per-doc table must never be collected to the driver
+    // sizes restricted to candidate docs BEFORE joining — the
+    // corpus-wide per-doc table never feeds the verification join
     val sizes = postingC.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    cand.join(common, Seq("a_id", "b_id"))
-      .join(broadcast(sizes.select($"doc_id".as("a_id"), $"n_sh".as("a_n"))), "a_id")
-      .join(broadcast(sizes.select($"doc_id".as("b_id"), $"n_sh".as("b_n"))), "b_id")
+    cand.join(common.hint("shuffle_hash"), Seq("a_id", "b_id"))
+      .join(sizes.select($"doc_id".as("a_id"), $"n_sh".as("a_n"))
+        .hint("shuffle_hash"), "a_id")
+      .join(sizes.select($"doc_id".as("b_id"), $"n_sh".as("b_n"))
+        .hint("shuffle_hash"), "b_id")
       .withColumn("jaccard", $"n_common".cast(DoubleType) /
         ($"a_n" + $"b_n" - $"n_common").cast(DoubleType))
       .filter($"jaccard" >= 0.5)
@@ -422,14 +487,7 @@ object Dedup {
     val bandArms = (0 until minhashK / 2)
       .map(b => s"SELECT doc_id, $b AS band_idx, m${2 * b} AS v1, m${2 * b + 1} AS v2 FROM sigs")
       .mkString("\n  UNION ALL ")
-    s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |tok AS (SELECT doc_id, toks[ord] AS t, ord
-       |        FROM sp, UNNEST(range(1, len(toks) + 1)) AS r(ord)),
-       |g AS (SELECT doc_id,
-       |        t || ' ' || LEAD(t, 1) OVER w || ' ' || LEAD(t, 2) OVER w AS sh,
-       |        LEAD(t, 2) OVER w IS NOT NULL AS ok
-       |      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
-       |posting AS (SELECT DISTINCT doc_id, sh FROM g WHERE ok),
+    s"""WITH $postingSqlCtes,
        |vh AS (
        |  SELECT sh,
        |    $hashCols
@@ -459,16 +517,32 @@ object Dedup {
        |ORDER BY 1, 2""".stripMargin
   }
 
-  // ---- dedup_simhash: 60-bit SimHash, banded hamming candidates ----
-  // Candidates share at least one of four 15-bit chunks (guarantees
-  // recall for hamming distance ≤ 3 by pigeonhole; good recall to
-  // ~8). The signature is built from TWO seeded cross-engine rolling
+  // ---- dedup_simhash: 60-bit SimHash, Manku-style block-pair tables ----
+  // Blocking (Manku/Jain/Das Sarma, "Detecting Near-Duplicates for
+  // Web Crawling", WWW'07 §3): split the signature into 6 blocks of
+  // 10 bits and key candidates on every PAIR of blocks — C(6,2) = 15
+  // tables, each key 20 bits wide. Pigeonhole gives EXACT recall for
+  // hamming ≤ 4 (≤ 4 differing bits dirty at most 4 of the 6 blocks,
+  // leaving ≥ 2 clean blocks whose pair-table key matches); pairs at
+  // hamming 5-6 are recalled iff their differing bits cluster into
+  // ≤ 4 blocks (the common case for template-correlated near-dups,
+  // whose edits are localized). That contract trades a sliver of
+  // tail recall for ~8× fewer candidates than single 15-bit chunk
+  // blocking — n²·15/2²⁰ expected collisions vs n²·4/2¹⁵ — and the
+  // wider 20-bit key is what survives a corpus whose signature bits
+  // are correlated (real corpora are; random-bit analysis flatters
+  // narrow keys). The DuckDB oracle applies the identical tables, so
+  // the pipeline stays exactly hash-checked end to end.
+  //
+  // The signature is built from TWO seeded cross-engine rolling
   // hashes per token (30 usable bits each → 60 signature bits), so
-  // the DuckDB oracle reproduces the identical signatures and the
-  // pipeline is exactly hash-checked end to end.
+  // the oracle reproduces identical signatures.
 
   private val simBits = 30 * 2 // bits 0..29 from hash "a", 30..59 from "b"
-  private val simChunks = 4 // 15-bit chunks
+  private val simBlocks = 6 // 10-bit blocks
+  private val simBlockBits = 10
+  private[graft] val simTables: Seq[(Int, Int)] =
+    for { i <- 0 until simBlocks; j <- (i + 1) until simBlocks } yield (i, j)
   // 6 of 60 bits: on this template-correlated corpus the all-pairs
   // hamming histogram is left-shifted (mass at 8-20, not the random
   // 30±4), so a "rescaled 12-of-64" threshold would pass ~9% of all
@@ -477,8 +551,12 @@ object Dedup {
 
   private def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def chunk(sig: org.apache.spark.sql.Column, k: Int) =
-      call_function("shiftright", sig, lit(15 * k)).bitwiseAND(lit(0x7FFFL))
+    def block(sig: org.apache.spark.sql.Column, k: Int) =
+      call_function("shiftright", sig, lit(simBlockBits * k))
+        .bitwiseAND(lit((1L << simBlockBits) - 1))
+    // 20-bit pair-table key: high block ∘ low block
+    def tableKey(sig: org.apache.spark.sql.Column, i: Int, j: Int) =
+      block(sig, i) * lit(1L << simBlockBits) + block(sig, j)
     // single-pass formulation: explode tokens, then one codegen'd
     // hash aggregate with 60 ±1 vote counters per doc — nested
     // higher-order lambda forms evaluate interpreted
@@ -498,14 +576,14 @@ object Dedup {
       (0 until simBits).map(j =>
         when(col(s"v$j") >= 0L, lit(1L << j)).otherwise(lit(0L)))
         .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
-    val chunks = docs.select($"doc_id", $"sig",
-      posexplode(array((0 until simChunks).map(k => chunk($"sig", k)): _*)))
-      .withColumnRenamed("pos", "chunk_idx")
-      .withColumnRenamed("col", "chunk_val")
-    val a = chunks.select($"chunk_idx", $"chunk_val", $"doc_id".as("a_id"), $"sig".as("a_sig"))
-    val b = chunks.select($"chunk_idx".as("b_idx"), $"chunk_val".as("b_val"),
+    val keys = docs.select($"doc_id", $"sig",
+      posexplode(array(simTables.map { case (i, j) => tableKey($"sig", i, j) }: _*)))
+      .withColumnRenamed("pos", "tbl_idx")
+      .withColumnRenamed("col", "tbl_key")
+    val a = keys.select($"tbl_idx", $"tbl_key", $"doc_id".as("a_id"), $"sig".as("a_sig"))
+    val b = keys.select($"tbl_idx".as("b_idx"), $"tbl_key".as("b_key"),
       $"doc_id".as("b_id"), $"sig".as("b_sig"))
-    a.join(b, $"chunk_idx" === $"b_idx" && $"chunk_val" === $"b_val" &&
+    a.join(b, $"tbl_idx" === $"b_idx" && $"tbl_key" === $"b_key" &&
         $"a_id" < $"b_id")
       .select($"a_id", $"b_id",
         bit_count($"a_sig".bitwiseXOR($"b_sig")).cast(LongType).as("hamming"))
@@ -516,7 +594,7 @@ object Dedup {
 
   /** DuckDB twin of the SimHash pipeline: hashes per DISTINCT token
     * (then re-joined to keep occurrence weights), the same 60 vote
-    * counters, bit-assembled signature, 15-bit chunk blocking and
+    * counters, bit-assembled signature, block-pair tables and
     * hamming filter.
     */
   private val dedupSimhashSql: String = {
@@ -527,8 +605,12 @@ object Dedup {
     val sigExpr = (0 until simBits)
       .map(j => s"(CASE WHEN v$j >= 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)")
       .mkString(" + ")
-    val chunkArms = (0 until simChunks)
-      .map(k => s"SELECT doc_id, sig, $k AS ci, (sig >> ${15 * k}) & 32767 AS cv FROM sigs")
+    val mask = (1L << simBlockBits) - 1
+    val chunkArms = simTables.zipWithIndex
+      .map { case ((i, j), t) =>
+        s"SELECT doc_id, sig, $t AS ci, " +
+          s"((sig >> ${simBlockBits * i}) & $mask) * ${1L << simBlockBits} + " +
+          s"((sig >> ${simBlockBits * j}) & $mask) AS cv FROM sigs" }
       .mkString("\n  UNION ALL ")
     s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |tok AS (SELECT doc_id, toks[ord] AS t

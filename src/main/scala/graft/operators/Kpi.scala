@@ -516,25 +516,39 @@ object Kpi {
       count(lit(1)).as("n"),
       max($"export_b").as("mx"),
       count(when($"balance" > 0.0, lit(1))).as("surplus_months"))
+    // best-month argmax (insights_engine.py:194-215 returns the best
+    // month LABEL, not just its value): deterministic orderBy+limit(1)
+    // with (yr, mon) tie-breaks, cross-joined onto the 1-row stats —
+    // both sides are post-aggregation scalars, so the cross join is
+    // 1×1 and engine-exact.
+    val best = b.orderBy($"export_b".desc, $"yr", $"mon")
+      .limit(1)
+      .select($"yr".as("best_yr"), $"mon".as("best_mon"),
+        $"export_b".as("best_busd"))
     stats.select(
       ($"sx" / $"n").as("mean_busd"),
       sqrt(greatest(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1), lit(0.0))).as("std_busd"),
       $"mx".as("max_busd"),
       $"surplus_months",
       $"n".as("total_months"))
+      .crossJoin(best)
   }
 
   private val quickStatsSql =
     s"""WITH $baseSql,
-       |b AS (SELECT export_usd / 1e9 AS export_b,
-       |             export_usd - import_usd AS balance FROM base)
+       |b AS (SELECT yr, mon, export_usd / 1e9 AS export_b,
+       |             export_usd - import_usd AS balance FROM base),
+       |best AS (SELECT yr AS best_yr, mon AS best_mon, export_b AS best_busd
+       |         FROM b ORDER BY export_b DESC, yr, mon LIMIT 1)
        |SELECT
        |  (${Det.dsumSql("export_b")} / COUNT(*)) AS mean_busd,
        |  (SQRT(GREATEST((${Det.dsumSql("export_b * export_b")} - ${Det.dsumSql("export_b")} * ${Det.dsumSql("export_b")} / COUNT(*)) / (COUNT(*) - 1), 0.0))) AS std_busd,
        |  (MAX(export_b)) AS max_busd,
        |  COUNT(CASE WHEN balance > 0.0 THEN 1 END) AS surplus_months,
-       |  COUNT(*) AS total_months
-       |FROM b""".stripMargin
+       |  COUNT(*) AS total_months,
+       |  best_yr, best_mon, best_busd
+       |FROM b CROSS JOIN best
+       |GROUP BY best_yr, best_mon, best_busd""".stripMargin
 
   // ---- kpi_qa_totals: reconciliation QA (etl.py qa_report, etl_products.py qa_totals) ----
   // Book total (orders.o_totalprice) vs recomputed from line items,

@@ -25,6 +25,29 @@ class DedupSpec extends AnyFunSuite {
     assert(l2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("shingle df-cap removes corpus-hot shingles, keeps the rest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 4 docs share one boilerplate shingle (df=4 > cap=3); the
+    // discriminative shingles (df<=3) must all survive
+    val posting = Seq(
+      (1L, "the same header"), (2L, "the same header"),
+      (3L, "the same header"), (4L, "the same header"),
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta eps zeta"))
+      .toDF("doc_id", "shingle")
+    val cap = 3L
+    val kept = graft.operators.Dedup.capPosting(posting, cap)
+      .filter(col("sh_df") <= cap).select("doc_id", "shingle")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept == Set(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta eps zeta")))
+    // the production cap never fires on the synthetic corpus — the
+    // oracle hashes prove the capped and uncapped universes coincide
+    // there — but the operator must behave when real data trips it
+  }
+
   test("exact dedup: synthetic corpus has no exact duplicates") {
     val df = q("dedup_exact")
     assert(df.count() == 500)

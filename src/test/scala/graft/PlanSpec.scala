@@ -40,6 +40,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash verification never broadcasts candidate-derived frames") {
+    // candIds / per-candidate sizes are O(duplicate count) ≈ O(corpus)
+    // worst case. With the auto-broadcast threshold disabled, any
+    // BroadcastExchange left in the plan can only come from an
+    // explicit hint — assert none survives anywhere in the pipeline.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("dedup_minhash_lsh")
+      assert(!p.contains("BroadcastExchange"),
+        "candidate-derived frame is broadcast in dedup_minhash_lsh")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("ann_bruteforce broadcasts the query side only") {
     val p = plan("ann_bruteforce")
     assert(p.contains("BroadcastExchange"))
@@ -50,18 +67,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(category"))
   }
 
-  test("corpus select anti-joins its drop-list via broadcast") {
-    // without the explicit hint the stats-less checkpointed drop-list
-    // is assumed huge and the whole corpus shuffles into a sort-merge
-    // anti join. (AQE prints the pre-final plan without join
-    // selection — disable it for this inspection.)
+  test("corpus select drop-list anti-join never broadcasts") {
+    // the drop-list is corpus-proportional (every non-keeper id), so
+    // a broadcast build side is a 100 TB OOM. With the auto-broadcast
+    // threshold disabled, any BroadcastExchange left in the plan can
+    // only come from an explicit hint — assert there is none, and
+    // that the anti-join is the shuffled-hash form. (AQE prints the
+    // pre-final plan — disable it for this inspection.)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val p = plan("llm_corpus_select")
-      assert("BroadcastHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
-        "drop-list anti-join is not broadcast")
-      assert(!p.contains("SortMergeJoin"), "corpus select shuffles the corpus")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      assert(!p.contains("BroadcastExchange"),
+        "corpus-proportional frame is broadcast")
+      assert("ShuffledHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
+        "drop-list anti-join is not the shuffled-hash form")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("grouping-sets and histogram aggregate with map-side partials") {
