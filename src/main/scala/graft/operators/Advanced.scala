@@ -304,6 +304,13 @@ object Advanced {
   // smallest distinct hash values per group, estimate
   // (k-1)·HASH_SPACE / h_k in integer arithmetic. Same map-side
   // bounded state as HLL (k longs per group), exact oracle parity.
+  //
+  // The k-mins come from the typed bounded-heap Aggregator
+  // (functions/KmvSketch.scala): k longs of state per group, partial
+  // per input partition, k-long merges at the exchange — shuffle is
+  // k·groups. The DuckDB oracle keeps the rank-then-truncate
+  // formulation (same k-mins by definition), which is also what the
+  // sketch-vs-window equivalence test in AdvancedSpec pins down.
 
   private val kmvK = 64
   // the estimator's hash-space size IS the rolling-hash modulus —
@@ -312,16 +319,16 @@ object Advanced {
 
   private def q27(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val h = graft.functions.RollingHash.rolling_hash(
       concat(lit("k|"), $"o_custkey".cast("string")))
-    val dh = Tables(spark, dir).orders
-      .select($"o_orderstatus", h.as("h")).distinct()
-    val w = Window.partitionBy($"o_orderstatus").orderBy($"h")
-    val kth = dh.withColumn("rk", row_number().over(w))
-      .filter($"rk" <= kmvK)
+    val kmv = udaf(new graft.functions.KmvAgg(kmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val kth = Tables(spark, dir).orders
+      .select($"o_orderstatus", h.as("h"))
       .groupBy($"o_orderstatus")
-      .agg(count(lit(1)).as("n_kept"), max($"h").as("h_k"))
+      .agg(kmv($"h").as("mins"))
+      .select($"o_orderstatus", size($"mins").cast("long").as("n_kept"),
+        array_max($"mins").as("h_k"))
     val exact = Tables(spark, dir).orders
       .groupBy($"o_orderstatus")
       .agg(countDistinct($"o_custkey").as("exact_distinct"))

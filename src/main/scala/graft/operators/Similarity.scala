@@ -28,6 +28,21 @@ object Similarity {
     */
   private def queryFilter(c: Column): Column = c % 50 === 0
 
+  /** ANN's contract is a BOUNDED probe list against a huge corpus, so
+    * the query-derived side of each scoring join is broadcast — but
+    * the contract is ENFORCED, not assumed: one cheap count of the
+    * query frame (column-pruned scan; at production scale the probe
+    * list is its own small table and this is metadata), and past the
+    * threshold the join falls back to a shuffled hash join instead of
+    * OOMing the executors. 100k queries × 64 float dims ≈ 30 MB —
+    * comfortably broadcastable; a "query set" beyond that is really a
+    * batch similarity join and should run as one.
+    */
+  private val maxBroadcastQueries = 100000L
+  private def probeSide(df: DataFrame, queryCount: Long): DataFrame =
+    if (queryCount <= maxBroadcastQueries) broadcast(df)
+    else df.hint("shuffle_hash")
+
   // ---- ann_bruteforce: exact cosine top-5 per query ----
 
   private def annBrute(spark: SparkSession, dir: String): DataFrame = {
@@ -36,8 +51,9 @@ object Similarity {
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
     val q = v.filter(queryFilter($"vec_id"))
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"), $"nrm".as("q_n"))
+    val nQ = q.count()
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
-    v.join(broadcast(q), $"vec_id" =!= $"q_id")
+    v.join(probeSide(q, nQ), $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id",
         (dot($"q_e", $"embedding") / ($"q_n" * $"nrm")).as("cosine"))
       .withColumn("rk", row_number().over(w))
@@ -111,8 +127,9 @@ object Similarity {
     val q = v.filter(queryFilter($"vec_id"))
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"),
         $"nrm".as("q_n"), $"bucket".as("q_bucket"))
+    val nQ = q.count()
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
-    v.join(broadcast(q), $"bucket" === $"q_bucket" && $"vec_id" =!= $"q_id")
+    v.join(probeSide(q, nQ), $"bucket" === $"q_bucket" && $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id",
         (dot($"q_e", $"embedding") / ($"q_n" * $"nrm")).as("cosine"))
       .withColumn("rk", row_number().over(w))
@@ -161,16 +178,18 @@ object Similarity {
       .select($"label".as("c_label"), $"cvec", norm($"cvec").as("c_nrm"))
     val q = v.filter(queryFilter($"vec_id"))
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"), $"nrm".as("q_n"))
-    // probe: the nprobe nearest centroids per query
+    val nQ = q.count()
+    // probe: the nprobe nearest centroids per query (centroids are
+    // nlist rows — genuinely tiny, unconditionally broadcastable)
     val wC = Window.partitionBy($"q_id").orderBy($"c_cos".desc, $"c_label")
     val probed = q.crossJoin(broadcast(centroids))
       .withColumn("c_cos", dot($"q_e", $"cvec") / ($"q_n" * $"c_nrm"))
       .withColumn("c_rk", row_number().over(wC))
       .filter($"c_rk" <= nprobe)
       .select($"q_id", $"q_e", $"q_n", $"c_label")
-    // search only the probed clusters
+    // search only the probed clusters; probed = queries × nprobe rows
     val wN = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
-    v.join(broadcast(probed),
+    v.join(probeSide(probed, nQ * nprobe),
         $"label" === $"c_label" && $"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id",
         (dot($"q_e", $"embedding") / ($"q_n" * $"nrm")).as("cosine"))

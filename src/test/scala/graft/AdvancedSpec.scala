@@ -9,6 +9,50 @@ class AdvancedSpec extends AnyFunSuite {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("KmvAgg keeps the k smallest distinct hashes (reduce + merge laws)") {
+    val agg = new graft.functions.KmvAgg(4)
+    // reduce: dedup, sorted insert, cap at k, reject above-kth fast path
+    var s = agg.zero
+    for (h <- Seq(50L, 10L, 30L, 10L, 70L, 20L, 40L, 60L)) s = agg.reduce(s, h)
+    assert(s.toSeq == Seq(10L, 20L, 30L, 40L))
+    // merge: sorted-distinct union truncated to k, overlap taken once
+    val m = agg.merge(Array(10L, 30L, 50L), Array(10L, 20L, 60L, 70L))
+    assert(m.toSeq == Seq(10L, 20L, 30L, 50L))
+    // merge with empty is identity
+    assert(agg.merge(agg.zero, Array(5L, 6L)).toSeq == Seq(5L, 6L))
+    assert(agg.merge(Array(5L, 6L), agg.zero).toSeq == Seq(5L, 6L))
+  }
+
+  test("q27 typed KMV aggregator equals the rank-then-truncate formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // the window formulation the Aggregator replaced — kept here as
+    // the semantic pin: same k-mins per group by definition
+    val h = graft.functions.RollingHash.rolling_hash(
+      concat(lit("k|"), col("o_custkey").cast("string")))
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("h"))
+    val windowed = Tables(spark, sf).orders
+      .select(col("o_orderstatus"), h.as("h")).distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 64)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sketched = q("q27_kmv_sketch").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // q27 output carries exact_distinct/estimate; re-derive n_kept/h_k
+    val kmv = udaf(new graft.functions.KmvAgg(64),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val aggd = Tables(spark, sf).orders
+      .select(col("o_orderstatus"), h.as("h"))
+      .groupBy(col("o_orderstatus")).agg(kmv(col("h")).as("mins"))
+      .select(col("o_orderstatus"), size(col("mins")).cast("long").as("n_kept"),
+        array_max(col("mins")).as("h_k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(aggd == windowed)
+    assert(sketched.keySet == windowed.keySet)
+  }
+
   test("sketches track exact values within tolerance") {
     val approx = q("q20_sketches").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap

@@ -97,6 +97,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q27 KMV sketch aggregates with bounded partial state") {
+    // the typed Aggregator must plan as ObjectHashAggregate with a
+    // partial pass before the exchange (k longs of state per group
+    // per partition) — not as a window over all distinct hashes
+    val p = plan("q27_kmv_sketch")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "KMV is not a partial+final ObjectHashAggregate pair")
+    assert(!p.contains("Window"), "KMV fell back to the window formulation")
+  }
+
   test("rolling_hash participates in whole-stage codegen") {
     // AQE prints the pre-execution plan without codegen regions;
     // disable it for this inspection only
