@@ -32,6 +32,14 @@ object GraftSession {
       // events.parquet stores TIMESTAMP(NANOS), which the vectorized
       // reader rejects; read nanos as long and truncate in the plan
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // NOTE (measured, r3): spark.sql.adaptive.coalescePartitions.
+      // parallelismFirst=false + a 64m advisory size — the tuning
+      // guide's CLUSTER recommendation — benches 8% SLOWER here
+      // (87.6s vs 81.3s at sf0.1/local[32]): the data-heavy dedup
+      // self-joins want all 32 threads more than the tiny stages want
+      // fewer tasks. Keep the default (parallelism-first) locally;
+      // flip it on a real cluster where executor count ≫ partition
+      // sizing.
       .config("spark.ui.enabled", "false")
 
   def local(cpus: String): SparkSession = builder(cpus).getOrCreate()

@@ -102,6 +102,26 @@ class PropertySpec extends AnyFunSuite {
     }, 10)
   }
 
+  test("KmvAgg equals sorted-distinct-take-k under any split of the input") {
+    // the merge law the distributed aggregation relies on: reducing a
+    // random list split into arbitrary partitions and merging must
+    // equal the one-pass model, for any k
+    val gen = for {
+      k <- Gen.choose(1, 8)
+      xs <- Gen.listOf(Gen.choose(0L, 40L)) // narrow range forces duplicates
+      cut <- Gen.choose(0, math.max(xs.length, 1))
+    } yield (k, xs, cut)
+    check(Prop.forAll(gen) { case (k, xs, cut) =>
+      val agg = new graft.functions.KmvAgg(k)
+      val (l, r) = xs.splitAt(math.min(cut, xs.length))
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      val want = xs.distinct.sorted.take(k)
+      merged.toSeq == want
+    }, 200)
+  }
+
   test("shingles3 HOF equals a Scala sliding-window model") {
     val gen = Gen.listOfN(12, Gen.oneOf("a", "b", "cc", "dd")).map(_.mkString(" "))
     check(Prop.forAll(gen) { text =>
