@@ -58,7 +58,100 @@ object CorpusSelect {
        |  AND q.doc_id NOT IN (SELECT doc_id FROM drop_list)
        |ORDER BY q.doc_id""".stripMargin
 
+  // ---- llm_decontaminate: benchmark n-gram overlap flagging ----
+  // THE pipeline step between corpus and training run: any training
+  // document sharing enough shingles with the held-out eval/benchmark
+  // set is flagged (training on eval == silently inflated scores).
+  // Eval membership is a deterministic ~1% slice (doc_id % 97 == 13 —
+  // in production, the benchmark corpus is its own table on the same
+  // posting schema). Overlap = DISTINCT discriminative shingles
+  // shared (the df-capped posting: boilerplate shingles must not
+  // flag). This corpus tokenizes short, so the shingle order is 3 and
+  // the threshold 3 shared shingles; production decontamination runs
+  // the same plan at 8-13-gram order with threshold 1.
+  //
+  // Scale shape: equi-join on the df-capped shingle key (per-shingle
+  // fanout ≤ cap × eval postings), two counting aggregates — no
+  // broadcast anywhere; the eval side is corpus-proportional (1%)
+  // and stays shuffled.
+
+  private val evalMod = 97
+  private val evalRes = 13
+  private val minSharedShingles = 3
+
+  private def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val posting = Dedup.shinglePosting(spark, dir)
+    val evalPost = posting.filter($"doc_id" % evalMod === evalRes)
+      .select($"doc_id".as("eval_id"), $"shingle")
+    val trainPost = posting.filter($"doc_id" % evalMod =!= evalRes)
+    trainPost.join(evalPost, "shingle")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"shingle").as("n_shared_shingles"),
+        countDistinct($"eval_id").as("n_eval_docs"))
+      .filter($"n_shared_shingles" >= minSharedShingles)
+      .orderBy($"doc_id")
+  }
+
+  private val decontaminateSql =
+    s"""WITH ${Dedup.postingSqlCtes},
+       |ev AS (SELECT doc_id AS eval_id, sh FROM posting
+       |       WHERE doc_id % $evalMod = $evalRes),
+       |tr AS (SELECT doc_id, sh FROM posting
+       |       WHERE doc_id % $evalMod <> $evalRes)
+       |SELECT tr.doc_id,
+       |  COUNT(DISTINCT tr.sh) AS n_shared_shingles,
+       |  COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+       |FROM tr JOIN ev ON ev.sh = tr.sh
+       |GROUP BY tr.doc_id
+       |HAVING COUNT(DISTINCT tr.sh) >= $minSharedShingles
+       |ORDER BY tr.doc_id""".stripMargin
+
+  // ---- llm_sample_mix: deterministic stratified mixture sampling ----
+  // The "data mixing" knob: per-language sampling rates (per mille)
+  // applied via the cross-engine rolling hash of the doc id — pure
+  // row-local arithmetic, so the sample is reproducible on any
+  // executor, any engine, any run, and resampling with new rates
+  // never reshuffles previously-kept documents within a stratum
+  // (hash-threshold sampling is monotone in the rate). Strata come
+  // from the catalog `lang` column — the declared metadata, as
+  // distinct from text_langid's PREDICTED language used by
+  // llm_corpus_select's filter.
+
+  private val mixRates: Seq[(String, Int)] =
+    Seq("en" -> 600, "de" -> 300, "fr" -> 300, "es" -> 300, "zh" -> 150)
+  private val mixDefaultRate = 100
+
+  private def sampleMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mixKey = graft.functions.RollingHash.rolling_hash(
+      concat(lit("mix|"), $"doc_id".cast("string"))) % 1000L
+    val rate = mixRates.foldLeft(lit(mixDefaultRate)) {
+      case (acc, (l, r)) => when($"lang" === l, lit(r)).otherwise(acc)
+    }
+    graft.Tables(spark, dir).documents
+      .select($"doc_id", $"lang", $"source",
+        mixKey.as("mix_key"), rate.as("mix_rate"))
+      .filter($"mix_key" < $"mix_rate")
+      .orderBy($"doc_id")
+  }
+
+  private val sampleMixSql = {
+    val rateCase = mixRates
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CASE lang ", " ", s" ELSE $mixDefaultRate END")
+    s"""SELECT * FROM (
+       |  SELECT doc_id, lang, source,
+       |    ${graft.functions.RollingHash.sql("'mix|' || CAST(doc_id AS VARCHAR)")} % 1000 AS mix_key,
+       |    $rateCase AS mix_rate
+       |  FROM documents)
+       |WHERE mix_key < mix_rate
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
-    Q("llm_corpus_select", corpusSelect, Some(corpusSelectSql))
+    Q("llm_corpus_select", corpusSelect, Some(corpusSelectSql)),
+    Q("llm_decontaminate", decontaminate, Some(decontaminateSql)),
+    Q("llm_sample_mix", sampleMix, Some(sampleMixSql))
   )
 }

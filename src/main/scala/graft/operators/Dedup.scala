@@ -133,7 +133,7 @@ object Dedup {
     posting.withColumn("sh_df", count(lit(1)).over(wSh))
   }
 
-  private def shinglePosting(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shinglePosting(spark: SparkSession, dir: String): DataFrame =
     postingCache.synchronized {
       val key = (spark, dir)
       val hit = postingCache.get(key)

@@ -242,12 +242,62 @@ object TextAnalysis {
       |FROM scored WHERE rk = 1
       |ORDER BY doc_id""".stripMargin
 
+  // ---- text_chunk: fixed-size token windows with stride overlap ----
+  // The tokenize-and-chunk stage every pretraining pipeline runs
+  // before sequence packing: size-32 token windows every 24 tokens
+  // (8-token overlap so no span is split across a boundary without a
+  // witness). Emits chunk coordinates + the cross-engine rolling hash
+  // of the chunk text — the hash is what downstream chunk-level exact
+  // dedup consumes, and it keeps the verified output narrow (no chunk
+  // text through the exchange or the compare). Per-doc fanout is
+  // ~n_tok/stride — a narrow map-side projection, zero shuffle before
+  // the output sort.
+
+  private val chunkSize = 32
+  private val chunkStride = 24
+
+  private def textChunk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id", tokens($"text").as("toks"))
+      .withColumn("n_tok", size($"toks").cast(LongType))
+      // 1 + ceil(max(n-size, 0) / stride) in pure integer arithmetic
+      .withColumn("n_chunks", lit(1L) +
+        expr(s"(greatest(n_tok - $chunkSize, 0L) + ${chunkStride - 1}L) div ${chunkStride}L"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0L), $"n_chunks" - 1L)).as("chunk_idx"))
+      .withColumn("tok_start", $"chunk_idx" * chunkStride)
+      .withColumn("ctoks",
+        expr(s"slice(toks, CAST(tok_start + 1 AS INT), $chunkSize)"))
+      .select($"doc_id", $"chunk_idx", $"tok_start",
+        size($"ctoks").cast(LongType).as("n_chunk_tokens"),
+        graft.functions.RollingHash.rolling_hash(array_join($"ctoks", " "))
+          .as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  private val textChunkSql =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |n AS (SELECT doc_id, toks,
+       |        1 + (greatest(len(toks) - $chunkSize, 0) + ${chunkStride - 1}) // $chunkStride AS n_chunks
+       |      FROM d),
+       |c AS (SELECT doc_id, toks, CAST(ci AS BIGINT) AS chunk_idx
+       |      FROM n, UNNEST(range(0, n_chunks)) AS r(ci)),
+       |s AS (SELECT doc_id, chunk_idx, chunk_idx * $chunkStride AS tok_start,
+       |        toks[chunk_idx * $chunkStride + 1 : chunk_idx * $chunkStride + $chunkSize] AS ctoks
+       |      FROM c)
+       |SELECT doc_id, chunk_idx, tok_start,
+       |  CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
+       |  ${graft.functions.RollingHash.sql("array_to_string(ctoks, ' ')")} AS chunk_hash
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("text_tokens", textTokens, Some(textTokensSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
     Q("text_langid", textLangid, Some(textLangidSql)),
     Q("text_fingerprint", textFingerprint, Some(textFingerprintSql)),
     Q("text_top_bigrams", topBigrams, Some(topBigramsSql)),
-    Q("text_tfidf", tfidf, Some(tfidfSql))
+    Q("text_tfidf", tfidf, Some(tfidfSql)),
+    Q("text_chunk", textChunk, Some(textChunkSql))
   )
 }

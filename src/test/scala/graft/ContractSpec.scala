@@ -21,9 +21,9 @@ class ContractSpec extends AnyFunSuite {
         sql.trim.toUpperCase.startsWith("WITH")))
   }
 
-  test("inventory size matches SURVEY status (85 ops, 84 oracles)") {
-    assert(SparkEntry.allQueries.size == 85)
-    assert(SparkEntry.oracleSql.size == 84)
+  test("inventory size matches SURVEY status (88 ops, 87 oracles)") {
+    assert(SparkEntry.allQueries.size == 88)
+    assert(SparkEntry.oracleSql.size == 87)
     // the single rows-checked survivor is the engine-specific HLL /
     // quantile sketch pair (its KMV twin q27 IS oracle-checked)
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
