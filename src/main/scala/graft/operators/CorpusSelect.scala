@@ -149,9 +149,140 @@ object CorpusSelect {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- llm_pii_scrub: regex PII redaction stage ----
+  // Every corpus release runs a redaction pass: match PII-shaped
+  // spans (emails, phone numbers), replace with typed placeholder
+  // tags, count what was removed per document. The transform is
+  // scrub() below — row-local regexp_replace chains that pipeline
+  // inside whole-stage codegen, zero shuffle, linear in input splits.
+  //
+  // The synthetic corpus carries no PII (verified: documents.text is
+  // flat tokens; customer has no phone/comment columns), so the
+  // query DRIVES the scrubber over a deterministic contact string
+  // constructed from customer catalog fields — the patterns,
+  // replacement chain, counting and output hashing are the real
+  // pipeline; only the input text is synthesized (in the plan, from
+  // table values, identically on both engines).
+  //
+  // Pattern dialect: the subset valid in BOTH java.util.regex and
+  // RE2 (DuckDB) — character classes, bounded repeats; no
+  // backreferences or lookaround.
+
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\+[0-9]{1,2}-[0-9]{1,4}-[0-9]{3,10}"
+
+  /** The redaction transform: emails → <EMAIL>, phones → <PHONE>.
+    * Order matters (emails first: a phone pattern must not eat the
+    * digits inside an address-like span).
+    */
+  private[graft] def scrub(c: org.apache.spark.sql.Column) =
+    regexp_replace(regexp_replace(c, emailPat, "<EMAIL>"),
+      phonePat, "<PHONE>")
+
+  private def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val contact = concat(
+      lit("reach "), $"c_name",
+      lit(" at user"), $"c_custkey".cast("string"),
+      lit("@corp-"), lower($"c_mktsegment"), lit(".example.com or tel +"),
+      ($"c_nationkey" % 9 + 1).cast("string"), lit("-"),
+      ($"c_custkey" % 900 + 100).cast("string"), lit("-"),
+      ($"c_custkey" % 9000 + 1000).cast("string"))
+    graft.Tables(spark, dir).customer
+      .select($"c_custkey", contact.as("contact"))
+      .select($"c_custkey",
+        regexp_count($"contact", lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count($"contact", lit(phonePat)).cast("long").as("n_phones"),
+        scrub($"contact").as("redacted"))
+      .orderBy($"c_custkey")
+  }
+
+  private val piiScrubSql =
+    s"""WITH c AS (
+       |  SELECT c_custkey,
+       |    'reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+       |      || '@corp-' || lower(c_mktsegment) || '.example.com or tel +'
+       |      || CAST(c_nationkey % 9 + 1 AS VARCHAR) || '-'
+       |      || CAST(c_custkey % 900 + 100 AS VARCHAR) || '-'
+       |      || CAST(c_custkey % 9000 + 1000 AS VARCHAR) AS contact
+       |  FROM customer)
+       |SELECT c_custkey,
+       |  CAST(len(regexp_extract_all(contact, '$emailPat')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(contact, '$phonePat')) AS BIGINT) AS n_phones,
+       |  regexp_replace(regexp_replace(contact, '$emailPat', '<EMAIL>', 'g'),
+       |    '$phonePat', '<PHONE>', 'g') AS redacted
+       |FROM c ORDER BY c_custkey""".stripMargin
+
+  // ---- llm_pack: deterministic sequence packing (concat-then-split) ----
+  // The packing stage between chunking and the training run:
+  // concatenate the corpus token stream in doc_id order and split it
+  // every B tokens into fixed-size training sequences; each document
+  // needs its global token offset, i.e. an exclusive prefix sum over
+  // the corpus.
+  //
+  // A global `Window.orderBy` prefix sum funnels the CORPUS through
+  // one partition — the classic scale-killer — so the offsets are
+  // computed with the two-phase distributed scan: (1) intra-bucket
+  // exclusive cumsum, windowed BY contiguous doc_id bucket (shuffle =
+  // one hash exchange on bucket, each bucket sorts locally); (2)
+  // bucket totals — one tiny aggregate row per bucket — get the
+  // global cumsum on the reduced table (n_docs/bucketSpan rows; at
+  // 1e9 docs and span 1e5 that is 1e4 rows — driver-trivial), then
+  // join back. Same shape as the kpi global-series windows: the only
+  // single-partition window runs on an aggregate, never the corpus.
+  // The DuckDB oracle uses the direct global window — identical
+  // arithmetic, engine-local physics.
+
+  private val packBudget = 512L // tokens per training sequence
+  private val bucketSpan = 100L // docs per prefix-sum bucket
+
+  private def pack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables(spark, dir).documents
+      .select($"doc_id",
+        size(graft.functions.TextFunctions.tokens($"text")).cast("long").as("n_tok"))
+      .withColumn("bucket", expr(s"doc_id div ${bucketSpan}L"))
+    val wIntra = Window.partitionBy($"bucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val intra = docs.withColumn("intra_off",
+      coalesce(sum($"n_tok").over(wIntra), lit(0L)))
+    val wBucket = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOff = docs.groupBy($"bucket")
+      .agg(sum($"n_tok").as("btot"))
+      .withColumn("bucket_off", coalesce(sum($"btot").over(wBucket), lit(0L)))
+      .select($"bucket", $"bucket_off")
+    intra.join(bucketOff, "bucket")
+      .withColumn("tok_offset", $"bucket_off" + $"intra_off")
+      .select($"doc_id", $"n_tok", $"tok_offset",
+        expr(s"tok_offset div ${packBudget}L").as("pack_first"),
+        expr(s"(tok_offset + n_tok - 1) div ${packBudget}L").as("pack_last"))
+      .withColumn("spans_boundary", $"pack_first" =!= $"pack_last")
+      .orderBy($"doc_id")
+  }
+
+  private val packSql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+       |  FROM d)
+       |SELECT doc_id, n_tok, tok_offset,
+       |  tok_offset // $packBudget AS pack_first,
+       |  (tok_offset + n_tok - 1) // $packBudget AS pack_last,
+       |  tok_offset // $packBudget <> (tok_offset + n_tok - 1) // $packBudget AS spans_boundary
+       |FROM o ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("llm_corpus_select", corpusSelect, Some(corpusSelectSql)),
     Q("llm_decontaminate", decontaminate, Some(decontaminateSql)),
-    Q("llm_sample_mix", sampleMix, Some(sampleMixSql))
+    Q("llm_sample_mix", sampleMix, Some(sampleMixSql)),
+    Q("llm_pii_scrub", piiScrub, Some(piiScrubSql)),
+    Q("llm_pack", pack, Some(packSql))
   )
 }

@@ -4,7 +4,7 @@ import graft.{Q, Tables}
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Text-analysis operators for the training-data pipeline (SURVEY
   * §2c): token counting, quality scoring, language-ID heuristics and
@@ -291,6 +291,102 @@ object TextAnalysis {
        |  ${graft.functions.RollingHash.sql("array_to_string(ctoks, ' ')")} AS chunk_hash
        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---- text_repetition: intra-document repetition filter ----
+  // The Gopher-family repetition signals (Rae et al. 2021, table A1)
+  // adapted to this corpus: the reference signals are duplicate-LINE
+  // fractions, but this corpus is flat space-separated tokens (no
+  // newlines), so the line-granularity signals map to their
+  // token/n-gram forms — duplicate-token fraction, top-bigram mass,
+  // duplicate-trigram fraction. Docs where one n-gram dominates or
+  // most grams are repeats are loop/boilerplate artifacts that
+  // poison training corpora.
+  //
+  // One pass builds all three gram granularities (token, bigram,
+  // trigram) from a single posexplode + window-lead scan, stacked
+  // into (kind, gram) rows; then gram-level counts → per-doc
+  // moments in two hash aggregates. Shuffle keys are (doc_id, kind,
+  // gram) then doc_id — fully distributed, no hot keys (grams are
+  // per-doc here, never corpus-global).
+  //
+  // Thresholds calibrated on the corpus distribution: dup_token_frac
+  // p50 = 0.54 / p90 = 0.68, top_bigram_frac p50 = 0.03 / p90 = 0.07,
+  // so (0.65, 0.08) flags the ~10-15% repetitive tail.
+
+  private val dupTokThreshold = 0.65
+  private val topBigramThreshold = 0.08
+
+  private def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val grams = Tables(spark, dir).documents
+      .select($"doc_id", posexplode(tokens($"text")))
+      .withColumnRenamed("col", "t")
+      .select($"doc_id", $"t",
+        lead($"t", 1).over(w).as("t1"), lead($"t", 2).over(w).as("t2"))
+      .select($"doc_id", expr(
+        """stack(3,
+          |  1, t,
+          |  2, IF(t1 IS NULL, NULL, concat_ws(' ', t, t1)),
+          |  3, IF(t2 IS NULL, NULL, concat_ws(' ', t, t1, t2))
+          |) AS (kind, gram)""".stripMargin))
+      .filter($"gram".isNotNull)
+    def kcol(k: Int, c: org.apache.spark.sql.Column) =
+      sum(when($"kind" === k, c).otherwise(0L))
+    val stats = grams
+      .groupBy($"doc_id", $"kind", $"gram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(kcol(1, $"c").as("n_tok"), kcol(1, lit(1L)).as("d_tok"),
+        kcol(2, $"c").as("n_2"), max(when($"kind" === 2, $"c")).as("top_2"),
+        kcol(3, $"c").as("n_3"), kcol(3, lit(1L)).as("d_3"))
+    stats.select($"doc_id", $"n_tok",
+        (lit(1.0) - $"d_tok".cast(DoubleType) / $"n_tok".cast(DoubleType))
+          .as("dup_token_frac"),
+        when($"n_2" > 0, $"top_2".cast(DoubleType) / $"n_2".cast(DoubleType))
+          .otherwise(0.0).as("top_bigram_frac"),
+        when($"n_3" > 0, lit(1.0) - $"d_3".cast(DoubleType) / $"n_3".cast(DoubleType))
+          .otherwise(0.0).as("dup_trigram_frac"))
+      .withColumn("is_repetitive",
+        $"dup_token_frac" > dupTokThreshold ||
+          $"top_bigram_frac" > topBigramThreshold)
+      .orderBy($"doc_id")
+  }
+
+  private val textRepetitionSql =
+    s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tok AS (SELECT doc_id, toks[ord] AS t, ord
+       |        FROM sp, UNNEST(range(1, len(toks) + 1)) AS r(ord)),
+       |led AS (SELECT doc_id, t,
+       |          LEAD(t, 1) OVER w AS t1, LEAD(t, 2) OVER w AS t2
+       |        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+       |grams AS (
+       |  SELECT doc_id, 1 AS kind, t AS gram FROM led
+       |  UNION ALL
+       |  SELECT doc_id, 2, t || ' ' || t1 FROM led WHERE t1 IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id, 3, t || ' ' || t1 || ' ' || t2 FROM led WHERE t2 IS NOT NULL),
+       |cnt AS (SELECT doc_id, kind, gram, COUNT(*) AS c
+       |        FROM grams GROUP BY doc_id, kind, gram),
+       |stats AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN kind = 1 THEN c ELSE 0 END) AS n_tok,
+       |    SUM(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS d_tok,
+       |    SUM(CASE WHEN kind = 2 THEN c ELSE 0 END) AS n_2,
+       |    MAX(CASE WHEN kind = 2 THEN c END) AS top_2,
+       |    SUM(CASE WHEN kind = 3 THEN c ELSE 0 END) AS n_3,
+       |    SUM(CASE WHEN kind = 3 THEN 1 ELSE 0 END) AS d_3
+       |  FROM cnt GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       |  1.0 - CAST(d_tok AS DOUBLE) / CAST(n_tok AS DOUBLE) AS dup_token_frac,
+       |  CASE WHEN n_2 > 0 THEN CAST(top_2 AS DOUBLE) / CAST(n_2 AS DOUBLE)
+       |       ELSE 0.0 END AS top_bigram_frac,
+       |  CASE WHEN n_3 > 0 THEN 1.0 - CAST(d_3 AS DOUBLE) / CAST(n_3 AS DOUBLE)
+       |       ELSE 0.0 END AS dup_trigram_frac,
+       |  (1.0 - CAST(d_tok AS DOUBLE) / CAST(n_tok AS DOUBLE)) > $dupTokThreshold
+       |    OR (CASE WHEN n_2 > 0 THEN CAST(top_2 AS DOUBLE) / CAST(n_2 AS DOUBLE)
+       |             ELSE 0.0 END) > $topBigramThreshold AS is_repetitive
+       |FROM stats ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("text_tokens", textTokens, Some(textTokensSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
@@ -298,6 +394,7 @@ object TextAnalysis {
     Q("text_fingerprint", textFingerprint, Some(textFingerprintSql)),
     Q("text_top_bigrams", topBigrams, Some(topBigramsSql)),
     Q("text_tfidf", tfidf, Some(tfidfSql)),
-    Q("text_chunk", textChunk, Some(textChunkSql))
+    Q("text_chunk", textChunk, Some(textChunkSql)),
+    Q("text_repetition", textRepetition, Some(textRepetitionSql))
   )
 }
