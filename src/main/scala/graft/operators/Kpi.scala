@@ -28,6 +28,13 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * the series keys, so category-level series parallelize; the global
   * totals series is O(#months) rows after reduction no matter the
   * input size.
+  *
+  * The lineitem⋈part category joins carry NO broadcast hint: part is
+  * SF-proportional (TPC-H 200k·SF rows), so forcing a broadcast would
+  * OOM at the 100 TB target. AQE's size-based selection broadcasts it
+  * while it fits and shuffles it when it doesn't. Explicit broadcast
+  * is reserved for frames bounded by construction (e.g. the single
+  * global-stats row in kpi_outliers).
   */
 object Kpi {
 
@@ -265,7 +272,7 @@ object Kpi {
     val joined = t.lineitem
       .select($"l_partkey", year($"l_shipdate").as("yr"),
         month($"l_shipdate").as("mon"), $"l_linestatus", $"l_extendedprice")
-      .join(broadcast(t.part.select($"p_partkey", $"p_type")),
+      .join(t.part.select($"p_partkey", $"p_type"),
         $"l_partkey" === $"p_partkey")
     val monthly = joined
       .groupBy($"p_type".as("category"), $"yr", $"mon")
@@ -593,7 +600,7 @@ object Kpi {
     val j = t.lineitem
       .filter(year($"l_shipdate").between(1996, 2000))
       .select($"l_partkey", $"l_linestatus", $"l_extendedprice")
-      .join(broadcast(t.part.select($"p_partkey", $"p_type")),
+      .join(t.part.select($"p_partkey", $"p_type"),
         $"l_partkey" === $"p_partkey")
     val agg = j.groupBy($"p_type".as("category"))
       .agg(
@@ -651,7 +658,7 @@ object Kpi {
     val t = Tables(spark, dir)
     val annual = t.lineitem
       .select($"l_partkey", year($"l_shipdate").as("yr"), $"l_extendedprice")
-      .join(broadcast(t.part.select($"p_partkey", $"p_type")),
+      .join(t.part.select($"p_partkey", $"p_type"),
         $"l_partkey" === $"p_partkey")
       .groupBy($"p_type".as("category"), $"yr")
       .agg(Det.dsum($"l_extendedprice").as("usd"))
@@ -820,7 +827,7 @@ object Kpi {
       .withColumn("balance", $"total_exp" - $"total_imp")
     val topCat = t.lineitem
       .filter(year($"l_shipdate") === 2001 && $"l_linestatus" === "F")
-      .join(broadcast(t.part.select($"p_partkey", $"p_type")),
+      .join(t.part.select($"p_partkey", $"p_type"),
         $"l_partkey" === $"p_partkey")
       .groupBy($"p_type")
       .agg(Det.dsum($"l_extendedprice").as("cat_exp"))

@@ -10,9 +10,16 @@ import org.apache.spark.sql.functions._
   * (README.md:120-147, observatorio/models/metrics.sql, app.py) —
   * aggregation, joins, ranking, pivot-by-CASE, set ops. Here each
   * shape is a declarative DataFrame plan so Catalyst handles
-  * pushdown, pruning and join strategy; dimension tables are
-  * explicitly broadcast (they stay small at any scale factor while
-  * the fact tables grow to the 100 TB target).
+  * pushdown, pruning and join strategy. Join strategy for the
+  * customer/part dimensions is deliberately LEFT TO AQE: those
+  * tables grow linearly with scale factor (TPC-H: 150k·SF /
+  * 200k·SF rows), so an unconditional broadcast() hint — which
+  * overrides Spark's size check — would OOM at the 100 TB target.
+  * AQE's runtime size-based selection broadcasts them exactly while
+  * they fit under the threshold and falls back to a shuffled join
+  * beyond it. Only frames whose size is bounded by CONSTRUCTION
+  * (single-row aggregates, fixed 25-row nation/5-row region) carry
+  * an explicit hint anywhere in this package.
   */
 object Relational {
 
@@ -68,8 +75,9 @@ object Relational {
       |ORDER BY o_orderkey""".stripMargin
 
   /** q3: 3-way join + agg + top-k. Reference: README.md:136-141
-    * (top-5 export months). customer is the selective side →
-    * broadcast it into the orders⋈lineitem shuffle join.
+    * (top-5 export months). customer is the selective side, but it
+    * scales with SF — no hint; AQE broadcasts it while small and
+    * shuffles it once it isn't.
     */
   private def q3(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -82,7 +90,7 @@ object Relational {
     t.lineitem
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
       .join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate")
       .agg(Det.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
         .as("revenue"))
@@ -103,9 +111,10 @@ object Relational {
        |LIMIT 10""".stripMargin
 
   /** q4: 5-way star join, revenue per nation for one region.
-    * Reference: app.py joined country views. All dimensions
-    * (region→nation→customer) collapse to a small broadcast side;
-    * only orders⋈lineitem shuffles on the fact keys.
+    * Reference: app.py joined country views. region/nation are
+    * fixed-size, but the collapsed dim side carries customer keys
+    * (SF-proportional) — strategy left to AQE; only orders⋈lineitem
+    * is forced to shuffle on the fact keys.
     */
   private def q4(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -119,7 +128,7 @@ object Relational {
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
       .join(t.orders.select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(dims), $"o_custkey" === $"c_custkey")
+      .join(dims, $"o_custkey" === $"c_custkey")
       .groupBy($"n_name")
       .agg(Det.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
         .as("revenue"))

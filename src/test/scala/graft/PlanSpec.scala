@@ -21,10 +21,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double>"))
   }
 
-  test("q4 joins dimensions via broadcast, not shuffle") {
+  test("q4 joins dimensions via broadcast when they are small") {
+    // no hint in the code — this asserts Spark's SIZE-BASED selection
+    // still picks a broadcast join at test scale, so dropping the
+    // explicit hints cost nothing where a broadcast is right
     val p = plan("q4_multijoin")
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("no forced broadcast of SF-proportional customer/part frames") {
+    // customer and part grow linearly with SF (TPC-H 150k·SF /
+    // 200k·SF rows) — at the 100 TB target an unconditional
+    // broadcast() hint OOMs. With the auto-broadcast threshold
+    // disabled, any BroadcastExchange left in these plans can only
+    // come from an explicit hint — assert none survives.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (q <- Seq("q3_join_agg_topk", "q4_multijoin", "kpi_prod_monthly",
+                    "kpi_ranking", "kpi_rank_shift", "kpi_exec_summary")) {
+        val p = plan(q)
+        assert(!p.contains("BroadcastExchange"),
+          s"$q force-broadcasts an SF-proportional frame")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("lineitem scans read only needed columns in q4") {
