@@ -35,4 +35,68 @@ object VectorFunctions {
     s"list_reduce(list_prepend(0.0, [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, ${dim + 1})]), (acc, x) -> acc + x)"
   def normSql(a: String): String =
     s"SQRT(list_reduce(list_prepend(0.0, [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in $a]), (acc, x) -> acc + x))"
+
+  // ---- random-hyperplane LSH signatures (shared by ann_lsh and
+  // dedup_embedding candidate blocking) ----
+
+  /** Embedding dimensionality of the testdata corpus. */
+  val lshDim = 64
+
+  /** Signature width ceiling: bucket ids are packed into one long
+    * (bit-or of per-plane bits), so at most 62 planes.
+    */
+  val lshMaxPlanes = 62
+
+  /** Deterministic ±1 hyperplane components: the low bit of the
+    * cross-engine rolling hash of "h|plane|dim", precomputed at
+    * plan-build time so both the Spark plan and the DuckDB oracle
+    * embed the SAME literal sign matrix — no in-engine RNG, no
+    * hash-library skew. Tabulated once to the width ceiling; a
+    * signature of p planes uses the first p rows, so widening a
+    * signature never changes the existing bits.
+    */
+  private lazy val lshSigns: Array[Array[Int]] =
+    Array.tabulate(lshMaxPlanes, lshDim)((j, i) =>
+      if ((RollingHash.hash(s"h|$j|$i") & 1L) == 1L) 1 else -1)
+
+  /** The signature-width dial, mechanized: the number of hyperplanes
+    * that keeps the EXPECTED bucket population near `targetBucket`
+    * as the corpus grows — ceil(log2(n / targetBucket)), clamped to
+    * [1, lshMaxPlanes]. Each doubling of the corpus adds one plane
+    * (halving every bucket), so expected bucket size stays in
+    * (targetBucket/2, targetBucket] at any scale: candidate-pair work
+    * per bucket is O(targetBucket²) — a build-time constant — instead
+    * of O((n/2^fixedBits)²), which grows quadratically at 100×.
+    */
+  def lshPlanesFor(n: Long, targetBucket: Long = 8L): Int = {
+    require(n > 0 && targetBucket > 0, s"need n, targetBucket > 0")
+    val ratio = math.max(1.0, n.toDouble / targetBucket)
+    val p = math.ceil(math.log(ratio) / math.log(2)).toInt
+    math.min(lshMaxPlanes, math.max(1, p))
+  }
+
+  /** p-bit signature: bit j = sign of Σ_i e[i]·pm(j,i). The dot is
+    * an UNROLLED strict left-to-right sum of codegen'd double terms,
+    * so every intermediate rounding matches the oracle's identically
+    * unrolled expression (and it JITs instead of running interpreted
+    * lambdas).
+    */
+  def lshSig(e: Column, planes: Int): Column =
+    (0 until planes).map { j =>
+      val dot = (0 until lshDim).map { i =>
+        val x = element_at(e, i + 1).cast("double")
+        if (lshSigns(j)(i) > 0) x else -x
+      }.reduceLeft(_ + _)
+      when(dot >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** DuckDB twin of lshSig over a list column expression. */
+  def lshSigSql(e: String, planes: Int): String =
+    (0 until planes).map { j =>
+      val dot = (0 until lshDim).map { i =>
+        val sgn = if (lshSigns(j)(i) > 0) "" else "-"
+        s"${sgn}CAST($e[${i + 1}] AS DOUBLE)"
+      }.mkString(" + ")
+      s"(CASE WHEN $dot >= 0.0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 }

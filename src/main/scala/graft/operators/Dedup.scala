@@ -13,10 +13,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *
   * Scale design: nothing here is O(n²) over the corpus. Candidate
   * pairs always come from an equi-join on a blocking key (length
-  * band, LSH band hash, SimHash chunk, cluster label), so the
-  * shuffle is hash-partitioned on the block key and pair generation
-  * is bounded per bucket. The expensive similarity math runs only on
-  * candidates.
+  * band, LSH band hash, SimHash block pair, hyperplane sign bucket),
+  * so the shuffle is hash-partitioned on the block key and pair
+  * generation is bounded per bucket. The expensive similarity math
+  * runs only on candidates.
   */
 object Dedup {
 
@@ -640,21 +640,37 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
-  // ---- dedup_embedding: cosine near-dup, blocked by cluster label ----
-  // Top-20 most similar same-label pairs (the synthetic corpus has
+  // ---- dedup_embedding: cosine near-dup, LSH-sign-bucket blocked ----
+  // Top-20 most similar candidate pairs (the synthetic corpus has
   // no planted embedding dups, so a fixed top-k keeps the check
   // non-empty at every SF).
+  //
+  // Candidates come from an equi-join on (random-hyperplane sign
+  // bucket, label): bucket population is held near-constant by the
+  // signature width (VectorFunctions.lshPlanesFor — one extra plane
+  // per corpus doubling), so pair work per bucket is a build-time
+  // constant and total candidate work is O(n·targetBucket), NOT the
+  // O(n²/L) all-pairs scan that blocking on the small-cardinality
+  // label alone degenerates to at 100×. Label stays as a secondary
+  // filter (the reference's near-dup semantics are within-cluster).
+  // The width here is pinned (like ann_lsh's) because the DuckDB
+  // twin embeds the literal sign matrix in a static SQL string; a
+  // production caller passes lshPlanesFor(corpusCount).
+
+  private[graft] val embPlanes = 8
 
   private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val v = Tables(spark, dir).embeddings
       .select($"vec_id", $"label", $"embedding",
-        VectorFunctions.norm($"embedding").as("nrm"))
-    val a = v.select($"vec_id".as("a_id"), $"label",
+        VectorFunctions.norm($"embedding").as("nrm"),
+        VectorFunctions.lshSig($"embedding", embPlanes).as("bucket"))
+    val a = v.select($"vec_id".as("a_id"), $"label", $"bucket",
       $"embedding".as("a_e"), $"nrm".as("a_n"))
     val b = v.select($"vec_id".as("b_id"), $"label".as("b_label"),
-      $"embedding".as("b_e"), $"nrm".as("b_n"))
-    a.join(b, $"label" === $"b_label" && $"a_id" < $"b_id")
+      $"bucket".as("b_bucket"), $"embedding".as("b_e"), $"nrm".as("b_n"))
+    a.join(b, $"bucket" === $"b_bucket" && $"label" === $"b_label" &&
+        $"a_id" < $"b_id")
       .select($"a_id", $"b_id",
         (VectorFunctions.dot($"a_e", $"b_e") / ($"a_n" * $"b_n")).as("cosine"))
       .orderBy($"cosine".desc, $"a_id", $"b_id")
@@ -664,11 +680,14 @@ object Dedup {
   private val dedupEmbeddingSql =
     s"""WITH v AS (
        |  SELECT vec_id, label, embedding AS e,
-       |    ${VectorFunctions.normSql("embedding")} AS nrm
+       |    ${VectorFunctions.normSql("embedding")} AS nrm,
+       |    ${VectorFunctions.lshSigSql("embedding", embPlanes)} AS bucket
        |  FROM embeddings)
        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |  ${VectorFunctions.dotSql("a.e", "b.e", 64)} / (a.nrm * b.nrm) AS cosine
-       |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+       |FROM v a JOIN v b
+       |  ON a.bucket = b.bucket AND a.label = b.label
+       |  AND a.vec_id < b.vec_id
        |ORDER BY cosine DESC, a_id, b_id
        |LIMIT 20""".stripMargin
 

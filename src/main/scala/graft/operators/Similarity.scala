@@ -80,44 +80,24 @@ object Similarity {
 
   // ---- ann_lsh: random-hyperplane LSH bucketing ----
 
-  /** Deterministic ±1 hyperplane components: the low bit of the
-    * cross-engine rolling hash of "h|plane|dim", precomputed at
-    * plan-build time so both the Spark plan and the DuckDB oracle
-    * embed the SAME literal sign matrix — no in-engine RNG, no
-    * hash-library skew.
+  /** Signature width for the ORACLE-CHECKED instance of ann_lsh.
+    *
+    * The width dial itself is mechanized in VectorFunctions
+    * .lshPlanesFor (ceil(log2(n / targetBucket)) — one extra plane
+    * per corpus doubling keeps expected bucket size constant;
+    * growth law spec'd in LshSpec). The oracle-checked query must
+    * pin ONE width, because the DuckDB twin embeds the literal sign
+    * matrix in a static SQL string that cannot re-derive a corpus
+    * count — so this constant is pinned to the dial's value at the
+    * benchmarked corpus (lshPlanesFor(2000) == 8, asserted in
+    * LshSpec). A production caller sizes the signature with
+    * lshPlanesFor(corpusCount) directly.
     */
-  private val lshPlanes = 8
-  private val lshDim = 64
-  private val lshSigns: Array[Array[Int]] =
-    Array.tabulate(lshPlanes, lshDim)((j, i) =>
-      if ((graft.functions.RollingHash.hash(s"h|$j|$i") & 1L) == 1L) 1 else -1)
-
-  /** 8-bit signature: bit j = sign of Σ_i e[i]·pm(j,i). The dot is
-    * an UNROLLED strict left-to-right sum of codegen'd double terms,
-    * so every intermediate rounding matches the oracle's identically
-    * unrolled expression (and it JITs instead of running interpreted
-    * lambdas). 8 bits keeps buckets non-trivial at the small test
-    * SFs; at production scale the bit count grows with corpus size
-    * (log2(n/target_bucket)).
-    */
+  private[graft] val lshPlanes = 8
   private def lshSig(e: Column): Column =
-    (0 until lshPlanes).map { j =>
-      val dot = (0 until lshDim).map { i =>
-        val x = element_at(e, i + 1).cast("double")
-        if (lshSigns(j)(i) > 0) x else -x
-      }.reduceLeft(_ + _)
-      when(dot >= 0.0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-
-  /** DuckDB twin of lshSig over a list column expression. */
+    graft.functions.VectorFunctions.lshSig(e, lshPlanes)
   private def lshSigSql(e: String): String =
-    (0 until lshPlanes).map { j =>
-      val dot = (0 until lshDim).map { i =>
-        val sgn = if (lshSigns(j)(i) > 0) "" else "-"
-        s"${sgn}CAST($e[${i + 1}] AS DOUBLE)"
-      }.mkString(" + ")
-      s"(CASE WHEN $dot >= 0.0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
+    graft.functions.VectorFunctions.lshSigSql(e, lshPlanes)
 
   private def annLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

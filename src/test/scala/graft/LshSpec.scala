@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+
+/** The LSH signature-width dial (VectorFunctions.lshPlanesFor): the
+  * mechanism that keeps sign-bucket populations constant as the
+  * corpus scales, so bucket-blocked candidate generation (ann_lsh,
+  * dedup_embedding) never degenerates into an all-pairs scan.
+  */
+class LshSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("growth law: one extra plane per corpus doubling") {
+    for (n <- Seq(100L, 1000L, 50000L, 10000000L)) {
+      val p = VectorFunctions.lshPlanesFor(n)
+      assert(VectorFunctions.lshPlanesFor(2 * n) == p + 1,
+        s"doubling $n must add exactly one plane")
+    }
+  }
+
+  test("expected bucket size stays in (target/2, target] at any scale") {
+    val t = 8L
+    for (n <- Seq(9L, 100L, 2000L, 1000000L, 10000000000L)) {
+      val p = VectorFunctions.lshPlanesFor(n, t)
+      val expected = n.toDouble / (1L << p)
+      assert(expected <= t && expected > t / 2.0,
+        s"n=$n planes=$p expected bucket $expected outside (${t / 2.0}, $t]")
+    }
+  }
+
+  test("the pinned oracle widths equal the dial at the bench corpus") {
+    // embeddings.parquet has 2000 rows at sf0.1 (the driver's bench
+    // SF); the static DuckDB twins force a pinned constant, and this
+    // keeps the pin honest against the mechanism
+    assert(graft.operators.Similarity.lshPlanes ==
+      VectorFunctions.lshPlanesFor(2000))
+    assert(graft.operators.Dedup.embPlanes ==
+      VectorFunctions.lshPlanesFor(2000))
+  }
+
+  test("measured bucket occupancy stays near-constant across SFs") {
+    // the data-backed half of the growth law: sign the two corpora
+    // with their own derived widths and compare MEAN occupancy — a
+    // fixed width would grow it 4× from n=500 to n=2000; the dial
+    // must hold it within noise of constant (clustered embeddings
+    // make buckets non-uniform, so the bound is a band, not equality)
+    def meanOccupancy(dir: String): (Long, Double) = {
+      val e = Tables(spark, dir).embeddings
+      val n = e.count()
+      val planes = VectorFunctions.lshPlanesFor(n)
+      val buckets = e
+        .select(VectorFunctions.lshSig(col("embedding"), planes).as("b"))
+        .groupBy("b").count()
+        .agg(avg("count")).head.getDouble(0)
+      (n, buckets)
+    }
+    val (n1, occ1) = meanOccupancy("/root/testdata/sf0.001")
+    val (n2, occ2) = meanOccupancy("/root/testdata/sf0.1")
+    assert(n1 == 500 && n2 == 2000, s"corpus sizes moved: $n1, $n2")
+    info(f"occupancy n=$n1%d → $occ1%.1f, n=$n2%d → $occ2%.1f")
+    // 4× the data must NOT mean 4× the bucket: allow ±2× drift
+    assert(occ2 <= occ1 * 2.0 && occ2 >= occ1 / 2.0,
+      f"occupancy drifted $occ1%.1f → $occ2%.1f under the derived widths")
+  }
+}

@@ -57,7 +57,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup pair generation is equi-join, never cartesian") {
-    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash")) {
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+                  "dedup_embedding")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join")
