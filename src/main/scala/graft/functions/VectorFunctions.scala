@@ -47,17 +47,33 @@ object VectorFunctions {
     */
   val lshMaxPlanes = 62
 
-  /** Deterministic ±1 hyperplane components: the low bit of the
-    * cross-engine rolling hash of "h|plane|dim", precomputed at
-    * plan-build time so both the Spark plan and the DuckDB oracle
-    * embed the SAME literal sign matrix — no in-engine RNG, no
-    * hash-library skew. Tabulated once to the width ceiling; a
-    * signature of p planes uses the first p rows, so widening a
-    * signature never changes the existing bits.
+  /** splitmix64 finalizer (Steele/Lea/Flood, public-domain constants):
+    * the build-time PRNG behind the hyperplane sign matrix.
+    *
+    * NOT the rolling hash: base 31 and the modulus are both odd and a
+    * short seed string never wraps the modulus, so the rolling hash's
+    * low bit is literally the XOR of its input bytes' low bits — every
+    * "h|plane|dim" row came out as ONE alternating pattern or its
+    * complement, a rank-1 sign matrix where all planes encoded the
+    * same single hyperplane (measured: 2 occupied buckets at any
+    * width). The signs only need build-time determinism — both the
+    * Spark plan and the DuckDB oracle embed the resulting literal
+    * matrix — so a real bit mixer costs nothing cross-engine.
+    */
+  private def mix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic ±1 hyperplane components, tabulated once to the
+    * width ceiling; a signature of p planes uses the first p rows, so
+    * widening a signature never changes the existing bits.
     */
   private lazy val lshSigns: Array[Array[Int]] =
     Array.tabulate(lshMaxPlanes, lshDim)((j, i) =>
-      if ((RollingHash.hash(s"h|$j|$i") & 1L) == 1L) 1 else -1)
+      if ((mix64(j.toLong * lshDim + i) & 1L) == 1L) 1 else -1)
 
   /** The signature-width dial, mechanized: the number of hyperplanes
     * that keeps the EXPECTED bucket population near `targetBucket`

@@ -323,16 +323,17 @@ object Advanced {
       concat(lit("k|"), $"o_custkey".cast("string")))
     val kmv = udaf(new graft.functions.KmvAgg(kmvK),
       org.apache.spark.sql.Encoders.scalaLong)
-    val kth = Tables(spark, dir).orders
-      .select($"o_orderstatus", h.as("h"))
+    // single scan: the KMV state and the exact distinct count come out
+    // of ONE groupBy (Spark's distinct-agg planning runs the sketch
+    // partial alongside the custkey dedup), instead of two full scans
+    // of orders joined back on the group key
+    Tables(spark, dir).orders
+      .select($"o_orderstatus", $"o_custkey", h.as("h"))
       .groupBy($"o_orderstatus")
-      .agg(kmv($"h").as("mins"))
-      .select($"o_orderstatus", size($"mins").cast("long").as("n_kept"),
-        array_max($"mins").as("h_k"))
-    val exact = Tables(spark, dir).orders
-      .groupBy($"o_orderstatus")
-      .agg(countDistinct($"o_custkey").as("exact_distinct"))
-    kth.join(exact, "o_orderstatus")
+      .agg(kmv($"h").as("mins"),
+        countDistinct($"o_custkey").as("exact_distinct"))
+      .select($"o_orderstatus", $"exact_distinct",
+        size($"mins").cast("long").as("n_kept"), array_max($"mins").as("h_k"))
       .select($"o_orderstatus", $"exact_distinct",
         when($"n_kept" < kmvK, $"n_kept")
           .otherwise(expr(s"${(kmvK - 1).toLong * kmvSpace}L div h_k"))

@@ -255,9 +255,15 @@ object CorpusSelect {
       .select($"bucket", $"bucket_off")
     intra.join(bucketOff, "bucket")
       .withColumn("tok_offset", $"bucket_off" + $"intra_off")
+      // greatest(n_tok, 1): at n_tok = 0 the numerator would go to
+      // tok_offset - 1, where Spark `div` (truncate-toward-zero) and
+      // DuckDB `//` (floor) disagree on negatives (offset 0 → 0 vs
+      // -1). Unreachable with the current tokenizer (split('') yields
+      // one empty token) but guarded identically on both engines.
       .select($"doc_id", $"n_tok", $"tok_offset",
         expr(s"tok_offset div ${packBudget}L").as("pack_first"),
-        expr(s"(tok_offset + n_tok - 1) div ${packBudget}L").as("pack_last"))
+        expr(s"(tok_offset + greatest(n_tok, 1L) - 1) div ${packBudget}L")
+          .as("pack_last"))
       .withColumn("spans_boundary", $"pack_first" =!= $"pack_last")
       .orderBy($"doc_id")
   }
@@ -274,8 +280,9 @@ object CorpusSelect {
        |  FROM d)
        |SELECT doc_id, n_tok, tok_offset,
        |  tok_offset // $packBudget AS pack_first,
-       |  (tok_offset + n_tok - 1) // $packBudget AS pack_last,
-       |  tok_offset // $packBudget <> (tok_offset + n_tok - 1) // $packBudget AS spans_boundary
+       |  (tok_offset + GREATEST(n_tok, 1) - 1) // $packBudget AS pack_last,
+       |  tok_offset // $packBudget
+       |    <> (tok_offset + GREATEST(n_tok, 1) - 1) // $packBudget AS spans_boundary
        |FROM o ORDER BY doc_id""".stripMargin
 
   val all: Seq[Q] = Seq(

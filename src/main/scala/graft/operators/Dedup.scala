@@ -116,65 +116,75 @@ object Dedup {
     * every production near-dup stack).
     *
     * The cap never fires on the synthetic corpus (max df at sf0.1 is
-    * 25), so test hashes are unchanged; capPosting() has its own
+    * 25), so test hashes are unchanged; withShingleDf() has its own
     * synthetic-frame spec, and the fill path logs LOUDLY when real
     * data trips it.
     */
   private[graft] val shingleDfCap = 128L
 
-  /** Filter a (doc_id, shingle) posting to shingles with df ≤ cap.
-    * The df comes from a count window partitioned by shingle — one
-    * hash exchange on the shingle key, no driver collection, no
-    * broadcast of a (corpus-proportional) hot-key list.
+  /** Annotate a (doc_id, shingle) posting with the shingle's document
+    * frequency as `sh_df`. Callers apply the df-cap filter themselves
+    * (the cached posting keeps the annotated frame so the cap report
+    * and the filter share one computation). The df comes from a count
+    * window partitioned by shingle — one hash exchange on the shingle
+    * key, no driver collection, no broadcast of a
+    * (corpus-proportional) hot-key list.
     */
-  private[graft] def capPosting(posting: DataFrame, cap: Long): DataFrame = {
+  private[graft] def withShingleDf(posting: DataFrame): DataFrame = {
     import posting.sparkSession.implicits._
     val wSh = org.apache.spark.sql.expressions.Window.partitionBy($"shingle")
     posting.withColumn("sh_df", count(lit(1)).over(wSh))
   }
 
-  private[graft] def shinglePosting(spark: SparkSession, dir: String): DataFrame =
-    postingCache.synchronized {
+  private[graft] def shinglePosting(spark: SparkSession, dir: String): DataFrame = {
+    // build/lookup under the lock; the cap-report ACTION runs after
+    // release (a full cluster job under the monitor would block every
+    // concurrent caller for its duration)
+    var justFilled: DataFrame = null
+    val withDf = postingCache.synchronized {
       val key = (spark, dir)
       val hit = postingCache.get(key)
-      val withDf =
-        if (hit != null) hit
-        else {
-          import spark.implicits._
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy($"doc_id").orderBy($"pos")
-          val posting = capPosting(Tables(spark, dir).documents
-            .select($"doc_id", posexplode(tokens($"text")))
-            .withColumnRenamed("col", "t")
-            .select($"doc_id", $"pos", concat_ws(" ",
-              $"t", lead($"t", 1).over(w), lead($"t", 2).over(w)).as("shingle"),
-              lead($"t", 2).over(w).isNotNull.as("full"))
-            .filter($"full")
-            .select($"doc_id", $"shingle")
-            .dropDuplicates("doc_id", "shingle"), shingleDfCap)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          // loud cap report, once per cache fill (this action also
-          // warms the cache): silent key-dropping would read as
-          // "covered everything" when it didn't
-          val nHot = posting.filter(col("sh_df") > shingleDfCap)
-            .agg(countDistinct($"shingle")).head().getLong(0)
-          if (nHot > 0)
-            System.err.println(
-              s"[graft] shingle df-cap DROPPED $nHot boilerplate shingle(s) " +
-                s"(df > $shingleDfCap) from the dedup posting — near-dup " +
-                "similarity is defined over the remaining discriminative shingles")
-          postingCache.put(key, posting)
-          // keep at most 2 entries (tests interleave SF dirs); evict
-          // oldest with a real unpersist so storage stays bounded
-          while (postingCache.size() > 2) {
-            val eldest = postingCache.keySet().iterator().next()
-            val df = postingCache.remove(eldest)
-            try df.unpersist(false) catch { case _: Throwable => () }
-          }
-          posting
+      if (hit != null) hit
+      else {
+        import spark.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"pos")
+        val posting = withShingleDf(Tables(spark, dir).documents
+          .select($"doc_id", posexplode(tokens($"text")))
+          .withColumnRenamed("col", "t")
+          .select($"doc_id", $"pos", concat_ws(" ",
+            $"t", lead($"t", 1).over(w), lead($"t", 2).over(w)).as("shingle"),
+            lead($"t", 2).over(w).isNotNull.as("full"))
+          .filter($"full")
+          .select($"doc_id", $"shingle")
+          .dropDuplicates("doc_id", "shingle"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        postingCache.put(key, posting)
+        // keep at most 2 entries (tests interleave SF dirs); evict
+        // oldest with a real unpersist so storage stays bounded
+        while (postingCache.size() > 2) {
+          val eldest = postingCache.keySet().iterator().next()
+          val df = postingCache.remove(eldest)
+          try df.unpersist(false) catch { case _: Throwable => () }
         }
-      withDf.filter(col("sh_df") <= shingleDfCap).select("doc_id", "shingle")
+        justFilled = posting
+        posting
+      }
     }
+    if (justFilled != null) {
+      // loud cap report, once per cache fill (this action also warms
+      // the cache): silent key-dropping would read as "covered
+      // everything" when it didn't
+      val nHot = justFilled.filter(col("sh_df") > shingleDfCap)
+        .agg(countDistinct(col("shingle"))).head().getLong(0)
+      if (nHot > 0)
+        System.err.println(
+          s"[graft] shingle df-cap DROPPED $nHot boilerplate shingle(s) " +
+            s"(df > $shingleDfCap) from the dedup posting — near-dup " +
+            "similarity is defined over the remaining discriminative shingles")
+    }
+    withDf.filter(col("sh_df") <= shingleDfCap).select("doc_id", "shingle")
+  }
 
   /** Near-dup pairs (J >= 0.5) via the inverted index; shared by the
     * pair listing and the cluster builder.

@@ -149,6 +149,32 @@ object Streaming {
        |GROUP BY user_id, session_idx
        |ORDER BY user_id, session_start""".stripMargin
 
+  // ---- stream_dedup: batch contract of the streaming dedup ----
+  // EventsStream.dedupStreaming (dropDuplicatesWithinWatermark on
+  // event_id) is proven on the stream by StreamingSpec: feeding the
+  // input TWICE yields exactly the original rows. That contract is
+  // SQL-expressible, so the operator also carries a full oracle row:
+  // double the table, dedup on the id, and the result must hash-equal
+  // the base table. (Duplicate rows are bit-identical, so the batch
+  // dropDuplicates pick is deterministic.)
+
+  private def dedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).events
+    e.unionAll(e).dropDuplicates("event_id").orderBy($"event_id")
+  }
+
+  private val dedupSql =
+    """WITH doubled AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |    value, props
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+      |    value, props
+      |  FROM events)
+      |SELECT DISTINCT * FROM doubled ORDER BY event_id""".stripMargin
+
   // ---- stream_attribution: last-click attribution ----
   // Funnel attribution: each purchase is credited to the user's most
   // recent click within the preceding hour. The pair generation is a
@@ -193,6 +219,7 @@ object Streaming {
 
   val all: Seq[Q] = Seq(
     Q("stream_windowed_agg", windowedAgg, Some(windowedAggSql)),
+    Q("stream_dedup", dedup, Some(dedupSql)),
     Q("stream_attribution", attribution, Some(attributionSql)),
     Q("stream_sessionize", sessionize, Some(sessionizeSql)),
     Q("stream_sliding_window", slidingWindow, Some(slidingWindowSql)),

@@ -37,7 +37,7 @@ class DedupSpec extends AnyFunSuite {
       (3L, "delta eps zeta"))
       .toDF("doc_id", "shingle")
     val cap = 3L
-    val kept = graft.operators.Dedup.capPosting(posting, cap)
+    val kept = graft.operators.Dedup.withShingleDf(posting)
       .filter(col("sh_df") <= cap).select("doc_id", "shingle")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(kept == Set(
