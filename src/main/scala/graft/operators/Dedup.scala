@@ -419,8 +419,29 @@ object Dedup {
   private def seededSql(i: Int, h: String): String =
     s"(${seedA(i)} * $h + ${seedB(i)}) % $hashP"
 
-  private def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Cached LSH band-collision candidates, keyed like the posting
+    * cache. The signature/band/self-join stages are the expensive
+    * half of the minhash pipeline, and their result — the candidate
+    * pair list — is deterministic per (session, dir): steady-state
+    * reruns (and any downstream consumer) reuse the checkpointed
+    * frame instead of re-deriving it.
+    */
+  private val minhashCandCache =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true)
+
+  /** Candidate pairs (a_id < b_id) whose minhash signatures collide
+    * in at least one band. The materializing localCheckpoint job runs
+    * OUTSIDE the cache monitor (same reasoning as the posting cache's
+    * cap report): a concurrent first caller may duplicate the work,
+    * but never blocks on another caller's cluster job.
+    */
+  private[graft] def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val key = (spark, dir)
+    minhashCandCache.synchronized {
+      val hit = minhashCandCache.get(key)
+      if (hit != null) return hit
+    }
     val posting = shinglePosting(spark, dir)
     // signature via exploded postings + one codegen'd hash aggregate
     // (16 min-counters per doc in a single pass) instead of nested
@@ -438,7 +459,7 @@ object Dedup {
           struct(col(s"m${2 * b}").as("v1"), col(s"m${2 * b + 1}").as("v2"))): _*)))
       .select($"doc_id", $"pos".as("band_idx"),
         $"col.v1".as("v1"), $"col.v2".as("v2"))
-    // localCheckpoint: cand feeds BOTH the candidate-id broadcast and
+    // localCheckpoint: cand feeds BOTH the candidate-id semi-join and
     // the final join — without materialization the whole sigs→bands→
     // join subplan executes twice per action
     val cand = bands.select($"band_idx", $"v1", $"v2", $"doc_id".as("a_id"))
@@ -448,6 +469,24 @@ object Dedup {
           $"a_id" < $"b_id")
       .select($"a_id", $"b_id").distinct()
       .localCheckpoint()
+    minhashCandCache.synchronized {
+      val prior = minhashCandCache.get(key)
+      if (prior != null) prior
+      else {
+        minhashCandCache.put(key, cand)
+        while (minhashCandCache.size() > 2) {
+          val eldest = minhashCandCache.keySet().iterator().next()
+          minhashCandCache.remove(eldest) // checkpoint blocks freed on GC
+        }
+        cand
+      }
+    }
+  }
+
+  private def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val posting = shinglePosting(spark, dir)
+    val cand = minhashCandidates(spark, dir)
     // exact-Jaccard verification only on the few candidates, as
     // counting (semi-join the postings down to candidate docs, count
     // shared shingles) — no shingle arrays cross the shuffle.
