@@ -86,16 +86,14 @@ object Dedup {
     *
     * The posting is referenced 3-4x per dedup query (sizes + both
     * join sides) and by four different dedup queries, so it is
-    * persisted — but through a BOUNDED keyed cache, not a fresh
+    * persisted — but through the BOUNDED keyed PlanCache, not a fresh
     * persist per call: unbounded per-invocation persists would pin a
     * new copy every query for the life of the session (Bench runs
     * every query twice → a dozen pinned copies ≈ a storage leak).
+    * Evicted postings are actually unpersisted.
     */
-  // access-ORDER map: a cache hit refreshes the entry so eviction
-  // removes the least-recently-used posting, not the least-recently-
-  // inserted one (which could be the entry just used)
-  private val postingCache =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true)
+  private val postingCache = new graft.PlanCache(
+    onEvict = df => try df.unpersist(false) catch { case _: Throwable => () })
 
   /** Document-frequency cap on the shingle universe. A shingle that
     * occurs in more than this many documents is corpus boilerplate
@@ -137,51 +135,32 @@ object Dedup {
   }
 
   private[graft] def shinglePosting(spark: SparkSession, dir: String): DataFrame = {
-    // build/lookup under the lock; the cap-report ACTION runs after
-    // release (a full cluster job under the monitor would block every
-    // concurrent caller for its duration)
-    var justFilled: DataFrame = null
-    val withDf = postingCache.synchronized {
-      val key = (spark, dir)
-      val hit = postingCache.get(key)
-      if (hit != null) hit
-      else {
-        import spark.implicits._
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id").orderBy($"pos")
-        val posting = withShingleDf(Tables(spark, dir).documents
-          .select($"doc_id", posexplode(tokens($"text")))
-          .withColumnRenamed("col", "t")
-          .select($"doc_id", $"pos", concat_ws(" ",
-            $"t", lead($"t", 1).over(w), lead($"t", 2).over(w)).as("shingle"),
-            lead($"t", 2).over(w).isNotNull.as("full"))
-          .filter($"full")
-          .select($"doc_id", $"shingle")
-          .dropDuplicates("doc_id", "shingle"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        postingCache.put(key, posting)
-        // keep at most 2 entries (tests interleave SF dirs); evict
-        // oldest with a real unpersist so storage stays bounded
-        while (postingCache.size() > 2) {
-          val eldest = postingCache.keySet().iterator().next()
-          val df = postingCache.remove(eldest)
-          try df.unpersist(false) catch { case _: Throwable => () }
-        }
-        justFilled = posting
-        posting
-      }
-    }
-    if (justFilled != null) {
+    val withDf = postingCache.getOrBuild(spark, dir) {
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      val posting = withShingleDf(Tables(spark, dir).documents
+        .select($"doc_id", posexplode(tokens($"text")))
+        .withColumnRenamed("col", "t")
+        .select($"doc_id", $"pos", concat_ws(" ",
+          $"t", lead($"t", 1).over(w), lead($"t", 2).over(w)).as("shingle"),
+          lead($"t", 2).over(w).isNotNull.as("full"))
+        .filter($"full")
+        .select($"doc_id", $"shingle")
+        .dropDuplicates("doc_id", "shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // loud cap report, once per cache fill (this action also warms
-      // the cache): silent key-dropping would read as "covered
-      // everything" when it didn't
-      val nHot = justFilled.filter(col("sh_df") > shingleDfCap)
+      // the cache; the PlanCache builder runs outside its monitor):
+      // silent key-dropping would read as "covered everything" when
+      // it didn't
+      val nHot = posting.filter(col("sh_df") > shingleDfCap)
         .agg(countDistinct(col("shingle"))).head().getLong(0)
       if (nHot > 0)
         System.err.println(
           s"[graft] shingle df-cap DROPPED $nHot boilerplate shingle(s) " +
             s"(df > $shingleDfCap) from the dedup posting — near-dup " +
             "similarity is defined over the remaining discriminative shingles")
+      posting
     }
     withDf.filter(col("sh_df") <= shingleDfCap).select("doc_id", "shingle")
   }
