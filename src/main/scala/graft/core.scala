@@ -105,6 +105,7 @@ final case class Tables(spark: SparkSession, dir: String) {
   */
 private[graft] final class PlanCache(bound: Int = 2,
     onEvict: DataFrame => Unit = _ => ()) {
+  PlanCache.register(this)
   private val m =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true)
   def getOrBuild(spark: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
@@ -124,6 +125,24 @@ private[graft] final class PlanCache(bound: Int = 2,
       }
     }
   }
+  /** Drop every entry (releasing each through onEvict). */
+  def clear(): Unit = m.synchronized {
+    val it = m.values().iterator()
+    while (it.hasNext) { onEvict(it.next()); it.remove() }
+  }
+}
+
+private[graft] object PlanCache {
+  private val instances = scala.collection.mutable.ArrayBuffer.empty[PlanCache]
+  private def register(c: PlanCache): Unit =
+    instances.synchronized { instances += c }
+  /** Test hook: empty every cache so plan-shape specs assert against
+    * the FULL derivation plan, not a checkpoint scan left warm by an
+    * earlier suite (a warm cache would make a no-broadcast or
+    * no-cartesian guard pass vacuously).
+    */
+  def clearAll(): Unit =
+    instances.synchronized { instances.foreach(_.clear()) }
 }
 
 /** Determinism helpers for DuckDB-oracle parity.

@@ -67,12 +67,19 @@ object VectorFunctions {
     z ^ (z >>> 31)
   }
 
+  /** Rows in the tabulated sign pool: single signatures use the first
+    * `planes` ≤ lshMaxPlanes rows; BANDED blocking (OR-amplified
+    * candidate recall, à la minhash bands) consumes `bands × planes`
+    * distinct rows, so the pool is deeper than one signature's cap.
+    */
+  val lshSignRows = 128
+
   /** Deterministic ±1 hyperplane components, tabulated once to the
-    * width ceiling; a signature of p planes uses the first p rows, so
+    * pool depth; a signature of p planes uses rows [off, off+p), so
     * widening a signature never changes the existing bits.
     */
   private lazy val lshSigns: Array[Array[Int]] =
-    Array.tabulate(lshMaxPlanes, lshDim)((j, i) =>
+    Array.tabulate(lshSignRows, lshDim)((j, i) =>
       if ((mix64(j.toLong * lshDim + i) & 1L) == 1L) 1 else -1)
 
   /** The signature-width dial, mechanized: the number of hyperplanes
@@ -86,33 +93,48 @@ object VectorFunctions {
     */
   def lshPlanesFor(n: Long, targetBucket: Long = 8L): Int = {
     require(n > 0 && targetBucket > 0, s"need n, targetBucket > 0")
-    val ratio = math.max(1.0, n.toDouble / targetBucket)
-    val p = math.ceil(math.log(ratio) / math.log(2)).toInt
+    // integer ceil-log2 of ceil(n/target): smallest p with 2^p·t ≥ n.
+    // (floating log2 overshoots at exact powers of two — log(2^29)/
+    // log(2) = 29.000000000000004 — which would add a spurious plane
+    // and break the one-plane-per-doubling law right at the ratios
+    // the law pivots on)
+    val buckets = (n + targetBucket - 1) / targetBucket // ceil(n/t) ≥ 1
+    val p =
+      if (buckets <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
     math.min(lshMaxPlanes, math.max(1, p))
   }
 
-  /** p-bit signature: bit j = sign of Σ_i e[i]·pm(j,i). The dot is
-    * an UNROLLED strict left-to-right sum of codegen'd double terms,
-    * so every intermediate rounding matches the oracle's identically
-    * unrolled expression (and it JITs instead of running interpreted
-    * lambdas).
+  /** p-bit signature from sign-pool rows [off, off+p): bit j = sign
+    * of Σ_i e[i]·pm(off+j,i). The dot is an UNROLLED strict
+    * left-to-right sum of codegen'd double terms, so every
+    * intermediate rounding matches the oracle's identically unrolled
+    * expression (and it JITs instead of running interpreted lambdas).
     */
-  def lshSig(e: Column, planes: Int): Column =
+  def lshSigAt(e: Column, planes: Int, off: Int): Column = {
+    require(off + planes <= lshSignRows, s"sign pool exhausted: $off+$planes")
     (0 until planes).map { j =>
       val dot = (0 until lshDim).map { i =>
         val x = element_at(e, i + 1).cast("double")
-        if (lshSigns(j)(i) > 0) x else -x
+        if (lshSigns(off + j)(i) > 0) x else -x
       }.reduceLeft(_ + _)
       when(dot >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+  }
 
-  /** DuckDB twin of lshSig over a list column expression. */
-  def lshSigSql(e: String, planes: Int): String =
+  def lshSig(e: Column, planes: Int): Column = lshSigAt(e, planes, 0)
+
+  /** DuckDB twin of lshSigAt over a list column expression. */
+  def lshSigAtSql(e: String, planes: Int, off: Int): String = {
+    require(off + planes <= lshSignRows, s"sign pool exhausted: $off+$planes")
     (0 until planes).map { j =>
       val dot = (0 until lshDim).map { i =>
-        val sgn = if (lshSigns(j)(i) > 0) "" else "-"
+        val sgn = if (lshSigns(off + j)(i) > 0) "" else "-"
         s"${sgn}CAST($e[${i + 1}] AS DOUBLE)"
       }.mkString(" + ")
       s"(CASE WHEN $dot >= 0.0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+  }
+
+  def lshSigSql(e: String, planes: Int): String = lshSigAtSql(e, planes, 0)
 }

@@ -188,7 +188,11 @@ object Dedup {
     * checkpointed pair list is cached like the posting.
     */
   private def ngramPairs(spark: SparkSession, dir: String): DataFrame =
-      ngramPairCache.getOrBuild(spark, dir) {
+    ngramPairCache.getOrBuild(spark, dir)(
+      ngramPairsPlan(spark, dir).localCheckpoint())
+
+  /** The UNCHECKPOINTED pair derivation (for the plan-shape guards). */
+  private[graft] def ngramPairsPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val posting = shinglePosting(spark, dir)
     val sizes = docShingleSizes(spark, dir)
@@ -204,7 +208,6 @@ object Dedup {
         ($"a_n" + $"b_n" - $"n_common").cast(DoubleType))
       .filter($"jaccard" >= 0.5)
       .select($"a_id", $"b_id", $"jaccard")
-      .localCheckpoint()
   }
 
   private def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
@@ -280,26 +283,14 @@ object Dedup {
     * localCheckpoint, so eviction just drops the reference (the
     * checkpoint blocks free with it via the ContextCleaner).
     */
-  private val ccCache =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](16, 0.75f, true)
+  private val ccCache = new graft.PlanCache()
 
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
-    ccCache.synchronized {
-      val key = (spark, dir)
-      val hit = ccCache.get(key)
-      if (hit != null) hit
-      else {
-        import spark.implicits._
-        val labels = connectedComponents(
-          ngramPairs(spark, dir).select($"a_id", $"b_id")).localCheckpoint()
-        ccCache.put(key, labels)
-        while (ccCache.size() > 2) {
-          val eldest = ccCache.keySet().iterator().next()
-          ccCache.remove(eldest)
-        }
-        labels
-      }
-    }
+      ccCache.getOrBuild(spark, dir) {
+    import spark.implicits._
+    connectedComponents(
+      ngramPairs(spark, dir).select($"a_id", $"b_id")).localCheckpoint()
+  }
 
   private def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -430,7 +421,13 @@ object Dedup {
     * in at least one band, checkpointed and cached per (session, dir).
     */
   private[graft] def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
-      minhashCandCache.getOrBuild(spark, dir) {
+    minhashCandCache.getOrBuild(spark, dir)(
+      minhashCandidatesPlan(spark, dir).localCheckpoint())
+
+  /** The UNCHECKPOINTED candidate derivation — the plan the shape
+    * guards assert on (the cached form reduces to a checkpoint scan).
+    */
+  private[graft] def minhashCandidatesPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val posting = shinglePosting(spark, dir)
     // signature via exploded postings + one codegen'd hash aggregate
@@ -585,7 +582,11 @@ object Dedup {
     * signatures are a deterministic corpus artifact like the posting.
     */
   private def simhashDocs(spark: SparkSession, dir: String): DataFrame =
-      simhashSigCache.getOrBuild(spark, dir) {
+    simhashSigCache.getOrBuild(spark, dir)(
+      simhashDocsPlan(spark, dir).localCheckpoint())
+
+  /** The UNCHECKPOINTED signature derivation (for plan-shape guards). */
+  private[graft] def simhashDocsPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // single-pass formulation: explode tokens, then one codegen'd
     // hash aggregate with 60 ±1 vote counters per doc — nested
@@ -606,7 +607,6 @@ object Dedup {
       (0 until simBits).map(j =>
         when(col(s"v$j") >= 0L, lit(1L << j)).otherwise(lit(0L)))
         .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
-      .localCheckpoint()
   }
 
   private def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
@@ -682,57 +682,94 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
-  // ---- dedup_embedding: cosine near-dup, LSH-sign-bucket blocked ----
+  // ---- dedup_embedding: cosine near-dup, banded LSH blocking ----
   // Top-20 most similar candidate pairs (the synthetic corpus has
   // no planted embedding dups, so a fixed top-k keeps the check
   // non-empty at every SF).
   //
-  // Candidates come from an equi-join on (random-hyperplane sign
-  // bucket, label): bucket population is held near-constant by the
-  // signature width (VectorFunctions.lshPlanesFor — one extra plane
-  // per corpus doubling), so pair work per bucket is a build-time
-  // constant and total candidate work is O(n·targetBucket), NOT the
-  // O(n²/L) all-pairs scan that blocking on the small-cardinality
-  // label alone degenerates to at 100×. Label stays as a secondary
-  // filter (the reference's near-dup semantics are within-cluster).
-  // The width here is pinned (like ann_lsh's) because the DuckDB
-  // twin embeds the literal sign matrix in a static SQL string; a
-  // production caller passes lshPlanesFor(corpusCount).
+  // Candidates come from equi-joins on (band, band-signature, label)
+  // — embBands independent embPlanes-bit sign signatures, a pair
+  // being a candidate if ANY band matches (the same OR-amplification
+  // the minhash bands use: one AND-ed signature alone keeps only
+  // (1-θ/π)^p of the true near-dups — ~29% at cosine 0.9 — while 8
+  // OR-ed bands keep ~93%). Per-band bucket population is held
+  // near-constant by the width dial (VectorFunctions.lshPlanesFor),
+  // so pair work per bucket is a build-time constant and total
+  // candidate work is O(bands·n·targetBucket) — NOT the O(n²/L)
+  // all-pairs scan that blocking on the small-cardinality label
+  // alone degenerates to at 100×. Label stays as a secondary filter
+  // (the reference's near-dup semantics are within-cluster). Widths
+  // are pinned (like ann_lsh's) because the DuckDB twin embeds the
+  // literal sign matrix in a static SQL string; a production caller
+  // passes lshPlanesFor(corpusCount).
 
-  private[graft] val embPlanes = 8
+  private[graft] val embPlanes = 8 // per band
+  private[graft] val embBands = 8
+
+  /** Banded candidate pairs — a deterministic corpus artifact
+    * (signatures + band self-join), cached like the minhash
+    * candidates; the cosine scoring below stays live.
+    */
+  private val embCandCache = new graft.PlanCache()
+  private def embCandidates(spark: SparkSession, dir: String): DataFrame =
+    embCandCache.getOrBuild(spark, dir)(
+      embCandidatesPlan(spark, dir).localCheckpoint())
+
+  /** The UNCHECKPOINTED candidate derivation (for plan-shape guards). */
+  private[graft] def embCandidatesPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = Similarity.lshIndex(spark, dir)
+    val bandSigs = v.select($"vec_id", $"label",
+      posexplode(array((0 until embBands).map(b =>
+        VectorFunctions.lshSigAt($"embedding", embPlanes, b * embPlanes)): _*)))
+      .select($"vec_id", $"label", $"pos".as("band_idx"), $"col".as("band_sig"))
+    bandSigs.select($"band_idx", $"band_sig", $"label", $"vec_id".as("a_id"))
+      .join(bandSigs.select($"band_idx".as("b_bi"), $"band_sig".as("b_bs"),
+        $"label".as("b_label"), $"vec_id".as("b_id")),
+        $"band_idx" === $"b_bi" && $"band_sig" === $"b_bs" &&
+          $"label" === $"b_label" && $"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+  }
 
   private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // the signed corpus comes from the shared cached LSH index
-    // (Similarity.lshIndex): embPlanes == Similarity.lshPlanes is
-    // pinned by LshSpec, so the bucket column is the same signature
     val v = Similarity.lshIndex(spark, dir)
-      .select($"vec_id", $"label", $"embedding", $"nrm", $"bucket")
-    val a = v.select($"vec_id".as("a_id"), $"label", $"bucket",
-      $"embedding".as("a_e"), $"nrm".as("a_n"))
-    val b = v.select($"vec_id".as("b_id"), $"label".as("b_label"),
-      $"bucket".as("b_bucket"), $"embedding".as("b_e"), $"nrm".as("b_n"))
-    a.join(b, $"bucket" === $"b_bucket" && $"label" === $"b_label" &&
-        $"a_id" < $"b_id")
+      .select($"vec_id", $"embedding", $"nrm")
+    embCandidates(spark, dir)
+      .join(v.select($"vec_id".as("a_id"), $"embedding".as("a_e"),
+        $"nrm".as("a_n")), "a_id")
+      .join(v.select($"vec_id".as("b_id"), $"embedding".as("b_e"),
+        $"nrm".as("b_n")), "b_id")
       .select($"a_id", $"b_id",
         (VectorFunctions.dot($"a_e", $"b_e") / ($"a_n" * $"b_n")).as("cosine"))
       .orderBy($"cosine".desc, $"a_id", $"b_id")
       .limit(20)
   }
 
-  private val dedupEmbeddingSql =
+  private val dedupEmbeddingSql = {
+    val arms = (0 until embBands).map(b =>
+      s"SELECT vec_id, label, $b AS band_idx, " +
+        s"${VectorFunctions.lshSigAtSql("e", embPlanes, b * embPlanes)} AS band_sig FROM v")
+      .mkString("\n  UNION ALL ")
     s"""WITH v AS (
        |  SELECT vec_id, label, embedding AS e,
-       |    ${VectorFunctions.normSql("embedding")} AS nrm,
-       |    ${VectorFunctions.lshSigSql("embedding", embPlanes)} AS bucket
-       |  FROM embeddings)
-       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       |  ${VectorFunctions.dotSql("a.e", "b.e", 64)} / (a.nrm * b.nrm) AS cosine
-       |FROM v a JOIN v b
-       |  ON a.bucket = b.bucket AND a.label = b.label
-       |  AND a.vec_id < b.vec_id
+       |    ${VectorFunctions.normSql("embedding")} AS nrm
+       |  FROM embeddings),
+       |bands AS (
+       |  $arms),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+       |    AND a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT a_id, b_id,
+       |  ${VectorFunctions.dotSql("va.e", "vb.e", 64)} / (va.nrm * vb.nrm) AS cosine
+       |FROM cand
+       |JOIN v va ON va.vec_id = a_id
+       |JOIN v vb ON vb.vec_id = b_id
        |ORDER BY cosine DESC, a_id, b_id
        |LIMIT 20""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),

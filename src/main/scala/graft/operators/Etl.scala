@@ -100,7 +100,10 @@ object Etl {
     * belonging to the tables it is being run against. The write is a
     * bounded side job (≤ years×flows×13 rows, coalesced to one file).
     */
-  private def rawBookFile(spark: SparkSession, dir: String): DataFrame = {
+  private val rawBookCache = new graft.PlanCache()
+
+  private def rawBookFile(spark: SparkSession, dir: String): DataFrame =
+      rawBookCache.getOrBuild(spark, dir) {
     import spark.implicits._
     val n = Tables(spark, dir).orders.count()
     val path = s"$rawRoot/v1_sf_$n"

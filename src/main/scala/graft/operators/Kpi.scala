@@ -281,7 +281,14 @@ object Kpi {
   private val catMonthlyCache = new graft.PlanCache()
 
   private def catMonthly(spark: SparkSession, dir: String): DataFrame =
-      catMonthlyCache.getOrBuild(spark, dir) {
+    catMonthlyCache.getOrBuild(spark, dir)(
+      catMonthlyPlan(spark, dir).localCheckpoint())
+
+  /** The UNCHECKPOINTED grain derivation — carries the lineitem⋈part
+    * join the no-forced-broadcast guard asserts on (the cached form
+    * reduces to a checkpoint scan).
+    */
+  private[graft] def catMonthlyPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)
     t.lineitem
@@ -293,7 +300,6 @@ object Kpi {
       .agg(
         Det.dsum(when($"l_linestatus" === "F", $"l_extendedprice")).as("exp"),
         Det.dsum(when($"l_linestatus" === "O", $"l_extendedprice")).as("imp"))
-      .localCheckpoint()
   }
 
   private def prodMonthly(spark: SparkSession, dir: String): DataFrame = {

@@ -54,7 +54,14 @@ object Similarity {
     val key = (spark, dir)
     val hit = queryCountCache.get(key)
     if (hit != null) hit.longValue()
-    else { val n = q.count(); queryCountCache.putIfAbsent(key, n); n }
+    else {
+      val n = q.count()
+      // longs only, but keys retain sessions — bound like the frame
+      // caches (a clear just means one re-count)
+      if (queryCountCache.size > 8) queryCountCache.clear()
+      queryCountCache.putIfAbsent(key, n)
+      n
+    }
   }
 
   // ---- ann_bruteforce: exact cosine top-5 per query ----

@@ -14,7 +14,9 @@ class LshSpec extends AnyFunSuite {
   import TestSpark._
 
   test("growth law: one extra plane per corpus doubling") {
-    for (n <- Seq(100L, 1000L, 50000L, 10000000L)) {
+    // 2^32 = 8·2^29 sits exactly on a power-of-two ratio, where a
+    // floating log2 overshoots (log(2^29)/log(2) = 29.000000000000004)
+    for (n <- Seq(100L, 1000L, 50000L, 10000000L, 1L << 32, 1L << 40)) {
       val p = VectorFunctions.lshPlanesFor(n)
       assert(VectorFunctions.lshPlanesFor(2 * n) == p + 1,
         s"doubling $n must add exactly one plane")
@@ -23,7 +25,7 @@ class LshSpec extends AnyFunSuite {
 
   test("expected bucket size stays in (target/2, target] at any scale") {
     val t = 8L
-    for (n <- Seq(9L, 100L, 2000L, 1000000L, 10000000000L)) {
+    for (n <- Seq(9L, 100L, 2000L, 1000000L, 10000000000L, 1L << 32, (1L << 33) + 1)) {
       val p = VectorFunctions.lshPlanesFor(n, t)
       val expected = n.toDouble / (1L << p)
       assert(expected <= t && expected > t / 2.0,
@@ -54,7 +56,7 @@ class LshSpec extends AnyFunSuite {
       val buckets = e
         .select(VectorFunctions.lshSig(col("embedding"), planes).as("b"))
         .groupBy("b").count()
-        .agg(avg("count")).head.getDouble(0)
+        .agg(avg("count")).head().getDouble(0)
       (n, buckets)
     }
     val (n1, occ1) = meanOccupancy("/root/testdata/sf0.001")

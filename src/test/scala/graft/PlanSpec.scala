@@ -8,8 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanSpec extends AnyFunSuite {
   import TestSpark._
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // cold-path plan: drop every cached corpus artifact first, so the
+    // assertions see the FULL derivation (a posting/candidate/model
+    // cache left warm by an earlier suite would reduce the plan to a
+    // checkpoint scan and make no-broadcast/no-cartesian guards pass
+    // vacuously)
+    PlanCache.clearAll()
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  }
 
   test("q2 pushes its filters into the parquet scan") {
     val p = plan("q2_filter_project")
@@ -39,12 +46,18 @@ class PlanSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      for (q <- Seq("q3_join_agg_topk", "q4_multijoin", "kpi_prod_monthly",
+      for (q <- Seq("q3_join_agg_topk", "q4_multijoin",
                     "kpi_ranking", "kpi_rank_shift", "kpi_exec_summary")) {
         val p = plan(q)
         assert(!p.contains("BroadcastExchange"),
           s"$q force-broadcasts an SF-proportional frame")
       }
+      // kpi_prod_monthly's part join lives in the cached catMonthly
+      // grain — assert on its UNCHECKPOINTED builder plan
+      val pm = graft.operators.Kpi.catMonthlyPlan(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!pm.contains("BroadcastExchange"),
+        "catMonthly force-broadcasts the part dimension")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
@@ -57,6 +70,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup pair generation is equi-join, never cartesian") {
+    // the candidate/pair derivations live behind PlanCache +
+    // localCheckpoint, so the final query plans reduce them to
+    // checkpoint scans — assert on the UNCHECKPOINTED builder plans
+    // (the *Plan variants) as well as the live query halves
+    import graft.operators.Dedup
+    val builders = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      "ngramPairs" -> (() => Dedup.ngramPairsPlan(spark, sf)),
+      "minhashCandidates" -> (() => Dedup.minhashCandidatesPlan(spark, sf)),
+      "simhashDocs" -> (() => Dedup.simhashDocsPlan(spark, sf)),
+      "embCandidates" -> (() => Dedup.embCandidatesPlan(spark, sf)))
+    for ((name, b) <- builders) {
+      val p = b().queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name has a nested-loop join")
+    }
     for (q <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
                   "dedup_embedding")) {
       val p = plan(q)

@@ -10,6 +10,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("event_id is unique — the contract behind stream_dedup's oracle") {
+    // the stream_dedup oracle dedups the doubled table with DISTINCT *
+    // while the Spark side uses dropDuplicates("event_id"); those
+    // coincide only while every event_id maps to ONE payload. Pin the
+    // data contract so a future generator change surfaces here, as a
+    // named failure, instead of as an oracle hash mismatch.
+    val e = Tables(spark, sf).events
+    assert(e.count() == e.select("event_id").distinct().count(),
+      "duplicate event_id with potentially divergent payloads")
+  }
+
   test("streaming windowed agg == batch windowed agg") {
     val stream = EventsStream.windowedAggStreaming(
       EventsStream.readStreamEvents(spark, sf))
