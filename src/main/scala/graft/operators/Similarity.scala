@@ -323,11 +323,59 @@ object Similarity {
        |GROUP BY cluster_id
        |ORDER BY cluster_id""".stripMargin
 
+  // ---- ann_quantize: symmetric int8 embedding quantization ----
+  // The standard memory lever for corpus-scale vector search: float32
+  // → int8 + one float scale per vector is 4× less storage and
+  // shuffle for every ANN stage downstream. Per-vector symmetric
+  // scheme: scale = amax/127, q_i = trunc(e_i/scale) — truncation
+  // toward zero on BOTH engines (Spark CAST INT truncates; DuckDB
+  // CAST rounds, so the oracle spells trunc() explicitly). Fidelity
+  // is reported as cosine(original, dequantized); scale cancels in
+  // the cosine, so it is computed exactly over the int vector. A
+  // narrow projection with zero shuffles — embarrassingly parallel
+  // at any corpus size.
+
+  private def annQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val amax = aggregate(
+      transform($"embedding", x => abs(x.cast("double"))),
+      lit(0.0), (a, x) => greatest(a, x))
+    val q = transform($"embedding",
+      x => (x.cast("double") / $"scale").cast("int"))
+    Tables(spark, dir).embeddings
+      .select($"vec_id", $"embedding", (amax / 127.0).as("scale"))
+      .withColumn("q", q)
+      .select($"vec_id", $"scale",
+        concat_ws(",", transform($"q", _.cast("string"))).as("q_csv"),
+        (dot($"embedding", $"q".cast("array<double>")) /
+          (norm($"embedding") * norm($"q".cast("array<double>"))))
+          .as("cos_fidelity"))
+      .orderBy($"vec_id")
+  }
+
+  private val annQuantizeSql = {
+    val amax =
+      "list_reduce(list_prepend(0.0, [abs(CAST(x AS DOUBLE)) for x in embedding]), (a, x) -> greatest(a, x))"
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding, $amax / 127.0 AS scale
+       |  FROM embeddings),
+       |qt AS (
+       |  SELECT vec_id, scale, embedding,
+       |    [CAST(trunc(CAST(x AS DOUBLE) / scale) AS INTEGER) for x in embedding] AS q
+       |  FROM s)
+       |SELECT vec_id, scale,
+       |  list_aggregate([CAST(x AS VARCHAR) for x in q], 'string_agg', ',') AS q_csv,
+       |  ${dotSql("embedding", "q", 64)}
+       |    / (${normSql("embedding")} * ${normSql("q")}) AS cos_fidelity
+       |FROM qt ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("ann_bruteforce", annBrute, Some(annBruteSql)),
     Q("ann_lsh", annLsh, Some(annLshSql)),
     Q("ann_ivf", annIvf, Some(annIvfSqlProbe(1))),
     Q("ann_ivf_multiprobe", annIvfMulti, Some(annIvfSqlProbe(2))),
-    Q("ann_kmeans_step", annKmeansStep, Some(annKmeansStepSql))
+    Q("ann_kmeans_step", annKmeansStep, Some(annKmeansStepSql)),
+    Q("ann_quantize", annQuantize, Some(annQuantizeSql))
   )
 }
