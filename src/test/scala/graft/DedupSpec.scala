@@ -96,6 +96,52 @@ class DedupSpec extends AnyFunSuite {
     assert(cos.sameElements(cos.sorted(Ordering[Double].reverse)))
   }
 
+  test("banded LSH blocking recovers planted high-cosine pairs") {
+    // The oracle applies the same banding as the Spark plan, so it
+    // cannot detect lost recall — and the synthetic corpus has no
+    // true near-dups (its top within-label cosine is ~0.45, where NO
+    // sign-LSH discriminates). So the recall property is proven on
+    // PLANTED pairs: 40 random unit vectors, each with a ~0.97-cosine
+    // perturbation. At cos 0.97 a single 8-plane band matches with
+    // p = (1-θ/π)^8 ≈ 0.52; 8 OR-ed bands ≈ 0.997 — near-total
+    // recall, where one AND-ed signature alone would lose half.
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def cosOf(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val pairs = (0 until 40).map { i =>
+      val v = unit()
+      val g = unit()
+      val w = v.zip(g).map { case (x, y) => x + 0.25f * y }
+      (i.toLong, v, w)
+    }
+    val nearDup = pairs.filter(p => cosOf(p._2, p._3) >= 0.9)
+    assert(nearDup.size >= 30, "perturbation should mostly stay above cos 0.9")
+    val df = pairs.flatMap { case (i, v, w) =>
+      Seq((2 * i, v.toSeq), (2 * i + 1, w.toSeq)) }
+      .toDF("vid", "embedding")
+    val bandCols = (0 until graft.operators.Dedup.embBands).map(b =>
+      VectorFunctions.lshSigAt($"embedding",
+        graft.operators.Dedup.embPlanes,
+        b * graft.operators.Dedup.embPlanes).as(s"b$b"))
+    val sigs = df.select(($"vid" +: bandCols): _*).collect()
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.getLong).toVector)
+      .toMap
+    val recovered = nearDup.count { case (i, _, _) =>
+      sigs(2 * i).zip(sigs(2 * i + 1)).exists { case (a, b) => a == b } }
+    assert(recovered >= (nearDup.size * 9) / 10,
+      s"banded blocking recovered only $recovered/${nearDup.size} planted pairs")
+  }
+
   test("ann_lsh candidates score identically to brute force") {
     val brute = q("ann_bruteforce").select("q_id", "neighbor_id", "cosine")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
