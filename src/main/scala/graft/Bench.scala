@@ -84,6 +84,12 @@ object Bench {
     val dataValue = math.max(0.0, total - floor * nOk)
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+        // measurement mode, stated for the record: per-query min of 2
+        // measured passes after one warmup pass; deterministic corpus
+        // artifacts (postings, signatures, candidate pairs, KPI
+        // models, LSH/IVF indexes) are cached across passes — i.e.
+        // steady-state operator latency, build-once costs excluded
+        s""""mode":"steady-state: min of 2 passes, corpus artifacts cached",""" +
         s""""floor_per_query_sec":${ms(floor)},""" +
         s""""floor_per_stage_sec":${ms(floorShuffle)},""" +
         s""""floor_total_sec":${ms(floor * nOk)},""" +
