@@ -587,13 +587,27 @@ object Kpi {
   // Book total (orders.o_totalprice) vs recomputed from line items,
   // per year — the reference's "annual total vs sum of months" check.
 
-  private def qaTotals(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-order line-total rollup (the order_totals model): the QA
+    * check's recomputed side, one row per order, cached like the
+    * other materialized grains. At 100 TB this pre-aggregation is
+    * the fact-fact join input the bucketed zero-exchange layout
+    * (SourcesSpec) exists for.
+    */
+  private val orderTotalsCache = new graft.PlanCache()
+  private def orderTotals(spark: SparkSession, dir: String): DataFrame =
+      orderTotalsCache.getOrBuild(spark, dir) {
     import spark.implicits._
-    val t = Tables(spark, dir)
-    val lines = t.lineitem
+    Tables(spark, dir).lineitem
       .groupBy($"l_orderkey")
       .agg(Det.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") *
         (lit(1.0) + $"l_tax")).as("lines_usd"))
+      .localCheckpoint()
+  }
+
+  private def qaTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val lines = orderTotals(spark, dir)
     t.orders
       .join(lines, $"o_orderkey" === $"l_orderkey", "left")
       .groupBy(year($"o_orderdate").as("yr"))
