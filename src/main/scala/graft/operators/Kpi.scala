@@ -321,16 +321,24 @@ object Kpi {
       .orderBy($"category", $"yr", $"mon")
   }
 
-  private val prodMonthlySql = {
-    val over = "(PARTITION BY category ORDER BY yr, mon ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
-    s"""WITH m AS (
+  /** DuckDB twin of the catMonthly grain — the `m` CTE shared by
+    * every oracle that reads the materialized trade_prod model
+    * (prod_monthly, ranking, rank_shift, exec_summary's top
+    * category), so the model definition exists once per engine.
+    */
+  private val catMonthlySqlCte =
+    s"""m AS (
        |  SELECT p_type AS category,
        |    CAST(year(l_shipdate) AS INTEGER) AS yr,
        |    CAST(month(l_shipdate) AS INTEGER) AS mon,
        |    ${Det.dsumSql("CASE WHEN l_linestatus = 'F' THEN l_extendedprice END")} AS exp,
        |    ${Det.dsumSql("CASE WHEN l_linestatus = 'O' THEN l_extendedprice END")} AS imp
        |  FROM lineitem JOIN part ON l_partkey = p_partkey
-       |  GROUP BY category, yr, mon)
+       |  GROUP BY category, yr, mon)""".stripMargin
+
+  private val prodMonthlySql = {
+    val over = "(PARTITION BY category ORDER BY yr, mon ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+    s"""WITH $catMonthlySqlCte
        |SELECT category, yr, mon, exp, imp,
        |  (exp - imp) AS balance,
        |  (exp / imp) AS cov_ratio,
@@ -634,18 +642,17 @@ object Kpi {
 
   // ---- kpi_ranking: category leaderboard (app.py:609-624) ----
 
+  // Reads the MATERIALIZED trade_prod model (cached catMonthly) —
+  // the reference's app.py ranks from the warehouse table, not from
+  // raw files. Re-summing the monthly doubles goes through the same
+  // exact-decimal accumulator so the result is order-independent on
+  // both engines.
   private def ranking(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val t = Tables(spark, dir)
-    val j = t.lineitem
-      .filter(year($"l_shipdate").between(1996, 2000))
-      .select($"l_partkey", $"l_linestatus", $"l_extendedprice")
-      .join(t.part.select($"p_partkey", $"p_type"),
-        $"l_partkey" === $"p_partkey")
-    val agg = j.groupBy($"p_type".as("category"))
-      .agg(
-        Det.dsum(when($"l_linestatus" === "F", $"l_extendedprice")).as("exp"),
-        Det.dsum(when($"l_linestatus" === "O", $"l_extendedprice")).as("imp"))
+    val agg = catMonthly(spark, dir)
+      .filter($"yr".between(1996, 2000))
+      .groupBy($"category")
+      .agg(Det.dsum($"exp").as("exp"), Det.dsum($"imp").as("imp"))
       .withColumn("balance_usd", $"exp" - $"imp")
       .withColumn("coverage", $"exp" / $"imp")
     val w = Window.orderBy($"exp".desc, $"category")
@@ -655,12 +662,12 @@ object Kpi {
   }
 
   private val rankingSql =
-    s"""WITH a AS (
-       |  SELECT p_type AS category,
-       |    ${Det.dsumSql("CASE WHEN l_linestatus = 'F' THEN l_extendedprice END")} AS exp,
-       |    ${Det.dsumSql("CASE WHEN l_linestatus = 'O' THEN l_extendedprice END")} AS imp
-       |  FROM lineitem JOIN part ON l_partkey = p_partkey
-       |  WHERE year(l_shipdate) BETWEEN 1996 AND 2000
+    s"""WITH $catMonthlySqlCte,
+       |a AS (
+       |  SELECT category,
+       |    ${Det.dsumSql("exp")} AS exp,
+       |    ${Det.dsumSql("imp")} AS imp
+       |  FROM m WHERE yr BETWEEN 1996 AND 2000
        |  GROUP BY category)
        |SELECT ROW_NUMBER() OVER (ORDER BY exp DESC, category) AS rk,
        |  category, exp, imp,
@@ -693,15 +700,15 @@ object Kpi {
   // ---- kpi_rank_shift: category rank by year + movement vs the
   // prior year (app.py ranking tab's winners/losers view).
 
+  // Annual totals from the materialized monthly model (all flows:
+  // l_linestatus ∈ {F, O}, so usd = exp + imp, coalesced because a
+  // category-month can be single-flow).
   private def rankShift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val t = Tables(spark, dir)
-    val annual = t.lineitem
-      .select($"l_partkey", year($"l_shipdate").as("yr"), $"l_extendedprice")
-      .join(t.part.select($"p_partkey", $"p_type"),
-        $"l_partkey" === $"p_partkey")
-      .groupBy($"p_type".as("category"), $"yr")
-      .agg(Det.dsum($"l_extendedprice").as("usd"))
+    val annual = catMonthly(spark, dir)
+      .groupBy($"category", $"yr")
+      .agg(Det.dsum(coalesce($"exp", lit(0.0)) + coalesce($"imp", lit(0.0)))
+        .as("usd"))
     val wRank = Window.partitionBy($"yr").orderBy($"usd".desc, $"category")
     val wLag = Window.partitionBy($"category").orderBy($"yr")
     annual
@@ -713,11 +720,11 @@ object Kpi {
   }
 
   private val rankShiftSql =
-    s"""WITH a AS (
-       |  SELECT p_type AS category, CAST(year(l_shipdate) AS INTEGER) AS yr,
-       |    ${Det.dsumSql("l_extendedprice")} AS usd
-       |  FROM lineitem JOIN part ON l_partkey = p_partkey
-       |  GROUP BY category, yr),
+    s"""WITH $catMonthlySqlCte,
+       |a AS (
+       |  SELECT category, yr,
+       |    ${Det.dsumSql("COALESCE(exp, 0.0) + COALESCE(imp, 0.0)")} AS usd
+       |  FROM m GROUP BY category, yr),
        |r AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY yr ORDER BY usd DESC, category) AS rk
        |  FROM a)
@@ -865,15 +872,16 @@ object Kpi {
         Det.dsum(when($"o_orderstatus" === "F", $"o_totalprice")).as("total_exp"),
         Det.dsum(when($"o_orderstatus" =!= "F", $"o_totalprice")).as("total_imp"))
       .withColumn("balance", $"total_exp" - $"total_imp")
-    val topCat = t.lineitem
-      .filter(year($"l_shipdate") === 2001 && $"l_linestatus" === "F")
-      .join(t.part.select($"p_partkey", $"p_type"),
-        $"l_partkey" === $"p_partkey")
-      .groupBy($"p_type")
-      .agg(Det.dsum($"l_extendedprice").as("cat_exp"))
-      .orderBy($"cat_exp".desc, $"p_type")
+    // leading category from the materialized trade_prod model (the
+    // reference's build_summary_insights reads the warehouse table)
+    val topCat = catMonthly(spark, dir)
+      .filter($"yr" === 2001)
+      .groupBy($"category")
+      .agg(Det.dsum($"exp").as("cat_exp"))
+      .filter($"cat_exp".isNotNull)
+      .orderBy($"cat_exp".desc, $"category")
       .limit(1)
-      .select($"p_type".as("top_category"), $"cat_exp".as("top_value"))
+      .select($"category".as("top_category"), $"cat_exp".as("top_value"))
     latest.crossJoin(topCat)
       .select(lit(2001).as("yr"), $"total_exp", $"total_imp", $"balance",
         $"top_category", $"top_value")
@@ -885,12 +893,13 @@ object Kpi {
        |    ${Det.dsumSql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS total_exp,
        |    ${Det.dsumSql("CASE WHEN o_orderstatus <> 'F' THEN o_totalprice END")} AS total_imp
        |  FROM orders WHERE year(o_orderdate) = 2001),
+       |$catMonthlySqlCte,
        |topcat AS (
-       |  SELECT p_type AS top_category,
-       |    ${Det.dsumSql("l_extendedprice")} AS top_value
-       |  FROM lineitem JOIN part ON l_partkey = p_partkey
-       |  WHERE year(l_shipdate) = 2001 AND l_linestatus = 'F'
-       |  GROUP BY p_type
+       |  SELECT category AS top_category,
+       |    ${Det.dsumSql("exp")} AS top_value
+       |  FROM m WHERE yr = 2001
+       |  GROUP BY category
+       |  HAVING ${Det.dsumSql("exp")} IS NOT NULL
        |  ORDER BY top_value DESC, top_category
        |  LIMIT 1)
        |SELECT 2001 AS yr, total_exp, total_imp,
