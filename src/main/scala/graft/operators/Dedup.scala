@@ -446,16 +446,15 @@ object Dedup {
           struct(col(s"m${2 * b}").as("v1"), col(s"m${2 * b + 1}").as("v2"))): _*)))
       .select($"doc_id", $"pos".as("band_idx"),
         $"col.v1".as("v1"), $"col.v2".as("v2"))
-    // localCheckpoint: cand feeds BOTH the candidate-id semi-join and
-    // the final join — without materialization the whole sigs→bands→
-    // join subplan executes twice per action
+    // (the wrapper checkpoints: cand feeds BOTH the candidate-id
+    // semi-join and the final join — without materialization the
+    // whole sigs→bands→join subplan executes twice per action)
     bands.select($"band_idx", $"v1", $"v2", $"doc_id".as("a_id"))
       .join(bands.select($"band_idx".as("b_idx"), $"v1".as("w1"),
         $"v2".as("w2"), $"doc_id".as("b_id")),
         $"band_idx" === $"b_idx" && $"v1" === $"w1" && $"v2" === $"w2" &&
           $"a_id" < $"b_id")
       .select($"a_id", $"b_id").distinct()
-      .localCheckpoint()
   }
 
   private def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, Tables}
+import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -102,15 +103,37 @@ object Etl {
     */
   private val rawBookCache = new graft.PlanCache()
 
+  /** Serializes the publish step: PlanCache builders run OUTSIDE its
+    * lock, so two concurrent first callers may both materialize —
+    * each writes to a private temp dir and the swap below makes the
+    * final path appear atomically (the content is deterministic, so
+    * either writer's book is the book).
+    */
+  private val publishLock = new Object
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val children = Files.list(p)
+      try children.forEach(deleteRecursively(_)) finally children.close()
+    }
+    Files.delete(p)
+  }
+
   private def rawBookFile(spark: SparkSession, dir: String): DataFrame =
       rawBookCache.getOrBuild(spark, dir) {
     import spark.implicits._
     val n = Tables(spark, dir).orders.count()
     val path = s"$rawRoot/v1_sf_$n"
+    val tmp = s"$rawRoot/.tmp_${n}_${java.util.UUID.randomUUID()}"
     rawBook(spark, dir)
       .withColumn("src_n", lit(n))
       .coalesce(1)
-      .write.mode("overwrite").option("header", "true").csv(path)
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    publishLock.synchronized {
+      val target = Paths.get(path)
+      if (Files.exists(target)) deleteRecursively(target)
+      Files.move(Paths.get(tmp), target)
+    }
     spark.read
       .schema("yr INT, flow STRING, mes STRING, val STRING, src_n BIGINT")
       .option("header", "true").option("mode", "PERMISSIVE")

@@ -333,7 +333,11 @@ object Similarity {
   // is reported as cosine(original, dequantized); scale cancels in
   // the cosine, so it is computed exactly over the int vector. A
   // narrow projection with zero shuffles — embarrassingly parallel
-  // at any corpus size.
+  // at any corpus size. Degenerate input guard: an all-zero vector
+  // gives amax=0, so the scale is clamped (greatest(amax,1e-30)/127,
+  // identically in both engines) and the fidelity denominator is
+  // clamped the same way — zero vectors quantize to zeros with
+  // cos_fidelity 0 instead of engine-dependent NaN/∞.
 
   private def annQuantize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -343,12 +347,14 @@ object Similarity {
     val q = transform($"embedding",
       x => (x.cast("double") / $"scale").cast("int"))
     Tables(spark, dir).embeddings
-      .select($"vec_id", $"embedding", (amax / 127.0).as("scale"))
+      .select($"vec_id", $"embedding",
+        (greatest(amax, lit(1e-30)) / 127.0).as("scale"))
       .withColumn("q", q)
       .select($"vec_id", $"scale",
         concat_ws(",", transform($"q", _.cast("string"))).as("q_csv"),
         (dot($"embedding", $"q".cast("array<double>")) /
-          (norm($"embedding") * norm($"q".cast("array<double>"))))
+          greatest(norm($"embedding") * norm($"q".cast("array<double>")),
+            lit(1e-30)))
           .as("cos_fidelity"))
       .orderBy($"vec_id")
   }
@@ -357,7 +363,7 @@ object Similarity {
     val amax =
       "list_reduce(list_prepend(0.0, [abs(CAST(x AS DOUBLE)) for x in embedding]), (a, x) -> greatest(a, x))"
     s"""WITH s AS (
-       |  SELECT vec_id, embedding, $amax / 127.0 AS scale
+       |  SELECT vec_id, embedding, greatest($amax, 1e-30) / 127.0 AS scale
        |  FROM embeddings),
        |qt AS (
        |  SELECT vec_id, scale, embedding,
@@ -366,7 +372,7 @@ object Similarity {
        |SELECT vec_id, scale,
        |  list_aggregate([CAST(x AS VARCHAR) for x in q], 'string_agg', ',') AS q_csv,
        |  ${dotSql("embedding", "q", 64)}
-       |    / (${normSql("embedding")} * ${normSql("q")}) AS cos_fidelity
+       |    / greatest(${normSql("embedding")} * ${normSql("q")}, 1e-30) AS cos_fidelity
        |FROM qt ORDER BY vec_id""".stripMargin
   }
 

@@ -154,14 +154,16 @@ object Streaming {
   // event_id) is proven on the stream by StreamingSpec: feeding the
   // input TWICE yields exactly the original rows. That contract is
   // SQL-expressible, so the operator also carries a full oracle row:
-  // double the table, dedup on the id, and the result must hash-equal
-  // the base table. (Duplicate rows are bit-identical, so the batch
-  // dropDuplicates pick is deterministic.)
+  // double the table, dedup, and the result must hash-equal the base
+  // table. The batch dedup runs on ALL columns (not just event_id) so
+  // both engines compute the same relation — DISTINCT * — even if an
+  // id ever repeats with a different payload; on the stream the id IS
+  // the dedup key, which StreamingSpec pins at the test SF.
 
   private def dedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables(spark, dir).events
-    e.unionAll(e).dropDuplicates("event_id").orderBy($"event_id")
+    e.unionAll(e).dropDuplicates().orderBy($"event_id")
   }
 
   private val dedupSql =
