@@ -1,14 +1,14 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Advanced, CorpusSelect, Dedup, Etl, Kpi, Multimodal, Relational, Similarity, Streaming, TextAnalysis}
+import graft.operators.{Advanced, CorpusSelect, Dedup, Etl, Kpi, Multimodal, Relational, Similarity, Streaming, TextAnalysis, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§7. */
 object SparkEntry {
   /** Every implemented operator, in SURVEY §2 order. */
   def allQueries: Seq[Q] =
-    Relational.all ++ Advanced.all ++ Etl.all ++ Kpi.all ++ Dedup.all ++
-      Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++
+    Relational.all ++ Advanced.all ++ Etl.all ++ Warehouse.all ++ Kpi.all ++
+      Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++
       CorpusSelect.all ++ Streaming.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

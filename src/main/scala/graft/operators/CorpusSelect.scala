@@ -71,9 +71,10 @@ object CorpusSelect {
   // the same plan at 8-13-gram order with threshold 1.
   //
   // Scale shape: equi-join on the df-capped shingle key (per-shingle
-  // fanout ≤ cap × eval postings), two counting aggregates — no
-  // broadcast anywhere; the eval side is corpus-proportional (1%)
-  // and stays shuffled.
+  // fanout ≤ cap × eval postings), two counting aggregates — nothing
+  // is FORCE-broadcast: the eval side is corpus-proportional (1%),
+  // so AQE's size-based selection broadcasts it only while it fits
+  // (as it does at test SF) and keeps it shuffled past the threshold.
 
   private val evalMod = 97
   private val evalRes = 13

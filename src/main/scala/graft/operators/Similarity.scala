@@ -376,12 +376,60 @@ object Similarity {
        |FROM qt ORDER BY vec_id""".stripMargin
   }
 
+  // ---- ann_knn_graph: corpus-wide kNN graph via LSH blocking ----
+  // The ALL-vectors variant of ann_lsh: every vector finds its top-3
+  // cosine neighbors among its own LSH bucket — the build step for
+  // embedding clustering, semantic-dedup sweeps, and graph-based
+  // index construction (NSW/HNSW seeding), where the "query set" IS
+  // the corpus. Nothing is broadcast (both sides are the corpus):
+  // one shuffled self-equi-join on the bucket key, and per-band
+  // bucket population is held near-constant by the width dial
+  // (VectorFunctions.lshPlanesFor), so pair work per bucket is a
+  // build-time constant and the join output is O(n·targetBucket) —
+  // the kNN graph at 100 TB is exactly this plan with more planes.
+  // Vectors alone in their bucket emit no edges (sparse by design;
+  // production recalls them via multi-band OR like dedup_embedding).
+
+  private def annKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = lshIndex(spark, dir)
+      .select($"vec_id", $"embedding", $"nrm", $"bucket")
+    val b = v.select($"vec_id".as("b_id"), $"embedding".as("b_e"),
+      $"nrm".as("b_n"), $"bucket".as("b_bucket"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"b_id")
+    v.join(b.hint("shuffle_hash"),
+        $"bucket" === $"b_bucket" && $"vec_id" =!= $"b_id")
+      .select($"vec_id", $"b_id",
+        (dot($"embedding", $"b_e") / ($"nrm" * $"b_n")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"vec_id", $"rk", $"b_id".as("neighbor_id"), $"cosine")
+      .orderBy($"vec_id", $"rk")
+  }
+
+  private val annKnnGraphSql =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding AS e, ${normSql("embedding")} AS nrm,
+       |    ${lshSigSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id, b.vec_id AS b_id,
+       |    ${dotSql("a.e", "b.e", 64)} / (a.nrm * b.nrm) AS cosine
+       |  FROM v a JOIN v b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id)
+       |SELECT vec_id, rk, b_id AS neighbor_id, cosine FROM (
+       |  SELECT vec_id, b_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, b_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= 3
+       |ORDER BY vec_id, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("ann_bruteforce", annBrute, Some(annBruteSql)),
     Q("ann_lsh", annLsh, Some(annLshSql)),
     Q("ann_ivf", annIvf, Some(annIvfSqlProbe(1))),
     Q("ann_ivf_multiprobe", annIvfMulti, Some(annIvfSqlProbe(2))),
     Q("ann_kmeans_step", annKmeansStep, Some(annKmeansStepSql)),
-    Q("ann_quantize", annQuantize, Some(annQuantizeSql))
+    Q("ann_quantize", annQuantize, Some(annQuantizeSql)),
+    Q("ann_knn_graph", annKnnGraph, Some(annKnnGraphSql))
   )
 }

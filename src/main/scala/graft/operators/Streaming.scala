@@ -219,8 +219,45 @@ object Streaming {
       |  ORDER BY click_ts DESC, click_id DESC) = 1
       |ORDER BY purchase_id""".stripMargin
 
+  // ---- stream_topk: per-window top-k dashboard ranking ----
+  // The "trending now" tile: top-3 event types per tumbling hour by
+  // count. Rank-per-window is not incrementally maintainable inside
+  // a single streaming operator (a late event can reorder a window's
+  // ranking), so the production decomposition is the one expressed
+  // here: the windowed COUNT state is maintained incrementally by
+  // stream_windowed_agg (watermark-bounded, spec-proven), and the
+  // rank is a cheap window function over that already-aggregated
+  // frame — O(windows · types) rows, re-evaluated per trigger in
+  // foreachBatch. The batch relation below is that composition.
+
+  private def topk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"bucket_start")
+      .orderBy($"n_events".desc, $"event_type")
+    graft.streaming.EventsStream.windowedAgg(Tables(spark, dir).events)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"bucket_start", $"rk", $"event_type", $"n_events")
+      .orderBy($"bucket_start", $"rk")
+  }
+
+  private val topkSql =
+    s"""WITH agg AS (
+       |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start,
+       |    event_type, COUNT(*) AS n_events
+       |  FROM events
+       |  GROUP BY bucket_start, event_type)
+       |SELECT bucket_start, rk, event_type, n_events FROM (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY bucket_start
+       |      ORDER BY n_events DESC, event_type) AS rk
+       |  FROM agg)
+       |WHERE rk <= 3
+       |ORDER BY bucket_start, rk""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("stream_windowed_agg", windowedAgg, Some(windowedAggSql)),
+    Q("stream_topk", topk, Some(topkSql)),
     Q("stream_dedup", dedup, Some(dedupSql)),
     Q("stream_attribution", attribution, Some(attributionSql)),
     Q("stream_sessionize", sessionize, Some(sessionizeSql)),

@@ -1,0 +1,239 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental-maintenance operators (SURVEY §2a extension): the two
+  * mutations every warehouse feeding an analytics engine runs daily —
+  * applying a CDC batch to a fact table (MERGE INTO semantics) and
+  * maintaining a type-2 slowly-changing dimension. The reference
+  * pipeline re-derives its models from scratch per run
+  * (observatorio/etl.py rebuilds the long fact each invocation); at
+  * 100 TB a from-scratch rebuild is not an option, so the engine must
+  * express the incremental forms as first-class distributed plans.
+  *
+  * Scale shape: cdc_merge is ONE shuffled full-outer join on the
+  * merge key — the exact physical shape Delta/Iceberg MERGE lowers
+  * to — with both sides partitioned (a CDC batch is
+  * O(change rate · base), never broadcast-safe). scd2_dim is
+  * per-entity windows partitioned by the dimension key. Neither has
+  * a corpus-global single-partition stage.
+  */
+object Warehouse {
+
+  // ---- cdc_merge: apply a CDC batch via full-outer MERGE ----
+  // The change batch is derived deterministically from the base table
+  // itself so both engines construct the identical batch at any SF:
+  // keys ≡3 (mod 10) are updates (status→'X', price doubled — ×2 is
+  // FP-exact), keys ≡7 are deletes, and keys ≡5 spawn inserts at
+  // key+INS_OFFSET (orders keys are dense from 0, so the offset
+  // region is disjoint from any realistic SF). MERGE semantics:
+  //   matched  + op='U' → updated payload
+  //   matched  + op='D' → row dropped
+  //   unmatched+ op='I' → inserted payload
+  //   no change         → base row unchanged.
+
+  /** Insert-key offset — far above any base key (1e12; sf1000's max
+    * orders key is ~1.5e9) so inserted keys never collide.
+    */
+  private val insOffset = 1000000000000L
+
+  /** The deterministic CDC batch: one column-pruned scan of orders,
+    * fanned into (c_key, op, c_status, c_price) by key residue.
+    */
+  private def cdcBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = $"o_orderkey" % 10
+    Tables(spark, dir).orders
+      .filter(m.isin(3, 5, 7))
+      .select(
+        when(m === 5, $"o_orderkey" + insOffset)
+          .otherwise($"o_orderkey").as("c_key"),
+        when(m === 7, "D").when(m === 3, "U").otherwise("I").as("op"),
+        when(m === 3, lit("X")).when(m === 5, lit("N"))
+          .otherwise(lit(null).cast("string")).as("c_status"),
+        when(m === 3, $"o_totalprice" * 2.0).when(m === 5, $"o_totalprice")
+          .otherwise(lit(null).cast("double")).as("c_price"))
+  }
+
+  private def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    base.join(cdcBatch(spark, dir), $"o_orderkey" === $"c_key", "full_outer")
+      .filter($"op".isNull || $"op" =!= "D")
+      .select(
+        coalesce($"o_orderkey", $"c_key").as("o_orderkey"),
+        when($"op".isNotNull, $"c_status").otherwise($"o_orderstatus")
+          .as("o_orderstatus"),
+        when($"op".isNotNull, $"c_price").otherwise($"o_totalprice")
+          .as("o_totalprice"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val cdcMergeSql =
+    s"""WITH ch AS (
+       |  SELECT
+       |    CASE WHEN o_orderkey % 10 = 5 THEN o_orderkey + $insOffset
+       |         ELSE o_orderkey END AS c_key,
+       |    CASE o_orderkey % 10 WHEN 7 THEN 'D' WHEN 3 THEN 'U' ELSE 'I' END AS op,
+       |    CASE o_orderkey % 10 WHEN 3 THEN 'X' WHEN 5 THEN 'N' END AS c_status,
+       |    CASE o_orderkey % 10 WHEN 3 THEN o_totalprice * 2.0
+       |         WHEN 5 THEN o_totalprice END AS c_price
+       |  FROM orders WHERE o_orderkey % 10 IN (3, 5, 7))
+       |SELECT COALESCE(b.o_orderkey, ch.c_key) AS o_orderkey,
+       |  CASE WHEN ch.op IS NOT NULL THEN ch.c_status
+       |       ELSE b.o_orderstatus END AS o_orderstatus,
+       |  CASE WHEN ch.op IS NOT NULL THEN ch.c_price
+       |       ELSE b.o_totalprice END AS o_totalprice
+       |FROM orders b FULL OUTER JOIN ch ON ch.c_key = b.o_orderkey
+       |WHERE ch.op IS NULL OR ch.op <> 'D'
+       |ORDER BY o_orderkey""".stripMargin
+
+  // ---- scd2_dim: type-2 slowly-changing dimension build ----
+  // Per user, the tracked attribute is the event_type of their
+  // activity stream: consecutive runs collapse to one version row
+  // with a validity interval [valid_from, valid_to) — valid_to is the
+  // next version's start (NULL + is_current on the open run). The
+  // run detection is the standard gaps-and-islands window (change
+  // flag via LAG, version = running sum of flags), partitioned by
+  // the dimension key — each entity's history is one window
+  // partition, so the build scales with entities, not with a global
+  // sort. Ordering ties break on event_id (cross-engine total order).
+
+  private def scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wVer = Window.partitionBy($"user_id").orderBy($"version")
+    Tables(spark, dir).events
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .withColumn("chg",
+        when($"prev_type".isNull || $"prev_type" =!= $"event_type", 1L)
+          .otherwise(0L))
+      .withColumn("version", sum($"chg").over(wRun))
+      .groupBy($"user_id", $"version")
+      .agg(min($"event_type").as("event_type"), // constant within a run
+        min($"ts").as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead($"valid_from", 1).over(wVer))
+      .select($"user_id", $"version", $"event_type",
+        $"valid_from", $"valid_to",
+        $"valid_to".isNull.as("is_current"), $"n_events")
+      .orderBy($"user_id", $"version")
+  }
+
+  private val scd2Sql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+       |  FROM events),
+       |m AS (
+       |  SELECT *,
+       |    CASE WHEN LAG(event_type, 1) OVER
+       |             (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       |           OR LAG(event_type, 1) OVER
+       |             (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+       |         THEN 1 ELSE 0 END AS chg
+       |  FROM e),
+       |runs AS (
+       |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+       |  FROM m),
+       |ver AS (
+       |  SELECT user_id, CAST(version AS BIGINT) AS version,
+       |    MIN(event_type) AS event_type,
+       |    MIN(ts) AS valid_from,
+       |    COUNT(*) AS n_events
+       |  FROM runs GROUP BY user_id, version)
+       |SELECT user_id, version, event_type, valid_from,
+       |  LEAD(valid_from, 1) OVER (PARTITION BY user_id ORDER BY version)
+       |    AS valid_to,
+       |  LEAD(valid_from, 1) OVER (PARTITION BY user_id ORDER BY version)
+       |    IS NULL AS is_current,
+       |  n_events
+       |FROM ver
+       |ORDER BY user_id, version""".stripMargin
+
+  // ---- ivm_rollup: incremental view maintenance of an aggregate ----
+  // The reason cdc_merge matters at 100 TB: downstream rollups must
+  // be DELTA-maintained, not recomputed. This operator maintains the
+  // per-status (total_price, n_orders) rollup under the cdc_merge
+  // batch purely from delta contributions — each change row fans out
+  // to its retraction/addition rows (an update retracts the old
+  // payload from its old group and adds the new payload to the new
+  // group), deltas aggregate, and one full-outer join applies them to
+  // the base rollup. The ORACLE recomputes the same rollup from the
+  // fully-merged table, so the hash match IS the proof that delta
+  // maintenance ≡ recompute. Exactness hinges on decimal
+  // accumulation: decimal sums are associative, so base − retractions
+  // + additions lands on the identical value the recompute produces
+  // (double sums would drift by grouping order). Scale shape: one
+  // scan of the batch, one scan of the base, and a rollup-sized
+  // (GROUP-cardinality, not corpus-sized) join.
+
+  private val Dec = org.apache.spark.sql.types.DecimalType(18, 6)
+
+  private def ivmRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables(spark, dir).orders
+    // the materialized rollup being maintained (decimal state)
+    val agg0 = orders.groupBy($"o_orderstatus")
+      .agg(sum($"o_totalprice".cast(Dec)).as("s"), count(lit(1)).as("n"))
+    // retraction/addition contributions from the CDC batch
+    val m = $"o_orderkey" % 10
+    val contrib = struct($"o_orderstatus".as("st"),
+      (-$"o_totalprice").as("dp"), lit(-1L).as("dn"))
+    val deltas = orders.filter(m.isin(3, 5, 7))
+      .select(explode(
+        when(m === 3, array(contrib,
+          struct(lit("X").as("st"), ($"o_totalprice" * 2.0).as("dp"),
+            lit(1L).as("dn"))))
+        .when(m === 7, array(contrib))
+        .otherwise(array(struct(lit("N").as("st"),
+          $"o_totalprice".as("dp"), lit(1L).as("dn")))))
+        .as("c"))
+      .groupBy($"c.st".as("o_orderstatus"))
+      .agg(sum($"c.dp".cast(Dec)).as("ds"), sum($"c.dn").as("dn"))
+    agg0.join(deltas, Seq("o_orderstatus"), "full_outer")
+      .select($"o_orderstatus",
+        (coalesce($"s", lit(0).cast(Dec)) + coalesce($"ds", lit(0).cast(Dec)))
+          .cast("double").as("total_price"),
+        (coalesce($"n", lit(0L)) + coalesce($"dn", lit(0L))).as("n_orders"))
+      .filter($"n_orders" > 0)
+      .orderBy($"o_orderstatus")
+  }
+
+  // the oracle is the FULL RECOMPUTE over the merged table — the
+  // delta path must land on the identical rollup
+  private val ivmRollupSql =
+    s"""WITH ch AS (
+       |  SELECT
+       |    CASE WHEN o_orderkey % 10 = 5 THEN o_orderkey + $insOffset
+       |         ELSE o_orderkey END AS c_key,
+       |    CASE o_orderkey % 10 WHEN 7 THEN 'D' WHEN 3 THEN 'U' ELSE 'I' END AS op,
+       |    CASE o_orderkey % 10 WHEN 3 THEN 'X' WHEN 5 THEN 'N' END AS c_status,
+       |    CASE o_orderkey % 10 WHEN 3 THEN o_totalprice * 2.0
+       |         WHEN 5 THEN o_totalprice END AS c_price
+       |  FROM orders WHERE o_orderkey % 10 IN (3, 5, 7)),
+       |merged AS (
+       |  SELECT
+       |    CASE WHEN ch.op IS NOT NULL THEN ch.c_status
+       |         ELSE b.o_orderstatus END AS o_orderstatus,
+       |    CASE WHEN ch.op IS NOT NULL THEN ch.c_price
+       |         ELSE b.o_totalprice END AS o_totalprice
+       |  FROM orders b FULL OUTER JOIN ch ON ch.c_key = b.o_orderkey
+       |  WHERE ch.op IS NULL OR ch.op <> 'D')
+       |SELECT o_orderstatus,
+       |  ${graft.Det.dsumSql("o_totalprice")} AS total_price,
+       |  COUNT(*) AS n_orders
+       |FROM merged GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("cdc_merge", cdcMerge, Some(cdcMergeSql)),
+    Q("scd2_dim", scd2, Some(scd2Sql)),
+    Q("ivm_rollup", ivmRollup, Some(ivmRollupSql))
+  )
+}

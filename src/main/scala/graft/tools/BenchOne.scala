@@ -9,7 +9,10 @@ import graft.{GraftSession, SparkEntry}
   * paying the full-suite wall time while iterating on one operator.
   */
 object BenchOne {
-  def main(args: Array[String]): Unit = {
+  def main(rawArgs: Array[String]): Unit = {
+    // tools/run_verify.sh always prepends sfDir/outDir positionals;
+    // callers pass the literal "ignored" there — drop them
+    val args = rawArgs.dropWhile(_ == "ignored")
     if (args.isEmpty) {
       SparkEntry.queries.keys.toSeq.sorted.foreach(println)
       return
@@ -18,6 +21,14 @@ object BenchOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    if (args.head == "--explain") {
+      args.tail.foreach { name =>
+        println(s"==== $name ====")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      }
+      spark.stop()
+      return
+    }
     def run(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

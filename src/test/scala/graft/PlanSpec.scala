@@ -141,6 +141,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc_merge and knn graph never broadcast corpus-proportional sides") {
+    // the CDC batch is O(change rate · base) and the kNN graph
+    // self-joins the corpus with itself — neither side is ever
+    // broadcast-safe at 100 TB. With the auto-threshold disabled, any
+    // surviving BroadcastExchange can only come from an explicit hint.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (q <- Seq("cdc_merge", "ann_knn_graph")) {
+        val p = plan(q)
+        assert(!p.contains("BroadcastExchange"),
+          s"$q force-broadcasts a corpus-proportional frame")
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"$q degenerates to an all-pairs join")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("scd2 and stream_topk windows partition by their keys") {
+    // a window without PARTITION BY collapses to one task — the
+    // classic 100 TB cliff. Both builds must partition by entity /
+    // window-bucket keys.
+    assert(plan("scd2_dim").contains("hashpartitioning(user_id"))
+    assert(plan("stream_topk").contains("hashpartitioning(bucket_start"))
+  }
+
   test("grouping-sets and histogram aggregate with map-side partials") {
     for (q <- Seq("q29_grouping_sets", "q30_histogram")) {
       val p = plan(q)
