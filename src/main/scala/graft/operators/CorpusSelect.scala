@@ -286,8 +286,106 @@ object CorpusSelect {
        |    <> (tok_offset + GREATEST(n_tok, 1) - 1) // $packBudget AS spans_boundary
        |FROM o ORDER BY doc_id""".stripMargin
 
+  // ---- llm_quality_classify: hashed linear quality model ----
+  // Heuristic ratios (text_quality) are the first quality gate; the
+  // second, in every modern corpus pipeline, is a MODEL score
+  // (fastText-style linear classifier over hashed bag-of-words — the
+  // CCNet / LLaMA "quality classifier" stage). The inference shape
+  // is what matters at 100 TB: per-token feature hash → weight
+  // lookup → mean margin, all row-local inside one codegen pass over
+  // the scan — no shuffle, no UDF, no model server. Here the weight
+  // table is hash-derived (w(t) ∈ [-1, 1] from the shared rolling
+  // hash) so both engines materialize identical weights without
+  // shipping a model file; a real deployment swaps the weight
+  // expression for a broadcast map lookup, leaving the plan shape
+  // unchanged. The calibration is piecewise-linear (clamp), not a
+  // float exp(): exact rational arithmetic keeps the oracle
+  // bit-identical.
+
+  private val keepThreshold = 0.55
+
+  private def qualityClassify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = graft.functions.TextFunctions.tokens($"text")
+    val weight = (t: org.apache.spark.sql.Column) =>
+      ((graft.functions.RollingHash.rolling_hash(concat(lit("w|"), t)) % 2001L)
+        .cast("double") - 1000.0) / 1000.0
+    val wsum = aggregate(transform(toks, weight), lit(0.0), (a, x) => a + x)
+    val n = size(toks).cast("double")
+    // margin/keep_prob ship UNROUNDED: the weight fold and the
+    // division are the same IEEE ops in the same order on both
+    // engines, so the doubles are bit-identical — while ROUND(x, 6)
+    // breaks ties differently (Spark rounds the exact binary
+    // expansion, DuckDB the ×1e6 product) exactly when a rational
+    // margin lands on the half-ulp-of-1e-6 grid, as these do
+    graft.Tables(spark, dir).documents
+      .select($"doc_id", size(toks).cast("long").as("n_tokens"),
+        (wsum / n).as("m"))
+      .select($"doc_id", $"n_tokens",
+        $"m".as("margin"),
+        least(greatest(lit(0.5) + $"m", lit(0.0)), lit(1.0)).as("keep_prob"),
+        when(lit(0.5) + $"m" >= keepThreshold, "keep").otherwise("drop").as("verdict"))
+      .orderBy($"doc_id")
+  }
+
+  private val qualityClassifySql = {
+    val tokenHash = graft.functions.RollingHash.sql("'w|' || tk")
+    val w = s"(CAST(($tokenHash) % 2001 AS DOUBLE) - 1000.0) / 1000.0"
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |m AS (SELECT doc_id, len(toks) AS n_tokens,
+       |        list_reduce(list_prepend(0.0, list_transform(toks, tk -> $w)),
+       |          (a2, x2) -> a2 + x2) AS wsum
+       |      FROM t)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  wsum / n_tokens AS margin,
+       |  least(greatest(0.5 + wsum / n_tokens, 0.0), 1.0) AS keep_prob,
+       |  CASE WHEN 0.5 + wsum / n_tokens >= $keepThreshold THEN 'keep' ELSE 'drop' END AS verdict
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- llm_shard_shuffle: deterministic global shuffle + sharding ----
+  // The last step before tokens hit the trainer: break source/time
+  // locality (a corpus written source-by-source trains badly) and
+  // assign every document a reproducible (shard, position). A true
+  // global sort of 100 TB by random key is one giant range exchange;
+  // the standard decomposition is row-local hash sharding (one hash
+  // exchange into nShards groups) + an independent ORDER WITHIN each
+  // shard (per-shard window, shards are parallel). Both keys come
+  // from the shared rolling hash under distinct salts, so the
+  // permutation is engine-independent and stable under reruns —
+  // resuming a training job re-derives the identical data order.
+
+  private val nShards = 16
+
+  private def shardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val shard = graft.functions.RollingHash.rolling_hash(
+      concat(lit("shard|"), $"doc_id".cast("string"))) % nShards
+    val ord = graft.functions.RollingHash.rolling_hash(
+      concat(lit("ord|"), $"doc_id".cast("string")))
+    val w = Window.partitionBy($"shard").orderBy($"ord", $"doc_id")
+    graft.Tables(spark, dir).documents
+      .select($"doc_id", shard.as("shard"), ord.as("ord"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
+  private val shardShuffleSql = {
+    val shard = graft.functions.RollingHash.sql("'shard|' || CAST(doc_id AS VARCHAR)")
+    val ord = graft.functions.RollingHash.sql("'ord|' || CAST(doc_id AS VARCHAR)")
+    s"""WITH k AS (SELECT doc_id, ($shard) % $nShards AS shard, $ord AS ord
+       |           FROM documents)
+       |SELECT doc_id, shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos
+       |FROM k ORDER BY shard, pos""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("llm_corpus_select", corpusSelect, Some(corpusSelectSql)),
+    Q("llm_quality_classify", qualityClassify, Some(qualityClassifySql)),
+    Q("llm_shard_shuffle", shardShuffle, Some(shardShuffleSql)),
     Q("llm_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("llm_sample_mix", sampleMix, Some(sampleMixSql)),
     Q("llm_pii_scrub", piiScrub, Some(piiScrubSql)),

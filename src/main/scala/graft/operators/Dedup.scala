@@ -770,8 +770,72 @@ object Dedup {
        |LIMIT 20""".stripMargin
   }
 
+  // ---- dedup_chunks: sequence-level exact dedup ----
+  // Lee et al. 2021 ("Deduplicating Training Data Makes Language
+  // Models Better") deduplicate exact SUBSTRINGS, not just whole
+  // documents: a doc that embeds a verbatim copied passage keeps its
+  // novel text but the copied span is flagged. Suffix arrays don't
+  // distribute; the standard distributed realization is fixed-width
+  // token windows — here non-overlapping 16-token chunks, hashed
+  // with the shared cross-engine rolling hash. An occurrence is a
+  // duplicate iff an earlier (doc_id, chunk_idx) occurrence of the
+  // same chunk hash exists anywhere in the corpus; the first
+  // occurrence is the canonical owner (same keeper rule as
+  // dedup_exact's min doc_id).
+  //
+  // Scale shape: chunking is row-local (one codegen pass), then ONE
+  // hash exchange on chunk_hash for the first-occurrence window and
+  // one on doc_id for the per-doc rollup. No self-join anywhere —
+  // unlike the pair-generating near-dup ops, counting duplicate
+  // occurrences is linear in corpus size, and a boilerplate chunk
+  // with df = 1e6 costs one skewed-but-linear window partition (AQE
+  // skew handling applies), never df² pairs.
+
+  private[graft] val dupChunkSize = 16L
+
+  private def dedupChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wH = Window.partitionBy($"chunk_hash").orderBy($"doc_id", $"chunk_idx")
+    Tables(spark, dir).documents
+      .select($"doc_id", tokens($"text").as("toks"))
+      .withColumn("n_tok", size($"toks").cast(LongType))
+      .select($"doc_id", $"toks", explode(sequence(lit(0L),
+        expr(s"(n_tok + ${dupChunkSize - 1}L) div ${dupChunkSize}L") - 1L))
+        .as("chunk_idx"))
+      .select($"doc_id", $"chunk_idx",
+        graft.functions.RollingHash.rolling_hash(array_join(
+          expr(s"slice(toks, CAST(chunk_idx * $dupChunkSize + 1 AS INT), $dupChunkSize)"),
+          " ")).as("chunk_hash"))
+      .withColumn("occ", row_number().over(wH))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"occ" > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select($"doc_id", $"n_chunks", $"n_dup_chunks",
+        round($"n_dup_chunks".cast(DoubleType) / $"n_chunks", 6).as("dup_chunk_frac"))
+      .orderBy($"doc_id")
+  }
+
+  private val dedupChunksSql =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       |        toks[ci * $dupChunkSize + 1 : ci * $dupChunkSize + $dupChunkSize] AS ctoks
+       |      FROM d, UNNEST(range(0, (len(toks) + ${dupChunkSize - 1}) // $dupChunkSize)) AS r(ci)),
+       |h AS (SELECT doc_id, chunk_idx,
+       |        ${graft.functions.RollingHash.sql("array_to_string(ctoks, ' ')")} AS chunk_hash
+       |      FROM c),
+       |o AS (SELECT doc_id,
+       |        ROW_NUMBER() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) AS occ
+       |      FROM h)
+       |SELECT doc_id,
+       |  COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  ROUND(CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_chunk_frac
+       |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
+    Q("dedup_chunks", dedupChunks, Some(dedupChunksSql)),
     Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalSql)),
     Q("dedup_ngram_jaccard", dedupNgram, Some(dedupNgramSql)),
     Q("dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),

@@ -151,9 +151,94 @@ object Multimodal {
       |            if abs(cs[i] - cs[i-1]) > 16]) AS BIGINT) AS edge_count
       |FROM b ORDER BY doc_id""".stripMargin
 
+  // ---- mm_phash: perceptual average-hash + LSH band keys ----
+  // Image dedup at corpus scale: byte-identical checksums (mm_metadata's
+  // md5) miss re-encoded copies, so pipelines hash DECODED content —
+  // here the classic average-hash (aHash): split the payload into
+  // `phashBits` slices, set bit j iff slice-j mean brightness exceeds
+  // the global mean. Near-identical payloads differ in few bits, so
+  // candidate pairs come from equality on 12-bit hash BANDS — the
+  // same banding trick minhash LSH uses, and the join stays an
+  // equi-join on band keys (never a corpus self-join on hamming
+  // distance). The comparison is exact integer cross-multiplication
+  // (slice_sum · n > total_sum · slice_len), no float means, so the
+  // DuckDB oracle reproduces every bit.
+  //
+  // The decode boundary is the same stub as above: a real deployment
+  // computes slice sums from decoded pixel rows; everything from the
+  // bit-packing down (band keys, the dedup join in MultimodalSpec) is
+  // deployment-real. Row-local, one whole-stage-codegen pass (ByteSum
+  // is a native codegen Expression), zero shuffle.
+
+  private[graft] val phashBits = 48L
+  private[graft] val phashBandBits = 12
+
+  /** The phash columns for any frame with (text) — private[graft] so
+    * the spec can run the planted-pair band join on a synthetic frame.
+    */
+  private[graft] def withPhash(df: DataFrame): DataFrame = {
+    import graft.functions.ByteSum.byte_sum
+    // slice j spans bytes ((j·n) div B, ((j+1)·n) div B]; operands are
+    // non-negative and ≪ 2^53, so double-division + trunc-cast equals
+    // the integer floor-div the oracle's // computes
+    def fl(c: org.apache.spark.sql.Column) = (c.cast("double") / phashBits).cast(LongType)
+    // j is a build-time constant (the bit position), so the 48 slice
+    // tests unroll into one flat codegen expression — no per-row loop
+    // bookkeeping, and each bit's weight 2^j is a literal
+    val phash = (0 until phashBits.toInt).map { j =>
+      val st = fl(lit(j.toLong) * col("_n"))
+      val en = fl(lit(j + 1L) * col("_n"))
+      val sliceSum = byte_sum(col("text").substr(
+        (st + 1L).cast("int"), (en - st).cast("int")))
+      when(sliceSum * col("_n") > col("_total") * (en - st), lit(1L << j))
+        .otherwise(0L)
+    }.reduce(_ + _)
+    val bands = (0 until (phashBits.toInt / phashBandBits)).map(b =>
+      (shiftright(col("phash"), b * phashBandBits) % (1L << phashBandBits))
+        .as(s"band$b"))
+    df.withColumn("_n", length(col("text")).cast(LongType))
+      .withColumn("_total", byte_sum(col("text")))
+      .withColumn("phash", phash)
+      .drop("_n", "_total")
+      .select(col("*") +: bands: _*)
+  }
+
+  private def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withPhash(Tables(spark, dir).documents)
+      .select($"doc_id", $"phash", $"band0", $"band1", $"band2", $"band3")
+      .orderBy($"doc_id")
+  }
+
+  private val mmPhashSql = {
+    import graft.functions.ByteSum
+    val nBands = phashBits.toInt / phashBandBits
+    val bandCols = (0 until nBands).map(b =>
+      s"(phash >> ${b * phashBandBits}) % ${1L << phashBandBits} AS band$b").mkString(",\n  ")
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n,
+       |             ${ByteSum.sql("text")} AS total_sum
+       |           FROM documents),
+       |s AS (SELECT doc_id, CAST(j AS BIGINT) AS j, n, total_sum,
+       |        substr(text, CAST((j * n) // $phashBits + 1 AS BIGINT),
+       |          CAST(((j + 1) * n) // $phashBits - (j * n) // $phashBits AS BIGINT)) AS sl,
+       |        ((j + 1) * n) // $phashBits - (j * n) // $phashBits AS slen
+       |      FROM d, UNNEST(range(0, $phashBits)) AS r(j)),
+       |b AS (SELECT doc_id, j,
+       |        CASE WHEN (${ByteSum.sql("sl")}) * n > total_sum * slen
+       |             THEN 1 ELSE 0 END AS bit
+       |      FROM s),
+       |p AS (SELECT doc_id,
+       |        CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(j AS INT))) AS BIGINT) AS phash
+       |      FROM b GROUP BY doc_id)
+       |SELECT doc_id, phash,
+       |  $bandCols
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("mm_metadata", mmMetadata, Some(mmMetadataSql)),
     Q("mm_framesample", mmFramesample, Some(mmFramesampleSql)),
-    Q("mm_decode_batch", mmDecodeBatch, Some(mmDecodeBatchSql))
+    Q("mm_decode_batch", mmDecodeBatch, Some(mmDecodeBatchSql)),
+    Q("mm_phash", mmPhash, Some(mmPhashSql))
   )
 }

@@ -8,6 +8,33 @@ class DedupSpec extends AnyFunSuite {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("dedup_chunks matches an exact driver-side recompute of the first-occurrence rule") {
+    // independent sequential reimplementation: chunk every doc into
+    // non-overlapping 16-token windows, hash with the shared rolling
+    // hash, and mark every occurrence after the corpus-wide first
+    // (ordered by doc_id, chunk_idx) as a duplicate
+    val docs = Tables(spark, sf).documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val seen = scala.collection.mutable.Set[Long]()
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val chunks = toks.grouped(16).map(c =>
+        graft.functions.RollingHash.hash(c.mkString(" "))).toSeq
+      val nDup = chunks.count(h => !seen.add(h))
+      id -> ((chunks.size.toLong, nDup.toLong))
+    }.toMap
+    val got = q("dedup_chunks").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)} expected $e")
+    }
+    // the corpus actually exercises the operator: planted near-dups
+    // share leading chunks, so some duplicates must exist
+    assert(expected.values.map(_._2).sum > 0, "no duplicate chunks in corpus")
+  }
+
   test("star-contraction CC handles a 300-diameter chain in O(log n) rounds") {
     import spark.implicits._
     // a path graph 0-1-2-...-300: one component, the worst case for

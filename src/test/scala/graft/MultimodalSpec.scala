@@ -25,6 +25,39 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("byte_sum matches a driver-side recompute on corpus payloads") {
+    val rows = Tables(spark, sf).documents.limit(50)
+      .select($"doc_id", $"text",
+        graft.functions.ByteSum.byte_sum($"text").as("bs"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) == graft.functions.ByteSum.sum(r.getString(1)),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("phash: near-identical payloads collide on a band, distinct ones differ") {
+    // a one-byte brightness edit flips at most the bits of the slices
+    // it lands in — the banding must still produce >= 1 shared key
+    // (that is the candidate-generation contract), while unrelated
+    // payloads should disagree on most bits
+    val base = (1 to 96).map(i => ('a' + i % 17).toChar.toString * 3).mkString(" ")
+    val nearDup = "b" + base.substring(1)
+    val other = (1 to 96).map(i => ('a' + (i * 7 + 3) % 23).toChar.toString * 3).mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val got = Multimodal.withPhash(df)
+      .select($"doc_id", $"phash", $"band0", $"band1", $"band2", $"band3")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))))
+      .toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (h1, b1) = got(1L); val (h2, b2) = got(2L); val (h3, b3) = got(3L)
+    assert(hamming(h1, h2) <= 4, s"near-dup hamming ${hamming(h1, h2)}")
+    assert(b1.zip(b2).exists { case (x, y) => x == y },
+      "near-dup pair shares no band key — candidate generation would miss it")
+    assert(hamming(h1, h3) > 8, s"unrelated payloads too close: ${hamming(h1, h3)}")
+  }
+
   test("frame sampling covers every 4th frame exactly") {
     val rows = SparkEntry.queries("mm_framesample")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

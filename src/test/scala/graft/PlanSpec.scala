@@ -190,6 +190,58 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "KMV fell back to the window formulation")
   }
 
+  test("byte_sum participates in whole-stage codegen (mm_phash stays one pass)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("mm_phash")
+      assert(p.toLowerCase.contains("bytesum"), "ByteSum not in plan")
+      val projLine = p.linesIterator.find(_.toLowerCase.contains("bytesum")).get
+      assert(projLine.contains("*("), s"projection not codegen'd: $projLine")
+      // row-local feature extraction: no join, no aggregate exchange —
+      // the only exchanges allowed are the scan repartition and the
+      // output sort
+      assert(!p.contains("Join"), "mm_phash must not join")
+      assert(!p.contains("hashpartitioning"),
+        "mm_phash must not shuffle on a key")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("llm_quality_classify is row-local (no join, no keyed shuffle)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("llm_quality_classify")
+      assert(!p.contains("Join"), "classifier inference must not join")
+      assert(!p.contains("hashpartitioning"),
+        "classifier inference must not shuffle on a key")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("dedup_chunks counts duplicates without any self-join") {
+    // sequence-level dedup is linear: one window exchange on
+    // chunk_hash, one rollup exchange on doc_id — pair generation
+    // (a self-join) would be the O(df²) hazard the counting form avoids
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("dedup_chunks")
+      assert(!p.contains("Join"), "dedup_chunks must not self-join")
+      assert(p.contains("hashpartitioning(chunk_hash"),
+        "first-occurrence window must partition by chunk_hash")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("llm_shard_shuffle orders within shards, never globally") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("llm_shard_shuffle")
+      assert(p.contains("hashpartitioning(shard"),
+        "position window must partition by shard")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("rolling_hash participates in whole-stage codegen") {
     // AQE prints the pre-execution plan without codegen regions;
     // disable it for this inspection only
