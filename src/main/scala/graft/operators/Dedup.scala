@@ -215,6 +215,67 @@ object Dedup {
     ngramPairs(spark, dir).orderBy($"a_id", $"b_id")
   }
 
+  // ---- dedup_incremental: dedup a delta batch against the corpus ----
+  // Nobody re-dedups 100 TB from scratch when a crawl lands: the
+  // posting index is a MAINTAINED artifact, and only NEW documents
+  // generate candidates — delta-posting ⋈ base-posting on the shingle
+  // key, so pair work is O(delta · df) instead of O(corpus · df).
+  // The delta here is a deterministic 25% id slice (in production,
+  // the new crawl's own partition); the DuckDB oracle is the FULL
+  // batch recompute restricted to cross (new, old) pairs, so the
+  // hash match proves the incremental path computes exactly what a
+  // from-scratch run would — the same delta ≡ recompute contract
+  // ivm_rollup pins for aggregates, here for the dedup family.
+  //
+  // Scale shape: both join sides stay shuffled on the shingle key
+  // (the base posting is the corpus — never broadcast; shuffle_hash
+  // skips the sort a stats-less cached side would get under
+  // sort-merge); the size lookups are id-keyed equi-joins AQE may
+  // broadcast only while the delta actually fits.
+
+  private[graft] val deltaMod = 4L
+  private[graft] val deltaRes = 3L
+
+  private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val posting = shinglePosting(spark, dir)
+    val sizes = docShingleSizes(spark, dir)
+    val common = posting.filter($"doc_id" % deltaMod === deltaRes)
+      .select($"doc_id".as("new_id"), $"shingle")
+      .join(posting.filter($"doc_id" % deltaMod =!= deltaRes)
+        .select($"doc_id".as("old_id"), $"shingle".as("b_shingle"))
+        .hint("shuffle_hash"),
+        $"shingle" === $"b_shingle")
+      .groupBy($"new_id", $"old_id")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select($"doc_id".as("new_id"), $"n_sh".as("new_n")), "new_id")
+      .join(sizes.select($"doc_id".as("old_id"), $"n_sh".as("old_n")), "old_id")
+      .withColumn("jaccard", $"n_common".cast(DoubleType) /
+        ($"new_n" + $"old_n" - $"n_common").cast(DoubleType))
+      .filter($"jaccard" >= 0.5)
+      .select($"new_id", $"old_id", $"jaccard")
+      .orderBy($"new_id", $"old_id")
+  }
+
+  // lazy: postingSqlCtes is declared further down the object; an eager
+  // val here would interpolate a null into the SQL at init time
+  private lazy val dedupIncrementalSql =
+    s"""WITH $postingSqlCtes,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM posting GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS new_id, b.doc_id AS old_id, COUNT(*) AS n_common
+       |  FROM posting a JOIN posting b ON a.sh = b.sh
+       |  WHERE a.doc_id % $deltaMod = $deltaRes AND b.doc_id % $deltaMod <> $deltaRes
+       |  GROUP BY new_id, old_id)
+       |SELECT new_id, old_id,
+       |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+       |FROM common
+       |JOIN sizes sa ON sa.doc_id = new_id
+       |JOIN sizes sb ON sb.doc_id = old_id
+       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+       |ORDER BY new_id, old_id""".stripMargin
+
   // ---- dedup_clusters: duplicate groups via connected components ----
   // The dedup endgame: near-dup pairs form a graph; each component is
   // one duplicate cluster and one representative survives.
@@ -838,6 +899,7 @@ object Dedup {
     Q("dedup_chunks", dedupChunks, Some(dedupChunksSql)),
     Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalSql)),
     Q("dedup_ngram_jaccard", dedupNgram, Some(dedupNgramSql)),
+    Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),

@@ -35,6 +35,22 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.values.map(_._2).sum > 0, "no duplicate chunks in corpus")
   }
 
+  test("incremental dedup equals the batch run restricted to cross pairs") {
+    import graft.operators.Dedup.{deltaMod, deltaRes}
+    val batch = q("dedup_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = q("dedup_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch pairs are (a < b); incremental pairs are (new, old) —
+    // normalize the batch's delta-crossing subset to the same shape
+    val crossBatch = batch
+      .filter { case (a, b) => (a % deltaMod == deltaRes) != (b % deltaMod == deltaRes) }
+      .map { case (a, b) => if (a % deltaMod == deltaRes) (a, b) else (b, a) }
+    assert(inc == crossBatch,
+      s"delta path diverged: only-inc=${inc.diff(crossBatch)} only-batch=${crossBatch.diff(inc)}")
+    assert(inc.nonEmpty, "delta slice generated no cross pairs — test is vacuous")
+  }
+
   test("star-contraction CC handles a 300-diameter chain in O(log n) rounds") {
     import spark.implicits._
     // a path graph 0-1-2-...-300: one component, the worst case for

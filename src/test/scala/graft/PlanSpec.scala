@@ -216,6 +216,21 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("dedup_incremental never broadcasts the corpus posting") {
+    // the base posting is the whole corpus — with the auto threshold
+    // off, any BroadcastExchange could only come from a hint
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("dedup_incremental")
+      assert(!p.contains("BroadcastExchange"),
+        "corpus-proportional posting side is broadcast")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("dedup_chunks counts duplicates without any self-join") {
     // sequence-level dedup is linear: one window exchange on
     // chunk_hash, one rollup exchange on doc_id — pair generation
