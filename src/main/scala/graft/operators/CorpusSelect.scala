@@ -290,37 +290,40 @@ object CorpusSelect {
   // Heuristic ratios (text_quality) are the first quality gate; the
   // second, in every modern corpus pipeline, is a MODEL score
   // (fastText-style linear classifier over hashed bag-of-words — the
-  // CCNet / LLaMA "quality classifier" stage). The inference shape
-  // is what matters at 100 TB: per-token feature hash → weight
-  // lookup → mean margin, all row-local inside one codegen pass over
-  // the scan — no shuffle, no UDF, no model server. Here the weight
-  // table is hash-derived (w(t) ∈ [-1, 1] from the shared rolling
-  // hash) so both engines materialize identical weights without
-  // shipping a model file; a real deployment swaps the weight
-  // expression for a broadcast map lookup, leaving the plan shape
-  // unchanged. The calibration is piecewise-linear (clamp), not a
-  // float exp(): exact rational arithmetic keeps the oracle
-  // bit-identical.
+  // CCNet / LLaMA "quality classifier" stage). Inference shape at
+  // 100 TB: explode the token stream, hash each token through the
+  // codegen'd RollingHash, and reduce INTEGER weight numerators
+  // (k(t) = h % 2001 - 1000 ∈ [-1000, 1000]) with a two-level hash
+  // aggregate — Spark's interpreted higher-order-lambda path
+  // (transform/aggregate are CodegenFallback, the form the minhash
+  // signature build also deliberately avoids) never touches the
+  // scan, and the only exchange ships one (count, Σk) pair per doc.
+  // Integer sums are order-independent, so the shuffle cannot
+  // perturb the result; the single margin division and the
+  // piecewise-linear calibration (clamp, not float exp) then produce
+  // bit-identical doubles on both engines. The weight table is
+  // hash-derived so neither engine ships a model file; a real
+  // deployment swaps the k(t) expression for a broadcast vocab-id
+  // lookup, leaving the plan shape unchanged.
 
   private val keepThreshold = 0.55
 
   private def qualityClassify(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = graft.functions.TextFunctions.tokens($"text")
-    val weight = (t: org.apache.spark.sql.Column) =>
-      ((graft.functions.RollingHash.rolling_hash(concat(lit("w|"), t)) % 2001L)
-        .cast("double") - 1000.0) / 1000.0
-    val wsum = aggregate(transform(toks, weight), lit(0.0), (a, x) => a + x)
-    val n = size(toks).cast("double")
-    // margin/keep_prob ship UNROUNDED: the weight fold and the
-    // division are the same IEEE ops in the same order on both
-    // engines, so the doubles are bit-identical — while ROUND(x, 6)
+    val k = (graft.functions.RollingHash.rolling_hash(
+      concat(lit("w|"), $"t")) % 2001L) - 1000L
+    // margin/keep_prob ship UNROUNDED: exact integer Σk and one IEEE
+    // division are bit-identical cross-engine, while ROUND(x, 6)
     // breaks ties differently (Spark rounds the exact binary
     // expansion, DuckDB the ×1e6 product) exactly when a rational
     // margin lands on the half-ulp-of-1e-6 grid, as these do
     graft.Tables(spark, dir).documents
-      .select($"doc_id", size(toks).cast("long").as("n_tokens"),
-        (wsum / n).as("m"))
+      .select($"doc_id",
+        explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(k).as("ksum"))
+      .withColumn("m",
+        $"ksum".cast("double") / ($"n_tokens" * 1000L).cast("double"))
       .select($"doc_id", $"n_tokens",
         $"m".as("margin"),
         least(greatest(lit(0.5) + $"m", lit(0.0)), lit(1.0)).as("keep_prob"),
@@ -329,17 +332,17 @@ object CorpusSelect {
   }
 
   private val qualityClassifySql = {
-    val tokenHash = graft.functions.RollingHash.sql("'w|' || tk")
-    val w = s"(CAST(($tokenHash) % 2001 AS DOUBLE) - 1000.0) / 1000.0"
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |m AS (SELECT doc_id, len(toks) AS n_tokens,
-       |        list_reduce(list_prepend(0.0, list_transform(toks, tk -> $w)),
-       |          (a2, x2) -> a2 + x2) AS wsum
-       |      FROM t)
+    val tokenHash = graft.functions.RollingHash.sql("'w|' || t")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |             FROM documents),
+       |m AS (SELECT doc_id, COUNT(*) AS n_tokens,
+       |        SUM(($tokenHash) % 2001 - 1000) AS ksum
+       |      FROM tok GROUP BY doc_id)
        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       |  wsum / n_tokens AS margin,
-       |  least(greatest(0.5 + wsum / n_tokens, 0.0), 1.0) AS keep_prob,
-       |  CASE WHEN 0.5 + wsum / n_tokens >= $keepThreshold THEN 'keep' ELSE 'drop' END AS verdict
+       |  CAST(ksum AS DOUBLE) / CAST(n_tokens * 1000 AS DOUBLE) AS margin,
+       |  least(greatest(0.5 + CAST(ksum AS DOUBLE) / CAST(n_tokens * 1000 AS DOUBLE), 0.0), 1.0) AS keep_prob,
+       |  CASE WHEN 0.5 + CAST(ksum AS DOUBLE) / CAST(n_tokens * 1000 AS DOUBLE) >= $keepThreshold
+       |       THEN 'keep' ELSE 'drop' END AS verdict
        |FROM m ORDER BY doc_id""".stripMargin
   }
 

@@ -191,14 +191,27 @@ object Dedup {
     ngramPairCache.getOrBuild(spark, dir)(
       ngramPairsPlan(spark, dir).localCheckpoint())
 
-  /** The UNCHECKPOINTED pair derivation (for the plan-shape guards). */
-  private[graft] def ngramPairsPlan(spark: SparkSession, dir: String): DataFrame = {
+  /** The near-dup threshold — ONE definition shared by the batch pair
+    * listing, the incremental delta path and both their SQL twins, so
+    * the pinned delta ≡ recompute equivalence cannot drift.
+    */
+  private[graft] val minJaccard = 0.5
+
+  /** The shared pair verifier: inverted-index equi-join of two posting
+    * sides on the shingle key (+ a caller predicate), shared-shingle
+    * count, size join, exact Jaccard ≥ [[minJaccard]]. Batch dedup
+    * passes the posting against itself with a_id < b_id; incremental
+    * dedup passes (delta, base) slices — SAME code, so the two paths
+    * agree by construction, not by parallel maintenance.
+    */
+  private def jaccardPairs(spark: SparkSession, dir: String,
+      aPost: DataFrame, bPost: DataFrame,
+      pairPred: org.apache.spark.sql.Column): DataFrame = {
     import spark.implicits._
-    val posting = shinglePosting(spark, dir)
     val sizes = docShingleSizes(spark, dir)
-    val common = posting.select($"doc_id".as("a_id"), $"shingle")
-      .join(posting.select($"doc_id".as("b_id"), $"shingle".as("b_shingle")),
-        $"shingle" === $"b_shingle" && $"a_id" < $"b_id")
+    val common = aPost.select($"doc_id".as("a_id"), $"shingle")
+      .join(bPost.select($"doc_id".as("b_id"), $"shingle".as("b_shingle")),
+        $"shingle" === $"b_shingle" && pairPred)
       .groupBy($"a_id", $"b_id")
       .agg(count(lit(1)).as("n_common"))
     common
@@ -206,8 +219,31 @@ object Dedup {
       .join(sizes.select($"doc_id".as("b_id"), $"n_sh".as("b_n")), "b_id")
       .withColumn("jaccard", $"n_common".cast(DoubleType) /
         ($"a_n" + $"b_n" - $"n_common").cast(DoubleType))
-      .filter($"jaccard" >= 0.5)
+      .filter($"jaccard" >= minJaccard)
       .select($"a_id", $"b_id", $"jaccard")
+  }
+
+  /** SQL twin of [[jaccardPairs]] (expects the posting CTEs in scope). */
+  private def jaccardPairsSql(aAlias: String, bAlias: String, pred: String): String =
+    s"""sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM posting GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS $aAlias, b.doc_id AS $bAlias, COUNT(*) AS n_common
+       |  FROM posting a JOIN posting b
+       |    ON a.sh = b.sh AND ($pred)
+       |  GROUP BY $aAlias, $bAlias)
+       |SELECT $aAlias, $bAlias,
+       |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+       |FROM common
+       |JOIN sizes sa ON sa.doc_id = $aAlias
+       |JOIN sizes sb ON sb.doc_id = $bAlias
+       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= $minJaccard
+       |ORDER BY $aAlias, $bAlias""".stripMargin
+
+  /** The UNCHECKPOINTED pair derivation (for the plan-shape guards). */
+  private[graft] def ngramPairsPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val posting = shinglePosting(spark, dir)
+    jaccardPairs(spark, dir, posting, posting, $"a_id" < $"b_id")
   }
 
   private def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
@@ -239,22 +275,11 @@ object Dedup {
   private def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val posting = shinglePosting(spark, dir)
-    val sizes = docShingleSizes(spark, dir)
-    val common = posting.filter($"doc_id" % deltaMod === deltaRes)
-      .select($"doc_id".as("new_id"), $"shingle")
-      .join(posting.filter($"doc_id" % deltaMod =!= deltaRes)
-        .select($"doc_id".as("old_id"), $"shingle".as("b_shingle"))
-        .hint("shuffle_hash"),
-        $"shingle" === $"b_shingle")
-      .groupBy($"new_id", $"old_id")
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select($"doc_id".as("new_id"), $"n_sh".as("new_n")), "new_id")
-      .join(sizes.select($"doc_id".as("old_id"), $"n_sh".as("old_n")), "old_id")
-      .withColumn("jaccard", $"n_common".cast(DoubleType) /
-        ($"new_n" + $"old_n" - $"n_common").cast(DoubleType))
-      .filter($"jaccard" >= 0.5)
-      .select($"new_id", $"old_id", $"jaccard")
+    jaccardPairs(spark, dir,
+      posting.filter($"doc_id" % deltaMod === deltaRes),
+      posting.filter($"doc_id" % deltaMod =!= deltaRes).hint("shuffle_hash"),
+      lit(true))
+      .select($"a_id".as("new_id"), $"b_id".as("old_id"), $"jaccard")
       .orderBy($"new_id", $"old_id")
   }
 
@@ -262,19 +287,8 @@ object Dedup {
   // val here would interpolate a null into the SQL at init time
   private lazy val dedupIncrementalSql =
     s"""WITH $postingSqlCtes,
-       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM posting GROUP BY doc_id),
-       |common AS (
-       |  SELECT a.doc_id AS new_id, b.doc_id AS old_id, COUNT(*) AS n_common
-       |  FROM posting a JOIN posting b ON a.sh = b.sh
-       |  WHERE a.doc_id % $deltaMod = $deltaRes AND b.doc_id % $deltaMod <> $deltaRes
-       |  GROUP BY new_id, old_id)
-       |SELECT new_id, old_id,
-       |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
-       |FROM common
-       |JOIN sizes sa ON sa.doc_id = new_id
-       |JOIN sizes sb ON sb.doc_id = old_id
-       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
-       |ORDER BY new_id, old_id""".stripMargin
+       |${jaccardPairsSql("new_id", "old_id",
+            s"a.doc_id % $deltaMod = $deltaRes AND b.doc_id % $deltaMod <> $deltaRes")}""".stripMargin
 
   // ---- dedup_clusters: duplicate groups via connected components ----
   // The dedup endgame: near-dup pairs form a graph; each component is
@@ -404,7 +418,7 @@ object Dedup {
       |  SELECT a_id, b_id FROM common
       |  JOIN sizes sa ON sa.doc_id = a_id
       |  JOIN sizes sb ON sb.doc_id = b_id
-      |  WHERE CAST(n AS DOUBLE) / (sa.n_sh + sb.n_sh - n) >= 0.5),
+      |  WHERE CAST(n AS DOUBLE) / (sa.n_sh + sb.n_sh - n) >= $minJaccard),
       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
       |          UNION ALL SELECT b_id, a_id FROM pairs),
       |nodes AS (SELECT DISTINCT src AS id FROM edges),
@@ -423,19 +437,7 @@ object Dedup {
 
   private val dedupNgramSql =
     s"""WITH $postingSqlCtes,
-      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM posting GROUP BY doc_id),
-      |common AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-      |  FROM posting a JOIN posting b
-      |    ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY a_id, b_id)
-      |SELECT a_id, b_id,
-      |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
-      |FROM common
-      |JOIN sizes sa ON sa.doc_id = a_id
-      |JOIN sizes sb ON sb.doc_id = b_id
-      |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
-      |ORDER BY a_id, b_id""".stripMargin
+       |${jaccardPairsSql("a_id", "b_id", "a.doc_id < b.doc_id")}""".stripMargin
 
   // ---- dedup_minhash_lsh: MinHash signatures + banded LSH join ----
   // k=16 hashes, 8 bands × 2 rows: recall ≈ 1 - (1-J²)⁸ — ≥ 0.9999999
@@ -554,7 +556,7 @@ object Dedup {
         .hint("shuffle_hash"), "b_id")
       .withColumn("jaccard", $"n_common".cast(DoubleType) /
         ($"a_n" + $"b_n" - $"n_common").cast(DoubleType))
-      .filter($"jaccard" >= 0.5)
+      .filter($"jaccard" >= minJaccard)
       .select($"a_id", $"b_id", $"jaccard")
       .orderBy($"a_id", $"b_id")
   }
@@ -598,7 +600,7 @@ object Dedup {
        |JOIN common ON common.a_id = c.a_id AND common.b_id = c.b_id
        |JOIN sizes sa ON sa.doc_id = c.a_id
        |JOIN sizes sb ON sb.doc_id = c.b_id
-       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= $minJaccard
        |ORDER BY 1, 2""".stripMargin
   }
 

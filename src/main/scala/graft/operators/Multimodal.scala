@@ -203,18 +203,24 @@ object Multimodal {
       .select(col("*") +: bands: _*)
   }
 
+  /** Derived from the same constants as the SQL twin's generated
+    * column list — retuning phashBits/phashBandBits keeps both
+    * engines' schemas in lockstep.
+    */
+  private[graft] def bandCols: Seq[String] =
+    (0 until phashBits.toInt / phashBandBits).map(b => s"band$b")
+
   private def mmPhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     withPhash(Tables(spark, dir).documents)
-      .select($"doc_id", $"phash", $"band0", $"band1", $"band2", $"band3")
+      .select(($"doc_id" +: $"phash" +: bandCols.map(col)): _*)
       .orderBy($"doc_id")
   }
 
   private val mmPhashSql = {
     import graft.functions.ByteSum
-    val nBands = phashBits.toInt / phashBandBits
-    val bandCols = (0 until nBands).map(b =>
-      s"(phash >> ${b * phashBandBits}) % ${1L << phashBandBits} AS band$b").mkString(",\n  ")
+    val bandExprs = bandCols.zipWithIndex.map { case (name, b) =>
+      s"(phash >> ${b * phashBandBits}) % ${1L << phashBandBits} AS $name" }.mkString(",\n  ")
     s"""WITH d AS (SELECT doc_id, text, length(text) AS n,
        |             ${ByteSum.sql("text")} AS total_sum
        |           FROM documents),
@@ -231,7 +237,7 @@ object Multimodal {
        |        CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(j AS INT))) AS BIGINT) AS phash
        |      FROM b GROUP BY doc_id)
        |SELECT doc_id, phash,
-       |  $bandCols
+       |  $bandExprs
        |FROM p ORDER BY doc_id""".stripMargin
   }
 

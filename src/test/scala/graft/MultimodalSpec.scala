@@ -42,7 +42,11 @@ class MultimodalSpec extends AnyFunSuite {
     // (that is the candidate-generation contract), while unrelated
     // payloads should disagree on most bits
     val base = (1 to 96).map(i => ('a' + i % 17).toChar.toString * 3).mkString(" ")
-    val nearDup = "b" + base.substring(1)
+    // base starts with 'b' (i=1 -> 'a'+1): the edit must substitute a
+    // DIFFERENT byte, and 'z' (far from the 'a'..'q' alphabet) moves
+    // the first slice's mean hard enough to actually flip its bit
+    val nearDup = "z" + base.substring(1)
+    assert(nearDup != base, "planted edit must change the payload")
     val other = (1 to 96).map(i => ('a' + (i * 7 + 3) % 23).toChar.toString * 3).mkString(" ")
     val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
     val got = Multimodal.withPhash(df)

@@ -206,13 +206,18 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("llm_quality_classify is row-local (no join, no keyed shuffle)") {
+  test("llm_quality_classify reduces codegen'd integer partials per doc") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val p = plan("llm_quality_classify")
       assert(!p.contains("Join"), "classifier inference must not join")
-      assert(!p.contains("hashpartitioning"),
-        "classifier inference must not shuffle on a key")
+      // the token-weight hash must run inside whole-stage codegen on
+      // the exploded stream (NOT as an interpreted transform/aggregate
+      // lambda), and the only keyed exchange is the per-doc reduction
+      val hashLine = p.linesIterator.find(_.toLowerCase.contains("rollinghash")).get
+      assert(hashLine.contains("*("), s"weight hash not codegen'd: $hashLine")
+      assert(p.contains("hashpartitioning(doc_id"),
+        "per-doc reduction must shuffle on doc_id")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
