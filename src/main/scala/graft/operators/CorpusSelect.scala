@@ -358,6 +358,13 @@ object CorpusSelect {
   // permutation is engine-independent and stable under reruns —
   // resuming a training job re-derives the identical data order.
 
+  // Pinned at test scale because the DuckDB twin embeds the literal
+  // (the same convention as Dedup.embPlanes and ann_lsh's width): in
+  // production the shard count is the dial that keeps PER-SHARD rows
+  // bounded — each shard's position window is one reducer, so a fixed
+  // 16 at 100 TB would sort ~6 TB per task. A real caller passes
+  // ceil(corpusRows / targetShardRows) (e.g. ~10k shards for 1e10
+  // docs at 1e6 rows/shard); the plan shape is unchanged at any width.
   private val nShards = 16
 
   private def shardShuffle(spark: SparkSession, dir: String): DataFrame = {
