@@ -390,7 +390,18 @@ object Similarity {
   // Vectors alone in their bucket emit no edges (sparse by design;
   // production recalls them via multi-band OR like dedup_embedding).
 
-  private def annKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+  /** The kNN edge set is an index artifact (like the LSH/IVF frames):
+    * built once per (session, corpus), consumed by the graph listing
+    * AND by graph_pagerank's five iterations — cached per convention,
+    * with the UNCHECKPOINTED *Plan variant for the shape guards.
+    */
+  private val knnEdgeCache = new graft.PlanCache()
+  private[graft] def knnEdges(spark: SparkSession, dir: String): DataFrame =
+    knnEdgeCache.getOrBuild(spark, dir)(
+      knnEdgesPlan(spark, dir).localCheckpoint())
+
+  /** The UNCHECKPOINTED kNN-edge derivation (for plan-shape guards). */
+  private[graft] def knnEdgesPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val v = lshIndex(spark, dir)
       .select($"vec_id", $"embedding", $"nrm", $"bucket")
@@ -404,7 +415,11 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
       .select($"vec_id", $"rk", $"b_id".as("neighbor_id"), $"cosine")
-      .orderBy($"vec_id", $"rk")
+  }
+
+  private def annKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    knnEdges(spark, dir).orderBy($"vec_id", $"rk")
   }
 
   private val annKnnGraphSql =
@@ -423,6 +438,85 @@ object Similarity {
        |WHERE rk <= 3
        |ORDER BY vec_id, rk""".stripMargin
 
+  // ---- graph_pagerank: corpus-importance over the kNN graph ----
+  // The iterative-propagation workload class (Pregel-style): document
+  // importance from graph structure, the signal link/similarity-graph
+  // corpus curation weights selection by (à la OpenWebText's link
+  // filtering, done here on the semantic kNN graph). Five damped
+  // iterations, statically unrolled into ONE declarative plan — each
+  // iteration is edges ⋈ ranks ⋈ out-degrees, contributions reduced
+  // per destination (shuffle key: dst), then a left join back onto
+  // the node set; the only broadcast is the single-row corpus count.
+  //
+  // All arithmetic is SCALED INTEGER (ranks in units of 1e-12):
+  // integer sums are order-independent, so shuffle nondeterminism
+  // cannot perturb a float accumulation, and Spark's truncating
+  // `div` equals DuckDB's floor `//` because every operand is
+  // non-negative — the rank vector is bit-identical cross-engine
+  // with no decimal-division scale rules in play. Dangling-node mass
+  // leaks (no redistribution term): fine for a per-doc importance
+  // SCORE, and it keeps every contribution local to an edge.
+
+  private[graft] val prScale = 1000000000000L
+  private[graft] val prIters = 5
+
+  /** The unrolled integer-PageRank iteration over any (id) node set
+    * and (src, dst) edge set — private[graft] so the spec can drive
+    * it on a handmade graph against a sequential recompute.
+    */
+  private[graft] def pagerankRanks(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    import nodes.sparkSession.implicits._
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val nRow = nodes.agg(count(lit(1)).as("n_nodes"))
+    var rank = nodes.crossJoin(broadcast(nRow))
+      .select($"id", expr(s"${prScale}L div n_nodes").as("r"))
+    for (_ <- 1 to prIters) {
+      val contrib = edges.join(rank.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select($"dst", expr("r div deg").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("contrib"))
+      rank = nodes.join(contrib, $"id" === $"dst", "left")
+        .crossJoin(broadcast(nRow))
+        .select($"id", expr(
+          s"((${prScale}L div 100) * 15) div n_nodes" +
+            " + (85 * coalesce(contrib, 0L)) div 100").as("r"))
+    }
+    rank
+  }
+
+  private def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nodes = Tables(spark, dir).embeddings.select($"vec_id".as("id"))
+    val edges = knnEdges(spark, dir)
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+    pagerankRanks(nodes, edges)
+      .select($"id".as("vec_id"), $"r".as("pr"))
+      .orderBy($"vec_id")
+  }
+
+  private val graphPagerankSql = {
+    val base = s"(($prScale // 100) * 15) // n.n_nodes"
+    val iterCtes = (1 to prIters).flatMap { i =>
+      Seq(
+        s"""c$i AS (SELECT e.dst, SUM(it${i - 1}.r // deg.deg) AS contrib
+           |  FROM e JOIN it${i - 1} ON it${i - 1}.id = e.src
+           |  JOIN deg ON deg.src = e.src
+           |  GROUP BY e.dst)""".stripMargin,
+        s"""it$i AS (SELECT em.vec_id AS id,
+           |  CAST($base + (85 * COALESCE(c$i.contrib, 0)) // 100 AS BIGINT) AS r
+           |  FROM embeddings em CROSS JOIN n
+           |  LEFT JOIN c$i ON c$i.dst = em.vec_id)""".stripMargin)
+    }.mkString(",\n")
+    s"""WITH knn AS ($annKnnGraphSql),
+       |e AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+       |n AS (SELECT COUNT(*) AS n_nodes FROM embeddings),
+       |it0 AS (SELECT vec_id AS id, CAST($prScale AS BIGINT) // n.n_nodes AS r
+       |        FROM embeddings, n),
+       |$iterCtes
+       |SELECT id AS vec_id, r AS pr FROM it$prIters ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("ann_bruteforce", annBrute, Some(annBruteSql)),
     Q("ann_lsh", annLsh, Some(annLshSql)),
@@ -430,6 +524,7 @@ object Similarity {
     Q("ann_ivf_multiprobe", annIvfMulti, Some(annIvfSqlProbe(2))),
     Q("ann_kmeans_step", annKmeansStep, Some(annKmeansStepSql)),
     Q("ann_quantize", annQuantize, Some(annQuantizeSql)),
-    Q("ann_knn_graph", annKnnGraph, Some(annKnnGraphSql))
+    Q("ann_knn_graph", annKnnGraph, Some(annKnnGraphSql)),
+    Q("graph_pagerank", graphPagerank, Some(graphPagerankSql))
   )
 }

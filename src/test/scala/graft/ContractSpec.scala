@@ -21,9 +21,9 @@ class ContractSpec extends AnyFunSuite {
         sql.trim.toUpperCase.startsWith("WITH")))
   }
 
-  test("inventory size matches SURVEY status (103 ops, 102 oracles)") {
-    assert(SparkEntry.allQueries.size == 103)
-    assert(SparkEntry.oracleSql.size == 102)
+  test("inventory size matches SURVEY status (104 ops, 103 oracles)") {
+    assert(SparkEntry.allQueries.size == 104)
+    assert(SparkEntry.oracleSql.size == 103)
     // the single rows-checked survivor is the engine-specific HLL /
     // quantile sketch pair (its KMV twin q27 IS oracle-checked)
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)

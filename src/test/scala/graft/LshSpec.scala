@@ -13,6 +13,30 @@ import graft.functions.VectorFunctions
 class LshSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("integer pagerank matches a sequential recompute on a handmade graph") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // star into node 0, back-edges 0 -> {1, 2}, node 4 isolated (gets
+    // base-mass only), node 3 dangling-in (contributes, receives none)
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L), (0L, 2L))
+      .toDF("src", "dst")
+    val got = Similarity.pagerankRanks(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val S = Similarity.prScale
+    val n = 5L
+    val out = Map(1L -> Seq(0L), 2L -> Seq(0L), 3L -> Seq(0L), 0L -> Seq(1L, 2L))
+    var r = (0L to 4L).map(_ -> S / n).toMap
+    for (_ <- 1 to Similarity.prIters) {
+      val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for ((u, vs) <- out; v <- vs) contrib(v) += r(u) / vs.size
+      r = (0L to 4L).map(v => v -> (((S / 100) * 15) / n + (85 * contrib(v)) / 100)).toMap
+    }
+    assert(got == r, s"got $got expected $r")
+    // structure sanity: the hub outranks its spokes, isolation ranks last
+    assert(got(0L) > got(1L) && got(1L) > got(4L))
+  }
+
   test("growth law: one extra plane per corpus doubling") {
     // 2^32 = 8·2^29 sits exactly on a power-of-two ratio, where a
     // floating log2 overshoots (log(2^29)/log(2) = 29.000000000000004)

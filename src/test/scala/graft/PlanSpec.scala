@@ -149,8 +149,16 @@ class PlanSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      for (q <- Seq("cdc_merge", "ann_knn_graph")) {
-        val p = plan(q)
+      // knn edges are now a cached artifact — assert the cold
+      // UNCHECKPOINTED derivation, not the checkpoint scan the cached
+      // query reduces to
+      val knnP = {
+        PlanCache.clearAll()
+        graft.operators.Similarity.knnEdgesPlan(spark, sf)
+          .queryExecution.executedPlan.toString
+      }
+      for ((q, p) <- Seq("cdc_merge" -> plan("cdc_merge"),
+          "knn_edges" -> knnP)) {
         assert(!p.contains("BroadcastExchange"),
           s"$q force-broadcasts a corpus-proportional frame")
         assert(!p.contains("CartesianProduct") &&
@@ -219,6 +227,24 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("hashpartitioning(doc_id"),
         "per-doc reduction must shuffle on doc_id")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("graph_pagerank reduces contributions per node, never all-pairs") {
+    // each unrolled iteration must aggregate contributions keyed on
+    // the destination node (a hash exchange on dst); the only
+    // cross-join allowed is the single-row corpus-count broadcast
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("graph_pagerank")
+      assert(!p.contains("CartesianProduct"),
+        "pagerank degenerates to an all-pairs join")
+      assert(p.contains("hashpartitioning(dst"),
+        "contribution reduction must shuffle on dst")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("dedup_incremental never broadcasts the corpus posting") {
