@@ -223,20 +223,31 @@ object Dedup {
       .select($"a_id", $"b_id", $"jaccard")
   }
 
-  /** SQL twin of [[jaccardPairs]] (expects the posting CTEs in scope). */
-  private def jaccardPairsSql(aAlias: String, bAlias: String, pred: String): String =
+  /** SQL twin of [[jaccardPairs]] as a reusable CTE block (expects
+    * the posting CTEs in scope, exposes the verified pairs as
+    * `jpairs`) — the ONE place the sizes/common/Jaccard-threshold
+    * derivation exists in SQL, consumed by the ngram and incremental
+    * oracles, the minhash verification tail and the cluster walk.
+    */
+  private def jaccardPairSqlCtes(aAlias: String, bAlias: String, pred: String): String =
     s"""sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM posting GROUP BY doc_id),
        |common AS (
        |  SELECT a.doc_id AS $aAlias, b.doc_id AS $bAlias, COUNT(*) AS n_common
        |  FROM posting a JOIN posting b
        |    ON a.sh = b.sh AND ($pred)
-       |  GROUP BY $aAlias, $bAlias)
-       |SELECT $aAlias, $bAlias,
-       |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
-       |FROM common
-       |JOIN sizes sa ON sa.doc_id = $aAlias
-       |JOIN sizes sb ON sb.doc_id = $bAlias
-       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= $minJaccard
+       |  GROUP BY $aAlias, $bAlias),
+       |jpairs AS (
+       |  SELECT $aAlias, $bAlias,
+       |    CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+       |  FROM common
+       |  JOIN sizes sa ON sa.doc_id = $aAlias
+       |  JOIN sizes sb ON sb.doc_id = $bAlias
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= $minJaccard)""".stripMargin
+
+  /** Complete-query form: the CTE block plus the ordered listing. */
+  private def jaccardPairsSql(aAlias: String, bAlias: String, pred: String): String =
+    s"""${jaccardPairSqlCtes(aAlias, bAlias, pred)}
+       |SELECT $aAlias, $bAlias, jaccard FROM jpairs
        |ORDER BY $aAlias, $bAlias""".stripMargin
 
   /** The UNCHECKPOINTED pair derivation (for the plan-shape guards). */
@@ -409,16 +420,8 @@ object Dedup {
     */
   private[graft] val clusterWalkSql =
     s"""$postingSqlCtes,
-      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM posting GROUP BY doc_id),
-      |common AS (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n
-      |  FROM posting a JOIN posting b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY a_id, b_id),
-      |pairs AS (
-      |  SELECT a_id, b_id FROM common
-      |  JOIN sizes sa ON sa.doc_id = a_id
-      |  JOIN sizes sb ON sb.doc_id = b_id
-      |  WHERE CAST(n AS DOUBLE) / (sa.n_sh + sb.n_sh - n) >= $minJaccard),
+      |${jaccardPairSqlCtes("a_id", "b_id", "a.doc_id < b.doc_id")},
+      |pairs AS (SELECT a_id, b_id FROM jpairs),
       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
       |          UNION ALL SELECT b_id, a_id FROM pairs),
       |nodes AS (SELECT DISTINCT src AS id FROM edges),
@@ -589,18 +592,10 @@ object Dedup {
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.v1 = b.v1 AND a.v2 = b.v2
        |      AND a.doc_id < b.doc_id),
-       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM posting GROUP BY doc_id),
-       |common AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-       |  FROM posting a JOIN posting b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY a_id, b_id)
-       |SELECT c.a_id, c.b_id,
-       |  CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+       |${jaccardPairSqlCtes("a_id", "b_id", "a.doc_id < b.doc_id")}
+       |SELECT c.a_id, c.b_id, j.jaccard
        |FROM cand c
-       |JOIN common ON common.a_id = c.a_id AND common.b_id = c.b_id
-       |JOIN sizes sa ON sa.doc_id = c.a_id
-       |JOIN sizes sb ON sb.doc_id = c.b_id
-       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= $minJaccard
+       |JOIN jpairs j ON j.a_id = c.a_id AND j.b_id = c.b_id
        |ORDER BY 1, 2""".stripMargin
   }
 

@@ -459,6 +459,12 @@ object Similarity {
 
   private[graft] val prScale = 1000000000000L
   private[graft] val prIters = 5
+  // damping d = prDampNum/prDampDen (0.85), base mass = prBaseNum/prDampDen
+  // (0.15) — shared by the Spark builder, the SQL twin and the spec's
+  // sequential recompute, so retuning cannot drift one engine
+  private[graft] val prBaseNum = 15
+  private[graft] val prDampNum = 85
+  private[graft] val prDampDen = 100
 
   /** The unrolled integer-PageRank iteration over any (id) node set
     * and (src, dst) edge set — private[graft] so the spec can drive
@@ -478,8 +484,8 @@ object Similarity {
       rank = nodes.join(contrib, $"id" === $"dst", "left")
         .crossJoin(broadcast(nRow))
         .select($"id", expr(
-          s"((${prScale}L div 100) * 15) div n_nodes" +
-            " + (85 * coalesce(contrib, 0L)) div 100").as("r"))
+          s"((${prScale}L div $prDampDen) * $prBaseNum) div n_nodes" +
+            s" + ($prDampNum * coalesce(contrib, 0L)) div $prDampDen").as("r"))
     }
     rank
   }
@@ -495,7 +501,7 @@ object Similarity {
   }
 
   private val graphPagerankSql = {
-    val base = s"(($prScale // 100) * 15) // n.n_nodes"
+    val base = s"(($prScale // $prDampDen) * $prBaseNum) // n.n_nodes"
     val iterCtes = (1 to prIters).flatMap { i =>
       Seq(
         s"""c$i AS (SELECT e.dst, SUM(it${i - 1}.r // deg.deg) AS contrib
@@ -503,7 +509,7 @@ object Similarity {
            |  JOIN deg ON deg.src = e.src
            |  GROUP BY e.dst)""".stripMargin,
         s"""it$i AS (SELECT em.vec_id AS id,
-           |  CAST($base + (85 * COALESCE(c$i.contrib, 0)) // 100 AS BIGINT) AS r
+           |  CAST($base + ($prDampNum * COALESCE(c$i.contrib, 0)) // $prDampDen AS BIGINT) AS r
            |  FROM embeddings em CROSS JOIN n
            |  LEFT JOIN c$i ON c$i.dst = em.vec_id)""".stripMargin)
     }.mkString(",\n")

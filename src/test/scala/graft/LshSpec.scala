@@ -30,7 +30,9 @@ class LshSpec extends AnyFunSuite {
     for (_ <- 1 to Similarity.prIters) {
       val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
       for ((u, vs) <- out; v <- vs) contrib(v) += r(u) / vs.size
-      r = (0L to 4L).map(v => v -> (((S / 100) * 15) / n + (85 * contrib(v)) / 100)).toMap
+      r = (0L to 4L).map(v => v ->
+        (((S / Similarity.prDampDen) * Similarity.prBaseNum) / n +
+          (Similarity.prDampNum * contrib(v)) / Similarity.prDampDen)).toMap
     }
     assert(got == r, s"got $got expected $r")
     // structure sanity: the hub outranks its spokes, isolation ranks last
