@@ -241,10 +241,54 @@ object Multimodal {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  // ---- mm_resize: deterministic nearest-neighbor downsample ----
+  // The remaining multimodal verb (decode / feature-extract / RESIZE /
+  // frame-sample): collapse each payload to a fixed target width by
+  // nearest-neighbor sampling — pixel i of the output is source byte
+  // (i·n) div T, the standard NN resampling index map. Sampling
+  // positions are static per row (T is a build-time constant), so the
+  // 16 substrings unroll into one flat codegen projection like
+  // mm_phash's slices: row-local, zero shuffle, and the thumbnail
+  // fingerprint (rolling hash of the sampled bytes) is the
+  // cheap-to-compare key a dedup-by-thumbnail pass would join on. A
+  // real deployment swaps byte sampling for decoded-pixel sampling
+  // inside the same projection; payloads shorter than T repeat
+  // samples (NN upsampling), identically on both engines.
+
+  private[graft] val resizeTarget = 16
+
+  private def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = length($"text")
+    // (i·n) div T on non-negative ints ≪ 2^53: double-div + trunc-cast
+    // equals the oracle's integer floor-div
+    val sampled = concat((0 until resizeTarget).map { i =>
+      $"text".substr(((lit(i) * n).cast("double") / resizeTarget)
+        .cast("int") + 1, lit(1))
+    }: _*)
+    Tables(spark, dir).documents
+      .select($"doc_id", n.cast(LongType).as("n_bytes"),
+        sampled.as("thumb"),
+        graft.functions.RollingHash.rolling_hash(sampled).as("thumb_hash"))
+      .orderBy($"doc_id")
+  }
+
+  private val mmResizeSql = {
+    val sampled = (0 until resizeTarget)
+      .map(i => s"substr(text, ($i * length(text)) // $resizeTarget + 1, 1)")
+      .mkString(" || ")
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_bytes,
+       |  $sampled AS thumb,
+       |  ${graft.functions.RollingHash.sql(s"($sampled)")} AS thumb_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("mm_metadata", mmMetadata, Some(mmMetadataSql)),
     Q("mm_framesample", mmFramesample, Some(mmFramesampleSql)),
     Q("mm_decode_batch", mmDecodeBatch, Some(mmDecodeBatchSql)),
-    Q("mm_phash", mmPhash, Some(mmPhashSql))
+    Q("mm_phash", mmPhash, Some(mmPhashSql)),
+    Q("mm_resize", mmResize, Some(mmResizeSql))
   )
 }

@@ -62,6 +62,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hamming(h1, h3) > 8, s"unrelated payloads too close: ${hamming(h1, h3)}")
   }
 
+  test("mm_resize matches the nearest-neighbor index map recomputed locally") {
+    val got = SparkEntry.queries("mm_resize")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val docs = Tables(spark, sf).documents
+      .select("doc_id", "text").collect().take(50)
+    docs.foreach { d =>
+      val text = d.getString(1)
+      val expected = (0 until graft.operators.Multimodal.resizeTarget)
+        .map(i => text.charAt(i * text.length / graft.operators.Multimodal.resizeTarget))
+        .mkString
+      assert(got(d.getLong(0)) == ((text.length.toLong, expected)),
+        s"doc ${d.getLong(0)}")
+    }
+  }
+
   test("frame sampling covers every 4th frame exactly") {
     val rows = SparkEntry.queries("mm_framesample")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
