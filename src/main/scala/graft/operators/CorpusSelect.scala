@@ -392,8 +392,103 @@ object CorpusSelect {
        |FROM k ORDER BY shard, pos""".stripMargin
   }
 
+  // ---- llm_bloom: Bloom-filter decontamination pre-filter ----
+  // llm_decontaminate's posting equi-join ships every train-side
+  // posting row through a shuffle keyed on the shingle. At 100 TB the
+  // cheaper first pass is the classic Bloom pre-filter: fold the EVAL
+  // side's shingles into a fixed-size bit array (here 1024 words ×
+  // 63 bits ≈ 8 KB — constant, whatever the corpus size), broadcast
+  // it, and probe each training shingle row-locally. Bloom filters
+  // have NO false negatives, so every truly-contaminated doc survives
+  // the pre-filter (spec'd against llm_decontaminate's exact output);
+  // false positives (expected at the bits/keys ratio, a few percent
+  // here) are re-checked by the exact join over the ~surviving slice.
+  // The filter is EXACT BITS cross-engine: positions come from the
+  // shared rolling hash under k=3 salts, words are 63 bits wide
+  // because a 1<<63 BIGINT shift overflows DuckDB, and bit_or /
+  // bool_and aggregate identically on both engines.
+  //
+  // Scale shape: one tiny aggregate (≤1024 groups, map-side partial)
+  // builds the filter; the probe is a broadcast join against a
+  // FIXED-size table — the one broadcast that is legitimate at any
+  // corpus size — then two counting aggregates per doc. In
+  // production m scales with the eval-shingle count (m ≈ 10·|S| bits
+  // for ~1% fp at k=3); the plan shape is unchanged at any width.
+
+  private[graft] val bloomWordBits = 63
+  private val bloomWords = 1024
+  private val bloomBits = bloomWordBits * bloomWords
+  private[graft] val bloomK = 3
+
+  private def bloomPos(j: org.apache.spark.sql.Column,
+      sh: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.RollingHash.rolling_hash(
+      concat(lit("bloom"), j.cast("string"), lit("|"), sh)) % bloomBits
+
+  /** The eval-slice Bloom filter: (w, word) with at most [[bloomWords]]
+    * rows — bounded by construction, hence broadcastable at any SF.
+    */
+  private[graft] def bloomFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.shinglePosting(spark, dir)
+      .filter($"doc_id" % evalMod === evalRes)
+      .select($"shingle").distinct()
+      .select($"shingle",
+        explode(array((0 until bloomK).map(lit): _*)).as("j"))
+      .select(bloomPos($"j", $"shingle").as("pos"))
+      .select(expr(s"pos div $bloomWordBits").as("w"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $bloomWordBits AS INT))").as("mask"))
+      .groupBy($"w").agg(expr("bit_or(mask)").as("word"))
+  }
+
+  private def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val posting = Dedup.shinglePosting(spark, dir)
+    val probes = posting.filter($"doc_id" % evalMod =!= evalRes)
+      .select($"doc_id", $"shingle",
+        explode(array((0 until bloomK).map(lit): _*)).as("j"))
+      .withColumn("pos", bloomPos($"j", $"shingle"))
+      .withColumn("w", expr(s"pos div $bloomWordBits"))
+      .withColumn("mask",
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $bloomWordBits AS INT))"))
+    probes
+      .join(broadcast(bloomFilter(spark, dir)), Seq("w"), "left")
+      .groupBy($"doc_id", $"shingle")
+      .agg(expr("bool_and((coalesce(word, CAST(0 AS BIGINT)) & mask) <> 0)").as("maybe"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_probe_sh"),
+        sum(when($"maybe", 1L).otherwise(0L)).as("n_bloom_hits"))
+      .filter($"n_bloom_hits" >= minSharedShingles)
+      .orderBy($"doc_id")
+  }
+
+  private val bloomDecontaminateSql = {
+    def rh(arg: String) = graft.functions.RollingHash.sql(arg)
+    val evPos = rh("'bloom' || CAST(j AS VARCHAR) || '|' || sh")
+    s"""WITH ${Dedup.postingSqlCtes},
+       |ks AS (SELECT unnest(range($bloomK)) AS j),
+       |ev AS (SELECT DISTINCT sh FROM posting WHERE doc_id % $evalMod = $evalRes),
+       |evpos AS (SELECT ($evPos) % $bloomBits AS pos FROM ev, ks),
+       |filt AS (SELECT pos // $bloomWordBits AS w,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(pos % $bloomWordBits AS INT)) AS word
+       |  FROM evpos GROUP BY pos // $bloomWordBits),
+       |trpos AS (SELECT doc_id, sh, ($evPos) % $bloomBits AS pos
+       |  FROM posting, ks WHERE doc_id % $evalMod <> $evalRes),
+       |pr AS (SELECT doc_id, sh,
+       |    bool_and((COALESCE(f.word, CAST(0 AS BIGINT))
+       |      & (CAST(1 AS BIGINT) << CAST(t.pos % $bloomWordBits AS INT))) <> 0) AS maybe
+       |  FROM trpos t LEFT JOIN filt f ON f.w = t.pos // $bloomWordBits
+       |  GROUP BY doc_id, sh)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_probe_sh,
+       |  CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits
+       |FROM pr GROUP BY doc_id
+       |HAVING SUM(CASE WHEN maybe THEN 1 ELSE 0 END) >= $minSharedShingles
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("llm_corpus_select", corpusSelect, Some(corpusSelectSql)),
+    Q("llm_bloom", bloomDecontaminate, Some(bloomDecontaminateSql)),
     Q("llm_quality_classify", qualityClassify, Some(qualityClassifySql)),
     Q("llm_shard_shuffle", shardShuffle, Some(shardShuffleSql)),
     Q("llm_decontaminate", decontaminate, Some(decontaminateSql)),

@@ -185,6 +185,32 @@ class DedupSpec extends AnyFunSuite {
       s"banded blocking recovered only $recovered/${nearDup.size} planted pairs")
   }
 
+  test("llm_bloom never false-negatives: flags a superset of exact decontamination") {
+    // Bloom membership has no false negatives, so every doc the
+    // exact posting join flags must survive the pre-filter, with at
+    // least as many bloom hits as truly-shared shingles
+    val exact = SparkEntry.queries("llm_decontaminate")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = q("llm_bloom").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exact.nonEmpty)
+    exact.foreach { case (id, shared) =>
+      assert(bloom.contains(id), s"exact-flagged doc $id missing from bloom pre-filter")
+      assert(bloom(id) >= shared,
+        s"doc $id: ${bloom(id)} bloom hits < $shared truly-shared shingles")
+    }
+  }
+
+  test("the bloom filter table is bounded by its word count at any SF") {
+    val filt = graft.operators.CorpusSelect.bloomFilter(spark, sf)
+    assert(filt.count() <= 1024)
+    // every word index in range, every word non-zero
+    filt.collect().foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 1024)
+      assert(r.getLong(1) != 0L)
+    }
+  }
+
   test("ann_lsh candidates score identically to brute force") {
     val brute = q("ann_bruteforce").select("q_id", "neighbor_id", "cosine")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
