@@ -124,6 +124,18 @@ object VectorFunctions {
 
   def lshSig(e: Column, planes: Int): Column = lshSigAt(e, planes, 0)
 
+  /** All `bands` banded signatures at once (array<long>, element b =
+    * lshSigAt(e, planes, b·planes)) via the native [[LshBandSigs]]
+    * kernel — the codegen-safe form of a per-band lshSigAt stack,
+    * which at 8 bands × 8 planes × 64 dims exceeds janino's method
+    * limit and silently de-compiles the whole stage.
+    */
+  def lshBandSigs(e: Column, planes: Int, bands: Int): Column = {
+    require(bands * planes <= lshSignRows, s"sign pool exhausted: $bands×$planes")
+    column(LshBandSigs(expression(toD(e)),
+      lshSigns.take(bands * planes), planes, bands))
+  }
+
   /** DuckDB twin of lshSigAt over a list column expression. */
   def lshSigAtSql(e: String, planes: Int, off: Int): String = {
     require(off + planes <= lshSignRows, s"sign pool exhausted: $off+$planes")

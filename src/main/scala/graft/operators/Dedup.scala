@@ -776,9 +776,15 @@ object Dedup {
   private[graft] def embCandidatesPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val v = Similarity.lshIndex(spark, dir)
+    // The 8 band signatures come from the native LshBandSigs kernel
+    // (one array<long> per vector): the unrolled-Column stack (8 ×
+    // 512-term sums inside one generator expression) exceeded
+    // janino's method-size limit, so the stage failed codegen and
+    // silently ran interpreted (guarded now by DedupSpec's
+    // fallback-disabled compile test). Same sign rows, same fold
+    // order — bit-identical signatures, tiny generated loop.
     val bandSigs = v.select($"vec_id", $"label",
-      posexplode(array((0 until embBands).map(b =>
-        VectorFunctions.lshSigAt($"embedding", embPlanes, b * embPlanes)): _*)))
+      posexplode(VectorFunctions.lshBandSigs($"embedding", embPlanes, embBands)))
       .select($"vec_id", $"label", $"pos".as("band_idx"), $"col".as("band_sig"))
     bandSigs.select($"band_idx", $"band_sig", $"label", $"vec_id".as("a_id"))
       .join(bandSigs.select($"band_idx".as("b_bi"), $"band_sig".as("b_bs"),

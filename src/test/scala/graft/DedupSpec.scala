@@ -185,6 +185,22 @@ class DedupSpec extends AnyFunSuite {
       s"banded blocking recovered only $recovered/${nearDup.size} planted pairs")
   }
 
+  test("banded-signature candidate stages compile under codegen (no silent fallback)") {
+    // with fallback disabled a janino compile failure THROWS instead
+    // of silently running the stage interpreted — this is the guard
+    // that caught the 8×512-term unrolled generator expression
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      assert(graft.operators.Dedup.embCandidatesPlan(spark, sf).count() > 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("llm_bloom never false-negatives: flags a superset of exact decontamination") {
     // Bloom membership has no false negatives, so every doc the
     // exact posting join flags must survive the pre-filter, with at
