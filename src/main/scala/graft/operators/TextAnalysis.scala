@@ -387,7 +387,65 @@ object TextAnalysis {
        |             ELSE 0.0 END) > $topBigramThreshold AS is_repetitive
        |FROM stats ORDER BY doc_id""".stripMargin
 
+  // ---- text_lm_score: unigram-LM surprisal (perplexity filter) ----
+  // The CCNet-style LM quality gate: score each document by its
+  // average per-token surprisal under a language model — here the
+  // corpus's own unigram model, the degenerate-but-real first rung of
+  // the KenLM ladder. Cross-engine exactness rules out floating logs
+  // (log2 differs in the last ulp between libm builds), so surprisal
+  // is INTEGER: floor(log2(N div c)) = length(bin(N div c)) - 1 —
+  // bit-length arithmetic both engines compute identically — and the
+  // doc score ships as an integer milli-average (1000·Σ div n).
+  //
+  // Scale shape: per-doc token counts FIRST (map-side-combining
+  // groupBy (doc, t) — the exploded stream never crosses a shuffle
+  // raw), then an equi-join with the vocabulary count table keyed on
+  // the token. The vocab table is Heaps-law sublinear but NOT
+  // forced-broadcast (AQE decides by size); stopword keys are hot on
+  // the probe side only — per-(doc,t) rows are distinct, so AQE's
+  // skew split handles the reducer imbalance. N is a one-row
+  // aggregate of the vocab table: the only broadcast is a scalar.
+
+  private[graft] val lmKeepMilli = 4100L
+
+  private def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables(spark, dir).documents
+      .select($"doc_id", explode(tokens($"text")).as("t"))
+    val dc = tok.groupBy($"doc_id", $"t").agg(count(lit(1)).as("k"))
+    val vc = tok.groupBy($"t").agg(count(lit(1)).as("c"))
+    val tot = vc.agg(sum($"c").as("n"))
+    dc.join(vc, "t").crossJoin(broadcast(tot))
+      .withColumn("surp", (length(bin(expr("n div c"))) - 1).cast("long"))
+      .groupBy($"doc_id")
+      .agg(sum($"k").as("n_tokens"),
+        sum($"k" * $"surp").as("total_surprisal"))
+      .select($"doc_id", $"n_tokens", $"total_surprisal",
+        expr("(1000 * total_surprisal) div n_tokens").as("avg_surprisal_milli"))
+      .withColumn("verdict",
+        when($"avg_surprisal_milli" <= lmKeepMilli, "keep").otherwise("drop"))
+      .orderBy($"doc_id")
+  }
+
+  private val lmScoreSql =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |             FROM documents),
+       |dc AS (SELECT doc_id, t, COUNT(*) AS k FROM tok GROUP BY doc_id, t),
+       |vc AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc),
+       |s AS (SELECT dc.doc_id, dc.k,
+       |        CAST(length(bin(tot.n // vc.c)) - 1 AS BIGINT) AS surp
+       |      FROM dc JOIN vc USING (t), tot)
+       |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(k * surp) AS BIGINT) AS total_surprisal,
+       |  (1000 * CAST(SUM(k * surp) AS BIGINT)) // CAST(SUM(k) AS BIGINT)
+       |    AS avg_surprisal_milli,
+       |  CASE WHEN (1000 * CAST(SUM(k * surp) AS BIGINT)) // CAST(SUM(k) AS BIGINT)
+       |         <= $lmKeepMilli THEN 'keep' ELSE 'drop' END AS verdict
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_lm_score", lmScore, Some(lmScoreSql)),
     Q("text_tokens", textTokens, Some(textTokensSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),
     Q("text_langid", textLangid, Some(textLangidSql)),

@@ -105,4 +105,22 @@ class AdvancedSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("text_lm_score matches a sequential unigram-surprisal recompute") {
+    val docs = Tables(spark, sf).documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    docs.foreach { case (_, t) => t.split(" ", -1).foreach(w => counts(w) += 1) }
+    val n = counts.values.sum
+    def surp(w: String): Long = 63L - java.lang.Long.numberOfLeadingZeros(n / counts(w))
+    val expected = docs.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val total = toks.map(surp).sum
+      id -> ((toks.length.toLong, total, 1000L * total / toks.length))
+    }.toMap
+    val got = q("text_lm_score").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
 }
