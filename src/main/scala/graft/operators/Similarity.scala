@@ -523,8 +523,138 @@ object Similarity {
        |SELECT id AS vec_id, r AS pr FROM it$prIters ORDER BY vec_id""".stripMargin
   }
 
+  // ---- ann_pq: product quantization + asymmetric-distance search ----
+  // The third leg of the compressed-ANN stack (quantize → IVF → PQ):
+  // split each vector into pqSubspaces subvectors, encode each
+  // subvector as its nearest codebook centroid, and rank neighbors by
+  // ADC — the sum of per-subspace distances looked up from a tiny
+  // per-query table instead of recomputed per pair (Jégou et al.,
+  // "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+  // public literature). 64 dims collapse to 4 code bytes (16× less
+  // index than even int8), and pair scoring is 4 table adds vs 64
+  // multiplies; in production this composes with ann_ivf's probe
+  // pruning (IVF-PQ), and the codebooks come from per-subspace
+  // k-means (ann_kmeans_step is that trainer) — here they are pinned
+  // to the kmeans seed set so the DuckDB twin derives the identical
+  // codebook from the same table.
+  //
+  // Cross-engine exactness: vectors are first quantized to int8 on a
+  // CORPUS-GLOBAL scale (one-row broadcast agg; same trunc rules as
+  // ann_quantize), so every subspace distance, code argmin (packed
+  // min(d·K+idx) — tie-break on centroid id), and ADC sum is INTEGER
+  // arithmetic — order-independent, no float-accumulation drift
+  // through any shuffle on either engine.
+
+  private[graft] val pqSubspaces = 4
+  private[graft] val pqSubDim = lshDim / pqSubspaces
+  private val pqSeedMod = 50
+  private val pqSeedMax = 400
+  private val pqK = 8 // centroid slots per subspace (idx < pqK by construction)
+
+  /** Corpus quantized on the global scale: (vec_id, q array<int>). */
+  private def pqQuantized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables(spark, dir).embeddings
+    val amax = aggregate(
+      transform($"embedding", x => abs(x.cast("double"))),
+      lit(0.0), (a, x) => greatest(a, x))
+    val gscale = emb.select(amax.as("amax"))
+      .agg(max($"amax").as("gmax"))
+      .select((greatest($"gmax", lit(1e-30)) / 127.0).as("gscale"))
+    emb.crossJoin(broadcast(gscale))
+      .select($"vec_id",
+        transform($"embedding",
+          x => (x.cast("double") / $"gscale").cast("int")).as("q"))
+  }
+
+  private def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qv = pqQuantized(spark, dir)
+    val seeds = qv
+      .filter($"vec_id" % pqSeedMod === 0 && $"vec_id" < pqSeedMax)
+      .select(expr(s"CAST(vec_id div $pqSeedMod AS INT)").as("idx"),
+        $"q".as("sq"))
+    // per-(vector, centroid) subspace distances, unrolled per
+    // subspace (16 integer terms each — codegen-sized)
+    def subDist(m: Int) = (1 to pqSubDim).map { i =>
+      val d = element_at($"q", m * pqSubDim + i).cast("long") -
+        element_at($"sq", m * pqSubDim + i).cast("long")
+      d * d
+    }.reduceLeft(_ + _)
+    val dists = qv.crossJoin(broadcast(seeds))
+      .select($"vec_id" +: $"idx" +:
+        (0 until pqSubspaces).map(m => subDist(m).as(s"d_$m")): _*)
+    // encode: argmin centroid per subspace via the packed integer min
+    val packs = (0 until pqSubspaces).map(m =>
+      min(col(s"d_$m") * pqK + $"idx").as(s"p_$m"))
+    val codes = dists.groupBy($"vec_id")
+      .agg(packs.head, packs.tail: _*)
+      .select($"vec_id" +: (0 until pqSubspaces).map(m =>
+        (col(s"p_$m") % pqK).cast("int").as(s"code_$m")): _*)
+    // per-query ADC lookup table as a nested map m -> (idx -> d)
+    val qmaps = dists.filter(queryFilter($"vec_id"))
+      .selectExpr("vec_id AS q_id", "idx",
+        s"stack($pqSubspaces, " +
+          (0 until pqSubspaces).map(m => s"$m, d_$m").mkString(", ") +
+          ") AS (m, d)")
+      .groupBy($"q_id", $"m")
+      .agg(map_from_entries(collect_list(struct($"idx", $"d"))).as("dmap"))
+      .groupBy($"q_id")
+      .agg(map_from_entries(collect_list(struct($"m", $"dmap"))).as("mmap"))
+    val nQ = queryCount(spark, dir, qv.filter(queryFilter($"vec_id")))
+    val adc = (0 until pqSubspaces).map(m =>
+      element_at(element_at($"mmap", lit(m)), col(s"code_$m")))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy($"q_id").orderBy($"adc_dist", $"vec_id")
+    codes.join(probeSide(qmaps, nQ), $"q_id" =!= $"vec_id")
+      .withColumn("adc_dist", adc)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), $"adc_dist")
+      .orderBy($"q_id", $"rk")
+  }
+
+  private val annPqSql = {
+    val amax =
+      "list_reduce(list_prepend(0.0, [abs(CAST(x AS DOUBLE)) for x in embedding]), (a, x) -> greatest(a, x))"
+    def sum16(m: Int) = (1 to pqSubDim).map { i =>
+      val p = m * pqSubDim + i
+      s"(CAST(v.q[$p] AS BIGINT) - CAST(s.sq[$p] AS BIGINT)) * (CAST(v.q[$p] AS BIGINT) - CAST(s.sq[$p] AS BIGINT))"
+    }.mkString(" + ")
+    val distArms = (0 until pqSubspaces).map(m =>
+      s"SELECT v.vec_id, s.idx, $m AS m, ${sum16(m)} AS d FROM qt v, sq s")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH g AS (
+       |  SELECT greatest(MAX($amax), 1e-30) / 127.0 AS gscale FROM embeddings),
+       |qt AS (
+       |  SELECT vec_id,
+       |    [CAST(trunc(CAST(x AS DOUBLE) / g.gscale) AS INTEGER) for x in embedding] AS q
+       |  FROM embeddings, g),
+       |sq AS (SELECT CAST(vec_id // $pqSeedMod AS INTEGER) AS idx, q AS sq FROM qt
+       |       WHERE vec_id % $pqSeedMod = 0 AND vec_id < $pqSeedMax),
+       |dists AS (
+       |  $distArms),
+       |codes AS (
+       |  SELECT vec_id, m, CAST(MIN(d * $pqK + idx) % $pqK AS INTEGER) AS code
+       |  FROM dists GROUP BY vec_id, m),
+       |dtab AS (SELECT vec_id AS q_id, m, idx AS c, d FROM dists
+       |         WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT dt.q_id, c.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc_dist
+       |  FROM codes c JOIN dtab dt ON dt.m = c.m AND dt.c = c.code
+       |  WHERE dt.q_id <> c.vec_id
+       |  GROUP BY dt.q_id, c.vec_id)
+       |SELECT q_id, rk, vec_id AS neighbor_id, adc_dist FROM (
+       |  SELECT q_id, vec_id, adc_dist,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("ann_bruteforce", annBrute, Some(annBruteSql)),
+    Q("ann_pq", annPq, Some(annPqSql)),
     Q("ann_lsh", annLsh, Some(annLshSql)),
     Q("ann_ivf", annIvf, Some(annIvfSqlProbe(1))),
     Q("ann_ivf_multiprobe", annIvfMulti, Some(annIvfSqlProbe(2))),

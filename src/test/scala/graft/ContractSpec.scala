@@ -21,9 +21,9 @@ class ContractSpec extends AnyFunSuite {
         sql.trim.toUpperCase.startsWith("WITH")))
   }
 
-  test("inventory size matches SURVEY status (107 ops, 106 oracles)") {
-    assert(SparkEntry.allQueries.size == 107)
-    assert(SparkEntry.oracleSql.size == 106)
+  test("inventory size matches SURVEY status (108 ops, 107 oracles)") {
+    assert(SparkEntry.allQueries.size == 108)
+    assert(SparkEntry.oracleSql.size == 107)
     // the single rows-checked survivor is the engine-specific HLL /
     // quantile sketch pair (its KMV twin q27 IS oracle-checked)
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)

@@ -13,6 +13,36 @@ import graft.functions.VectorFunctions
 class LshSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("ann_pq matches a sequential product-quantization recompute") {
+    val rows = Tables(spark, sf).embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val gmax = rows.iterator.flatMap(_._2).map(x => math.abs(x.toDouble)).max
+    val gscale = math.max(gmax, 1e-30) / 127.0
+    val qvec = rows.map { case (id, e) =>
+      id -> e.map(x => (x.toDouble / gscale).toInt) }.toMap
+    val seedIds = qvec.keys.filter(id => id % 50 == 0 && id < 400).toSeq.sorted
+    def subDist(a: Array[Int], b: Array[Int], m: Int): Long = {
+      var s = 0L; var i = m * 16
+      while (i < m * 16 + 16) { val d = (a(i) - b(i)).toLong; s += d * d; i += 1 }
+      s
+    }
+    def codes(v: Array[Int]): IndexedSeq[Int] = (0 until 4).map { m =>
+      seedIds.indices.minBy(idx => (subDist(v, qvec(seedIds(idx)), m), idx))
+    }
+    val queries = qvec.keys.filter(_ % 50 == 0).toSeq.sorted
+    val expected = queries.flatMap { qid =>
+      qvec.keys.filter(_ != qid).map { vid =>
+        val c = codes(qvec(vid))
+        val d = (0 until 4).map(m => subDist(qvec(qid), qvec(seedIds(c(m))), m)).sum
+        (vid, d)
+      }.toSeq.sortBy { case (vid, d) => (d, vid) }.take(5)
+        .zipWithIndex.map { case ((vid, d), i) => (qid, i + 1L, vid, d) }
+    }.toSet
+    val got = SparkEntry.queries("ann_pq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+  }
+
   test("integer pagerank matches a sequential recompute on a handmade graph") {
     import spark.implicits._
     import graft.operators.Similarity
