@@ -438,6 +438,59 @@ object Similarity {
        |WHERE rk <= 3
        |ORDER BY vec_id, rk""".stripMargin
 
+  // ---- dedup_semantic: SemDeDup over the kNN graph ----
+  // Semantic deduplication (Abbas et al. 2023, "SemDeDup": drop
+  // embedding-space near-duplicates that share no n-grams — public
+  // literature): edges are kNN-graph pairs above a cosine threshold,
+  // semantic-dup groups are their connected components, and each
+  // group keeps its min-id representative. Composes three already-
+  // checked pieces — the LSH-bucketed kNN graph (candidate
+  // generation never goes all-pairs), the star-contraction CC
+  // (O(log n) rounds), and a keyed count window — so the whole
+  // pipeline is the 100 TB shape end to end. Every vector gets a
+  // verdict row (singletons are their own keeper), which is what the
+  // downstream corpus-select anti-join consumes.
+
+  private[graft] val semTau = 0.35
+
+  private def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = knnEdges(spark, dir).filter($"cosine" >= semTau)
+      .select(least($"vec_id", $"neighbor_id").as("a_id"),
+        greatest($"vec_id", $"neighbor_id").as("b_id"))
+      .distinct()
+    val comp = Dedup.connectedComponents(edges)
+      .select($"id".as("vec_id"), $"label".as("cl"))
+    val wc = Window.partitionBy($"cluster_id")
+    Tables(spark, dir).embeddings.select($"vec_id")
+      .join(comp, Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"cl", $"vec_id").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .withColumn("is_keeper", $"vec_id" === $"cluster_id")
+      .orderBy($"vec_id")
+  }
+
+  private lazy val dedupSemanticSql =
+    s"""WITH RECURSIVE knn AS ($annKnnGraphSql),
+       |sedges AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a_id,
+       |    greatest(vec_id, neighbor_id) AS b_id
+       |  FROM knn WHERE cosine >= $semTau),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM sedges
+       |          UNION ALL SELECT b_id, a_id FROM sedges),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |walk(id, root) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, w.root FROM walk w JOIN edges e ON e.dst = w.id
+       |  WHERE w.root < e.src OR w.root < w.id),
+       |comp AS (SELECT id, MIN(root) AS cluster_id FROM walk GROUP BY id),
+       |lab AS (SELECT em.vec_id, COALESCE(c.cluster_id, em.vec_id) AS cluster_id
+       |        FROM embeddings em LEFT JOIN comp c ON c.id = em.vec_id)
+       |SELECT vec_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       |  vec_id = cluster_id AS is_keeper
+       |FROM lab ORDER BY vec_id""".stripMargin
+
   // ---- graph_pagerank: corpus-importance over the kNN graph ----
   // The iterative-propagation workload class (Pregel-style): document
   // importance from graph structure, the signal link/similarity-graph
@@ -661,6 +714,7 @@ object Similarity {
     Q("ann_kmeans_step", annKmeansStep, Some(annKmeansStepSql)),
     Q("ann_quantize", annQuantize, Some(annQuantizeSql)),
     Q("ann_knn_graph", annKnnGraph, Some(annKnnGraphSql)),
-    Q("graph_pagerank", graphPagerank, Some(graphPagerankSql))
+    Q("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
+    Q("dedup_semantic", dedupSemantic, Some(dedupSemanticSql))
   )
 }

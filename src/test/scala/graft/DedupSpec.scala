@@ -185,6 +185,33 @@ class DedupSpec extends AnyFunSuite {
       s"banded blocking recovered only $recovered/${nearDup.size} planted pairs")
   }
 
+  test("dedup_semantic matches a union-find recompute over the thresholded kNN edges") {
+    val edges = SparkEntry.queries("ann_knn_graph")(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("cosine") >=
+        graft.operators.Similarity.semTau)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = Tables(spark, sf).embeddings.select("vec_id")
+      .collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = ids.map(i => i -> find(i)).toMap
+    val sizes = label.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = q("dedup_semantic").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.length == ids.length)
+    got.foreach { case (id, cl, sz, keep) =>
+      assert(cl == label(id), s"vec $id: cluster $cl != ${label(id)}")
+      assert(sz == sizes(cl))
+      assert(keep == (id == cl))
+    }
+  }
+
   test("banded-signature candidate stages compile under codegen (no silent fallback)") {
     // with fallback disabled a janino compile failure THROWS instead
     // of silently running the stage interpreted — this is the guard
