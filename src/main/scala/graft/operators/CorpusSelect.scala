@@ -486,8 +486,52 @@ object CorpusSelect {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- llm_dataset_card: one-pass corpus profile ----
+  // The "dataset card" numbers every corpus release publishes (docs,
+  // tokens, source/language mix, exact-dup rate) computed as ONE
+  // aggregate over one scan — the multi-countDistinct expands to a
+  // grouping-set pass (Spark's Expand), never N scans, and every
+  // figure is integer so the single output row is bit-stable on any
+  // engine. At 100 TB this is the profile job you run after every
+  // pipeline stage; approximate twins (HLL) live in q20_sketches.
+
+  private def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables(spark, dir).documents
+      .select($"source", $"lang", $"text",
+        size(graft.functions.TextFunctions.tokens($"text"))
+          .cast("long").as("n_tok"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        countDistinct($"lang").as("n_langs"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("en_docs"),
+        sum($"n_tok").as("total_tokens"),
+        countDistinct(md5($"text")).as("n_distinct_texts"))
+      .select($"n_docs", $"n_sources", $"n_langs", $"en_docs",
+        $"total_tokens",
+        expr("(1000 * total_tokens) div n_docs").as("avg_tokens_milli"),
+        $"n_distinct_texts",
+        ($"n_docs" - $"n_distinct_texts").as("n_exact_dups"))
+  }
+
+  private val datasetCardSql =
+    s"""WITH c AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       |    CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+       |  FROM documents)
+       |SELECT n_docs, n_sources, n_langs, en_docs, total_tokens,
+       |  (1000 * total_tokens) // n_docs AS avg_tokens_milli,
+       |  n_distinct_texts, n_docs - n_distinct_texts AS n_exact_dups
+       |FROM c""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("llm_corpus_select", corpusSelect, Some(corpusSelectSql)),
+    Q("llm_dataset_card", datasetCard, Some(datasetCardSql)),
     Q("llm_bloom", bloomDecontaminate, Some(bloomDecontaminateSql)),
     Q("llm_quality_classify", qualityClassify, Some(qualityClassifySql)),
     Q("llm_shard_shuffle", shardShuffle, Some(shardShuffleSql)),

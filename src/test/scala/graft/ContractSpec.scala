@@ -21,9 +21,9 @@ class ContractSpec extends AnyFunSuite {
         sql.trim.toUpperCase.startsWith("WITH")))
   }
 
-  test("inventory size matches SURVEY status (109 ops, 108 oracles)") {
-    assert(SparkEntry.allQueries.size == 109)
-    assert(SparkEntry.oracleSql.size == 108)
+  test("inventory size matches SURVEY status (110 ops, 109 oracles)") {
+    assert(SparkEntry.allQueries.size == 110)
+    assert(SparkEntry.oracleSql.size == 109)
     // the single rows-checked survivor is the engine-specific HLL /
     // quantile sketch pair (its KMV twin q27 IS oracle-checked)
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)

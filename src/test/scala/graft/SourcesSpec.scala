@@ -36,6 +36,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.select($"meta.lang").distinct().count() == 5)
   }
 
+  test("orc round-trip preserves rows and pushes filters to the scan") {
+    val li = Tables(spark, sf).lineitem
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+    li.write.mode("overwrite").orc(s"$tmp/lineitem_orc")
+    val back = spark.read.orc(s"$tmp/lineitem_orc")
+    assert(back.count() == li.count())
+    val filtered = back.filter($"l_returnflag" === "R")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("l_returnflag"), s"no ORC pushdown in:\n$plan")
+    assert(filtered.count() ==
+      li.filter($"l_returnflag" === "R").count())
+  }
+
   test("partitioned parquet write enables partition pruning") {
     Tables(spark, sf).orders
       .withColumn("order_year", year($"o_orderdate"))
