@@ -210,18 +210,41 @@ object Multimodal {
   private[graft] def bandCols: Seq[String] =
     (0 until phashBits.toInt / phashBandBits).map(b => s"band$b")
 
-  private def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc phash signatures + band keys, checkpointed and cached
+    * per (session, dir) — the 48-slice signature pass is the
+    * expensive half of the phash pipeline and the signatures are a
+    * deterministic corpus artifact like the minhash posting; mm_dedup
+    * self-joins this frame, so without the checkpoint the doc scan
+    * would run once per join side.
+    */
+  private val phashCache = new graft.PlanCache()
+
+  /** The UNCHECKPOINTED signature derivation (for plan-shape guards). */
+  private[graft] def phashDocsPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     withPhash(Tables(spark, dir).documents)
       .select(($"doc_id" +: $"phash" +: bandCols.map(col)): _*)
-      .orderBy($"doc_id")
   }
 
-  private val mmPhashSql = {
+  private def phashDocs(spark: SparkSession, dir: String): DataFrame =
+    phashCache.getOrBuild(spark, dir)(
+      phashDocsPlan(spark, dir).localCheckpoint())
+
+  private def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    phashDocs(spark, dir).orderBy($"doc_id")
+  }
+
+  /** Shared CTE stack ending in `pb` = (doc_id, phash, band0..3) —
+    * mm_phash publishes it directly; mm_dedup builds its candidate
+    * join on top of the same derivation so the two oracles can never
+    * drift.
+    */
+  private val phashSqlCtes = {
     import graft.functions.ByteSum
     val bandExprs = bandCols.zipWithIndex.map { case (name, b) =>
       s"(phash >> ${b * phashBandBits}) % ${1L << phashBandBits} AS $name" }.mkString(",\n  ")
-    s"""WITH d AS (SELECT doc_id, text, length(text) AS n,
+    s"""d AS (SELECT doc_id, text, length(text) AS n,
        |             ${ByteSum.sql("text")} AS total_sum
        |           FROM documents),
        |s AS (SELECT doc_id, CAST(j AS BIGINT) AS j, n, total_sum,
@@ -229,17 +252,22 @@ object Multimodal {
        |          CAST(((j + 1) * n) // $phashBits - (j * n) // $phashBits AS BIGINT)) AS sl,
        |        ((j + 1) * n) // $phashBits - (j * n) // $phashBits AS slen
        |      FROM d, UNNEST(range(0, $phashBits)) AS r(j)),
-       |b AS (SELECT doc_id, j,
+       |bits AS (SELECT doc_id, j,
        |        CASE WHEN (${ByteSum.sql("sl")}) * n > total_sum * slen
        |             THEN 1 ELSE 0 END AS bit
        |      FROM s),
-       |p AS (SELECT doc_id,
+       |ph AS (SELECT doc_id,
        |        CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(j AS INT))) AS BIGINT) AS phash
-       |      FROM b GROUP BY doc_id)
-       |SELECT doc_id, phash,
+       |      FROM bits GROUP BY doc_id),
+       |pb AS (SELECT doc_id, phash,
        |  $bandExprs
-       |FROM p ORDER BY doc_id""".stripMargin
+       |  FROM ph)""".stripMargin
   }
+
+  private val mmPhashSql =
+    s"""WITH $phashSqlCtes
+       |SELECT doc_id, phash, ${bandCols.mkString(", ")}
+       |FROM pb ORDER BY doc_id""".stripMargin
 
   // ---- mm_resize: deterministic nearest-neighbor downsample ----
   // The remaining multimodal verb (decode / feature-extract / RESIZE /
@@ -284,11 +312,71 @@ object Multimodal {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---- mm_dedup: perceptual-hash image dedup (band LSH + hamming) ----
+  // The operator mm_phash's band keys exist FOR: re-encoded copies of
+  // the same image hash to nearby (not identical) signatures, so
+  // byte-checksum dedup misses them. Candidates = pairs agreeing on
+  // ANY of the 4 × 12-bit bands — an equi-join on (band_idx,
+  // band_key), never a corpus self-join on hamming distance; verify =
+  // exact popcount(xor) over the 48-bit signatures, kept iff ≤ 10.
+  // Pigeonhole gives EXACT recall to hamming ≤ 3 (3 dirty bits touch
+  // ≤ 3 of 4 bands); beyond that, recall needs the differing bits to
+  // cluster into ≤ 3 bands — the common case for locally-edited
+  // re-encodes, same contract as dedup_simhash's block-pair tables.
+  // Both engines derive candidates from the identical band tables, so
+  // the output is exactly hash-checked despite the probabilistic
+  // recall contract. Scale shape: band keys are 12 bits wide → bucket
+  // sizes n/4096 in expectation; the join is shuffled on the band
+  // key, nothing is broadcast, and the verify is row-local popcount.
+
+  private[graft] val mmDedupThreshold = 10L
+
+  private def mmDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = phashDocs(spark, dir)
+    val keys = docs.select($"doc_id", $"phash",
+      posexplode(array(bandCols.map(col): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_key")
+    val a = keys.select($"band_idx", $"band_key",
+      $"doc_id".as("a_id"), $"phash".as("a_ph"))
+    val b = keys.select($"band_idx".as("b_idx"), $"band_key".as("b_key"),
+      $"doc_id".as("b_id"), $"phash".as("b_ph"))
+    a.join(b, $"band_idx" === $"b_idx" && $"band_key" === $"b_key" &&
+        $"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        bit_count($"a_ph".bitwiseXOR($"b_ph")).cast(LongType).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= mmDedupThreshold)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private val mmDedupSql: String = {
+    val bandArms = bandCols.zipWithIndex.map { case (name, i) =>
+      s"SELECT doc_id, phash, $i AS band_idx, $name AS band_key FROM pb" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH $phashSqlCtes,
+       |bands AS (
+       |  $bandArms),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    a.phash AS a_ph, b.phash AS b_ph
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |      AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id,
+       |  CAST(bit_count(xor(a_ph, b_ph)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(a_ph, b_ph)) <= $mmDedupThreshold
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("mm_metadata", mmMetadata, Some(mmMetadataSql)),
     Q("mm_framesample", mmFramesample, Some(mmFramesampleSql)),
     Q("mm_decode_batch", mmDecodeBatch, Some(mmDecodeBatchSql)),
     Q("mm_phash", mmPhash, Some(mmPhashSql)),
-    Q("mm_resize", mmResize, Some(mmResizeSql))
+    Q("mm_resize", mmResize, Some(mmResizeSql)),
+    Q("mm_dedup", mmDedup, Some(mmDedupSql))
   )
 }

@@ -77,6 +77,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_dedup equals the brute-force band-collision + hamming recompute") {
+    // ground truth: ALL pairs sharing >= 1 band key with popcount(xor)
+    // <= threshold, recomputed in the driver from the signature frame
+    // itself — proves the banded equi-join loses no in-contract pair
+    // and the verify filter is the exact popcount
+    val sig = graft.operators.Multimodal.phashDocsPlan(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .sortBy(_._1)
+    val expected = (for {
+      i <- sig.indices; j <- (i + 1) until sig.length
+      if sig(i)._3.zip(sig(j)._3).exists { case (x, y) => x == y }
+      h = java.lang.Long.bitCount(sig(i)._2 ^ sig(j)._2)
+      if h <= graft.operators.Multimodal.mmDedupThreshold
+    } yield (sig(i)._1, sig(j)._1, h.toLong)).toSet
+    val got = SparkEntry.queries("mm_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty, "degenerate corpus: no near-dup pair in contract")
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("frame sampling covers every 4th frame exactly") {
     val rows = SparkEntry.queries("mm_framesample")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

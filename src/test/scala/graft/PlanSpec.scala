@@ -93,6 +93,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_dedup candidates are a banded equi-join, nothing broadcast") {
+    // the band-key frame is corpus-proportional (4 rows per doc), so
+    // neither join side may be broadcast and the pair generation must
+    // stay an equi-join on (band_idx, band_key)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("mm_dedup")
+      assert(!p.contains("CartesianProduct"), "mm_dedup has a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), "mm_dedup has a nested-loop join")
+      assert(!p.contains("BroadcastExchange"),
+        "mm_dedup broadcasts a corpus-proportional frame")
+      // the cold-path signature builder is row-local: the only
+      // exchange allowed is the input round-robin spread, never a
+      // keyed shuffle
+      val sp = graft.operators.Multimodal.phashDocsPlan(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!sp.contains("hashpartitioning"), "phash signature pass shuffles on a key")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("minhash verification never broadcasts candidate-derived frames") {
     // candIds / per-candidate sizes are O(duplicate count) ≈ O(corpus)
     // worst case. With the auto-broadcast threshold disabled, any
@@ -201,7 +225,12 @@ class PlanSpec extends AnyFunSuite {
   test("byte_sum participates in whole-stage codegen (mm_phash stays one pass)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val p = plan("mm_phash")
+      // mm_phash itself now serves from the checkpointed signature
+      // cache (its live plan is a checkpoint scan) — the codegen
+      // property belongs to the UNCHECKPOINTED builder plan
+      PlanCache.clearAll()
+      val p = graft.operators.Multimodal.phashDocsPlan(spark, sf)
+        .queryExecution.executedPlan.toString
       assert(p.toLowerCase.contains("bytesum"), "ByteSum not in plan")
       val projLine = p.linesIterator.find(_.toLowerCase.contains("bytesum")).get
       assert(projLine.contains("*("), s"projection not codegen'd: $projLine")
