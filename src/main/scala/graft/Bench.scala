@@ -1,10 +1,12 @@
 package graft
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR through a noop sink and prints ONE short JSON
-  * line {"metric","value","unit","queries","sf"}. The line is printed
-  * last (after spark.stop()) and timings are rounded to ms so the
-  * whole line stays well inside a log-tail capture window; a copy is
-  * also written to BENCH_SELF.json in the working directory.
+  * SPARK_GRAFT_SF_DIR through a noop sink. The line PRINTED (last,
+  * after spark.stop()) is a SHORT summary — total, mode, floors, sf —
+  * with NO per-query map: the driver captures a bounded log tail, and
+  * a >3 KB line with 111 per-query entries was truncated mid-JSON
+  * three rounds running (BENCH_r03..r05 all "parsed": null). The full
+  * per-query breakdown goes to BENCH_SELF.json in the working
+  * directory instead.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -82,23 +84,27 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val nOk = results.values.count(_ >= 0)
     val dataValue = math.max(0.0, total - floor * nOk)
-    val line =
+    // measurement mode, stated for the record: per-query min of 2
+    // measured passes after one warmup pass; deterministic corpus
+    // artifacts (postings, signatures, candidate pairs, KPI models,
+    // LSH/IVF indexes) are cached across passes — i.e. steady-state
+    // operator latency, build-once costs excluded
+    val summary =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
-        // measurement mode, stated for the record: per-query min of 2
-        // measured passes after one warmup pass; deterministic corpus
-        // artifacts (postings, signatures, candidate pairs, KPI
-        // models, LSH/IVF indexes) are cached across passes — i.e.
-        // steady-state operator latency, build-once costs excluded
         s""""mode":"steady-state: min of 2 passes, corpus artifacts cached",""" +
+        s""""n_queries":${results.size},"n_ok":$nOk,""" +
         s""""floor_per_query_sec":${ms(floor)},""" +
         s""""floor_per_stage_sec":${ms(floorShuffle)},""" +
         s""""floor_total_sec":${ms(floor * nOk)},""" +
         s""""value_minus_floor":${ms(dataValue)},""" +
-        s""""queries":$qs,"sf":"$sfDir"}"""
+        s""""per_query":"BENCH_SELF.json","sf":"$sfDir"}"""
+    // full record (summary fields + per-query map) — file only, so the
+    // printed line stays a few hundred bytes
+    val full = summary.dropRight(1) + s""","queries":$qs}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SELF.json"), line + "\n")
+      java.nio.file.Paths.get("BENCH_SELF.json"), full + "\n")
     catch { case _: Throwable => () }
     spark.stop()
-    println(line)
+    println(summary)
   }
 }

@@ -612,19 +612,30 @@ object Advanced {
       |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin
 
   // ---- q25_setops: INTERSECT / EXCEPT ----
+  // Expressed as the single-pass FLAG-AGGREGATION rewrite of the two
+  // set ops (the same decomposition engines apply to INTERSECT/EXCEPT
+  // internally): one scan of the two priority slices, one shuffle on
+  // the key with map-side partials, per-key membership flags, then
+  // both buckets fall out of one projection —
+  //   INTERSECT ≡ has_urgent ∧ has_low, EXCEPT ≡ has_urgent ∧ ¬has_low.
+  // The naive form (df.intersect + df.except + union) scans the fact
+  // twice and shuffles four legs; this is two stages regardless of
+  // how many set-op buckets are derived. The ORACLE keeps the literal
+  // INTERSECT/EXCEPT formulation, so the set-op semantics (including
+  // set DISTINCT) stay cross-engine checked.
 
   private def q25(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val t = Tables(spark, dir)
-    val withUrgent = t.orders.filter($"o_orderpriority" === "1-URGENT")
-      .select($"o_custkey")
-    val withLow = t.orders.filter($"o_orderpriority" === "5-LOW")
-      .select($"o_custkey")
-    val both = withUrgent.intersect(withLow)
-      .select($"o_custkey", lit("both").as("bucket"))
-    val urgentOnly = withUrgent.except(withLow)
-      .select($"o_custkey", lit("urgent_only").as("bucket"))
-    both.unionAll(urgentOnly).orderBy($"bucket", $"o_custkey")
+    Tables(spark, dir).orders
+      .filter($"o_orderpriority" === "1-URGENT" || $"o_orderpriority" === "5-LOW")
+      .groupBy($"o_custkey")
+      .agg(
+        max(when($"o_orderpriority" === "1-URGENT", 1).otherwise(0)).as("has_u"),
+        max(when($"o_orderpriority" === "5-LOW", 1).otherwise(0)).as("has_l"))
+      .filter($"has_u" === 1)
+      .select($"o_custkey",
+        when($"has_l" === 1, "both").otherwise("urgent_only").as("bucket"))
+      .orderBy($"bucket", $"o_custkey")
   }
 
   private val q25Sql =

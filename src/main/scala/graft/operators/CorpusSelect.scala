@@ -444,17 +444,28 @@ object CorpusSelect {
   private def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val posting = Dedup.shinglePosting(spark, dir)
-    val probes = posting.filter($"doc_id" % evalMod =!= evalRes)
-      .select($"doc_id", $"shingle",
+    val train = posting.filter($"doc_id" % evalMod =!= evalRes)
+    // Probe each DISTINCT shingle once, not once per posting row: the
+    // k-probe explode runs over the distinct-shingle universe (≤ the
+    // posting, usually ≪ — repeated shingles are the point of a df
+    // table), collapsing to one (shingle, maybe) verdict per shingle.
+    // The posting then picks up its verdict through ONE equi-join and
+    // reduces straight to the per-doc counts — the posting is
+    // shuffled once (on shingle) instead of 3× through two groupBys.
+    // The verdict frame is corpus-proportional, so it is NOT
+    // broadcast: AQE sizes the join (at 100 TB it is a shuffled hash
+    // join on the shingle key).
+    val verdicts = train.select($"shingle").distinct()
+      .select($"shingle",
         explode(array((0 until bloomK).map(lit): _*)).as("j"))
       .withColumn("pos", bloomPos($"j", $"shingle"))
       .withColumn("w", expr(s"pos div $bloomWordBits"))
       .withColumn("mask",
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $bloomWordBits AS INT))"))
-    probes
       .join(broadcast(bloomFilter(spark, dir)), Seq("w"), "left")
-      .groupBy($"doc_id", $"shingle")
+      .groupBy($"shingle")
       .agg(expr("bool_and((coalesce(word, CAST(0 AS BIGINT)) & mask) <> 0)").as("maybe"))
+    train.join(verdicts, Seq("shingle"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_probe_sh"),
         sum(when($"maybe", 1L).otherwise(0L)).as("n_bloom_hits"))

@@ -327,6 +327,26 @@ object Dedup {
       .select(greatest($"a_id", $"b_id").as("src"),
         least($"a_id", $"b_id").as("dst"))
       .distinct().localCheckpoint()
+    // Fixpoint detection by EDGE-SET CHECKSUM, one action per round:
+    // (count, exact decimal sum of xxhash64(src,dst), bit_xor of the
+    // same hash). Two multisets of distinct rows with equal count +
+    // equal hash-sum + equal hash-xor are the same set up to a ~2^-128
+    // hash-collision chance — the engineering standard for set-equality
+    // probing (same failure model as the minhash/simhash stages). The
+    // previous check ran count() on both sides plus an exceptAll job:
+    // three cluster actions per round where one suffices, and on an
+    // iterative stage the per-round action count IS the latency.
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal, Long) = {
+      val h = xxhash64($"src", $"dst")
+      val r = df.agg(
+        count(lit(1)),
+        sum(h.cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+        expr("bit_xor(xxhash64(src, dst))")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var edgeChk = checksum(edges)
     var converged = false
     var rounds = 0
     val maxRounds = 32 // ≥ log2(nodes) for any conceivable corpus
@@ -346,8 +366,10 @@ object Dedup {
         .select($"dst".as("src"), $"m".as("dst"))
         .unionAll(ssMin.select($"src", $"m".as("dst")))
         .distinct().localCheckpoint()
-      converged = ss.count() == edges.count() && ss.exceptAll(edges).isEmpty
+      val ssChk = checksum(ss)
+      converged = ssChk == edgeChk
       edges = ss
+      edgeChk = ssChk
       rounds += 1
     }
     if (!converged)

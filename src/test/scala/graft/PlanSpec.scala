@@ -317,6 +317,43 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("bounded-probe contract fails loudly past the bound (non-equi ANN joins)") {
+    // ann_bruteforce / ann_pq score through a `=!=`-only join where a
+    // shuffle_hash fallback cannot bind — past the bound Spark would
+    // silently plan a cartesian over the corpus. The hard variant must
+    // throw instead of degrading.
+    import spark.implicits._
+    val df = Seq(1L).toDF("q_id")
+    // under the bound: passes through (broadcast-hinted)
+    assert(graft.operators.Similarity.boundedProbeSide(df, 10, bound = 10)
+      .queryExecution.logical != null)
+    val e = intercept[IllegalStateException] {
+      graft.operators.Similarity.boundedProbeSide(df, 11, bound = 10)
+    }
+    assert(e.getMessage.contains("bounded-probe contract violated"))
+    assert(e.getMessage.contains("ann_ivfpq"),
+      "error must point the caller at the pruned variants")
+  }
+
+  test("ann_ivfpq scores through the cluster equi-key, never all-pairs") {
+    // the whole point of IVF-PQ over flat PQ: the scoring join must
+    // carry the cluster equi-key (hash-joinable at any query count) —
+    // a cartesian/nested-loop over (codes × queries) is the flat-scan
+    // shape this operator exists to avoid. The centroid probe's
+    // crossJoin is exempt: its build side is the nlist-row centroid
+    // table, bounded by construction.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      PlanCache.clearAll()
+      val p = graft.operators.Similarity.annIvfPqPlan(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        "ann_ivfpq degenerates to an all-pairs scoring join")
+      assert(p.contains("BroadcastHashJoin [label"),
+        "scoring join must be an equi hash join on the cluster key")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("rolling_hash participates in whole-stage codegen") {
     // AQE prints the pre-execution plan without codegen regions;
     // disable it for this inspection only
