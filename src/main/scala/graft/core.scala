@@ -211,6 +211,34 @@ private[graft] object PlanCache {
     instances.synchronized { instances.foreach(_.clear()) }
 }
 
+/** Final presentation order for RESULT frames, without a range
+  * exchange.
+  *
+  * A trailing `orderBy` plans RangePartitioning, whose boundary
+  * sampling runs as an EXTRA JOB that re-executes the final stage —
+  * on a sub-second query that sampling pass plus the second exchange
+  * is the single largest fixed cost (measured ~0.1-0.15 s/query at
+  * the bench SF, ~100 queries deep). Every result frame in this suite
+  * is bounded at the point it is sorted — an aggregate, a top-k/
+  * candidate list, or a per-doc summary that is thousands of rows at
+  * bench SFs — so the scale-honest plan is one round-robin merge to a
+  * single partition plus a LOCAL sort: same bit-identical total order
+  * the oracle compare relies on, zero sampling, one less job.
+  *
+  * At true 100 TB, outputs that grow with the corpus (per-doc scores,
+  * dedup verdicts) would drop the total order entirely and do
+  * clustered lake writes — `resultOrder` marks exactly the sites
+  * where ordering is presentation contract, not operator semantics.
+  * Top-k sites (`orderBy(...).limit(k)`) intentionally do NOT use
+  * this: they already plan as a distributed TakeOrderedAndProject.
+  */
+private[graft] object Out {
+  implicit final class ResultOrderOps(private val df: DataFrame) extends AnyVal {
+    def resultOrder(cols: Column*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
+  }
+}
+
 /** Determinism helpers for DuckDB-oracle parity.
   *
   * Plain `sum(double)` is order-dependent, and Spark's partial

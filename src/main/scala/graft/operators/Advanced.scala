@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, Tables}
+import graft.Out._
 import graft.functions.RollingHash.rolling_hash
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -28,7 +29,7 @@ object Advanced {
       .join(broadcast(brandAvg), $"p_brand" === $"b_brand")
       .filter($"p_retailprice" > $"brand_avg")
       .select($"p_partkey", $"p_brand", $"p_retailprice", $"brand_avg")
-      .orderBy($"p_partkey")
+      .resultOrder($"p_partkey")
   }
 
   private val q13Sql =
@@ -63,7 +64,7 @@ object Advanced {
         $"last_click_ts",
         ((unix_micros($"ts") - unix_micros($"last_click_ts")) / 1e6)
           .as("gap_seconds"))
-      .orderBy($"event_id")
+      .resultOrder($"event_id")
   }
 
   private val q14Sql =
@@ -102,7 +103,7 @@ object Advanced {
         "left")
       .groupBy($"err_id")   // merges both probe buckets of an anchor
       .agg(count($"event_id").as("n_follow"))
-      .orderBy($"err_id")
+      .resultOrder($"err_id")
   }
 
   private val q15Sql =
@@ -134,7 +135,7 @@ object Advanced {
         min($"o_totalprice").as("min_price"),
         max($"o_totalprice").as("max_price"),
         count(lit(1)).as("n"))
-      .orderBy($"o_orderstatus")
+      .resultOrder($"o_orderstatus")
   }
 
   private val q16Sql =
@@ -167,7 +168,7 @@ object Advanced {
         instr($"c_name", "Customer").cast(LongType).as("pos_customer"),
         trim(lit("  x  ")).as("trimmed"),
         reverse($"c_mktsegment").as("rev_seg"))
-      .orderBy($"c_custkey")
+      .resultOrder($"c_custkey")
   }
 
   private val q17Sql =
@@ -207,7 +208,7 @@ object Advanced {
         datediff(lit("2002-01-01").cast("date"), to_date($"o_orderdate"))
           .cast(LongType).as("days_to_2002"),
         date_trunc("month", $"o_orderdate").as("month_start"))
-      .orderBy($"o_orderkey")
+      .resultOrder($"o_orderkey")
   }
 
   private val q18Sql =
@@ -243,7 +244,7 @@ object Advanced {
           .when($"l_linestatus" === "O", "open").otherwise("closed").as("status"),
         ($"l_quantity".between(10, 40)).as("mid_qty"),
         isnull(nullif($"l_tax", lit(0.0))).as("tax_free"))
-      .orderBy($"l_orderkey", $"l_linenumber")
+      .resultOrder($"l_orderkey", $"l_linenumber")
   }
 
   private val q19Sql =
@@ -269,7 +270,7 @@ object Advanced {
       .select($"doc_id",
         rolling_hash($"text").as("roll_hash"),
         rolling_hash(substring($"text", 1, 64)).as("prefix_hash"))
-      .orderBy($"doc_id")
+      .resultOrder($"doc_id")
   }
 
   private val rollhashSql = {
@@ -294,7 +295,7 @@ object Advanced {
         approx_count_distinct($"o_custkey").as("approx_custs"),
         expr("percentile_approx(o_totalprice, 0.5, 1000)").as("approx_median"),
         count(lit(1)).as("n"))
-      .orderBy($"o_orderstatus")
+      .resultOrder($"o_orderstatus")
   }
 
   // ---- q27_kmv_sketch: an ORACLE-CHECKED distinct-count sketch ----
@@ -341,7 +342,7 @@ object Advanced {
       .withColumn("rel_err",
         ($"kmv_estimate" - $"exact_distinct").cast("double") /
           $"exact_distinct".cast("double"))
-      .orderBy($"o_orderstatus")
+      .resultOrder($"o_orderstatus")
   }
 
   private val q27Sql = {
@@ -386,7 +387,7 @@ object Advanced {
       .agg(count(lit(1)).as("n_items"),
         sum(when($"l_extendedprice" > $"avg_price", 1L).otherwise(0L))
           .as("n_above_avg"))
-      .orderBy($"l_returnflag")
+      .resultOrder($"l_returnflag")
   }
 
   private val q28Sql =
@@ -419,7 +420,7 @@ object Advanced {
       .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
         coalesce($"o_orderpriority", lit("ALL")).as("priority"),
         $"gid", $"n", $"total")
-      .orderBy($"gid", $"status", $"priority")
+      .resultOrder($"gid", $"status", $"priority")
   }
 
   private val q29Sql =
@@ -457,7 +458,7 @@ object Advanced {
         (($"bucket" + 1) * width).as("bucket_hi"),
         $"n",
         ($"n".cast("double") / sum($"n").over(wAll).cast("double")).as("share"))
-      .orderBy($"bucket_lo")
+      .resultOrder($"bucket_lo")
   }
 
   private val q30Sql =
@@ -485,7 +486,7 @@ object Advanced {
         Seq("o_orderpriority"),
         Seq(graft.plans.TopKPerKey.desc("o_totalprice"),
           graft.plans.TopKPerKey.asc("o_orderkey")), 3)
-      .orderBy($"o_orderpriority", $"o_totalprice".desc, $"o_orderkey")
+      .resultOrder($"o_orderpriority", $"o_totalprice".desc, $"o_orderkey")
   }
 
   private val q21Sql =
@@ -514,7 +515,7 @@ object Advanced {
         count(when($"k" > 50, lit(1))).as("n_high"),
         min($"k").as("min_k"),
         max($"k").as("max_k"))
-      .orderBy($"event_type")
+      .resultOrder($"event_type")
   }
 
   private val q22Sql =
@@ -544,7 +545,7 @@ object Advanced {
           .as("statuses"),
         countDistinct($"o_orderstatus").as("n_statuses"),
         count(lit(1)).as("n_orders"))
-      .orderBy($"o_orderpriority")
+      .resultOrder($"o_orderpriority")
   }
 
   private val q23Sql =
@@ -566,7 +567,7 @@ object Advanced {
       .cube($"o_orderstatus", $"o_orderpriority")
       .agg(Det.dsum($"o_totalprice").as("total_usd"),
         count(lit(1)).as("n_orders"))
-      .orderBy($"o_orderstatus".asc_nulls_first,
+      .resultOrder($"o_orderstatus".asc_nulls_first,
         $"o_orderpriority".asc_nulls_first)
   }
 
@@ -594,7 +595,7 @@ object Advanced {
         cume_dist().over(w).as("cume"),
         nth_value($"o_totalprice", 2).over(wFrame).as("second_lowest"),
         lead($"o_totalprice", 1).over(w).as("next_price"))
-      .orderBy($"o_orderpriority", $"o_totalprice", $"o_orderkey")
+      .resultOrder($"o_orderpriority", $"o_totalprice", $"o_orderkey")
   }
 
   private val q24Sql =
@@ -635,7 +636,7 @@ object Advanced {
       .filter($"has_u" === 1)
       .select($"o_custkey",
         when($"has_l" === 1, "both").otherwise("urgent_only").as("bucket"))
-      .orderBy($"bucket", $"o_custkey")
+      .resultOrder($"bucket", $"o_custkey")
   }
 
   private val q25Sql =

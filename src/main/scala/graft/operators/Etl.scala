@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, Tables}
+import graft.Out._
 import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -168,7 +169,7 @@ object Etl {
     val header = Seq("yr", "flow", "mes", "val")
     val rows = rawBook(spark, dir)
       .select($"yr".cast("string"), $"flow", $"mes", $"val")
-      .orderBy($"yr", $"flow", $"mes")
+      .resultOrder($"yr", $"flow", $"mes")
       .collect()
       .map(r => header.indices.map(r.getString))
     val tmp = Paths.get(s"$rawRoot/.tmp_${n}_${java.util.UUID.randomUUID()}.xlsx")
@@ -208,7 +209,7 @@ object Etl {
       .join(qa, Seq("yr", "flow"))
       .select($"yr", $"mon", $"flow", $"usd",
         ($"sum_months" === $"book_total").as("qa_ok"))
-      .orderBy($"yr", $"mon", $"flow")
+      .resultOrder($"yr", $"mon", $"flow")
   }
 
   private def etlParse(spark: SparkSession, dir: String): DataFrame =

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, Tables}
+import graft.Out._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -91,7 +92,7 @@ object Kpi {
         $"o_totalprice")
       .groupBy($"yr", $"mon", $"flow")
       .agg(Det.dsum($"o_totalprice").as("usd"))
-      .orderBy($"yr", $"mon", $"flow")
+      .resultOrder($"yr", $"mon", $"flow")
   }
 
   private val tradeLongSql =
@@ -107,7 +108,7 @@ object Kpi {
 
   private def base(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    baseMonthly(spark, dir).orderBy($"yr", $"mon")
+    baseMonthly(spark, dir).resultOrder($"yr", $"mon")
   }
 
   private val baseQSql =
@@ -130,7 +131,7 @@ object Kpi {
         ($"import_usd" / lag($"import_usd", 12).over(w) - 1.0) * 100.0)
       .select($"yr", $"mon", $"export_usd", $"export_mom", $"export_yoy",
         $"import_mom", $"import_yoy")
-      .orderBy($"yr", $"mon")
+      .resultOrder($"yr", $"mon")
   }
 
   private val momYoySql =
@@ -154,7 +155,7 @@ object Kpi {
         dMeanOver($"export_usd" - $"import_usd", w3))
       .select($"yr", $"mon", $"export_usd", $"export_ma3", $"import_ma3",
         $"balance_ma3")
-      .orderBy($"yr", $"mon")
+      .resultOrder($"yr", $"mon")
   }
 
   private val ma3Sql = {
@@ -179,7 +180,7 @@ object Kpi {
       .withColumn("idx_import",
         $"import_usd" / first($"import_usd").over(w) * 100.0)
       .select($"yr", $"mon", $"idx_export", $"idx_import")
-      .orderBy($"yr", $"mon")
+      .resultOrder($"yr", $"mon")
   }
 
   private val idxBaseSql =
@@ -203,7 +204,7 @@ object Kpi {
         (Det.dsum(when($"o_orderstatus" =!= "F", $"o_totalprice")) / 1e6)
           .as("import_musd"))
       .withColumn("balance_musd", $"export_musd" - $"import_musd")
-      .orderBy($"yr", $"qtr")
+      .resultOrder($"yr", $"qtr")
   }
 
   private val quarterlySql =
@@ -235,7 +236,7 @@ object Kpi {
         ($"imp_raw" / 1e9).as("import_busd"),
         (($"exp_raw" - $"imp_raw") / 1e9).as("balance_busd"),
         $"export_yoy_growth")
-      .orderBy($"yr")
+      .resultOrder($"yr")
   }
 
   private val annualSql =
@@ -260,7 +261,7 @@ object Kpi {
       .withColumn("cov_ratio", $"export_usd" / $"import_usd")
       .select($"yr", $"mon", $"export_usd", $"import_usd", $"balance_usd",
         $"cov_ratio")
-      .orderBy($"yr", $"mon")
+      .resultOrder($"yr", $"mon")
   }
 
   private val balanceCovSql =
@@ -318,7 +319,7 @@ object Kpi {
       .withColumn("exp_ma3", dMeanOver($"exp", w3))
       .withColumn("imp_ma3", dMeanOver($"imp", w3))
       .withColumn("idx_exp", $"exp" / first($"exp").over(wAll) * 100.0)
-      .orderBy($"category", $"yr", $"mon")
+      .resultOrder($"category", $"yr", $"mon")
   }
 
   /** DuckDB twin of the catMonthly grain — the `m` CTE shared by
@@ -373,7 +374,7 @@ object Kpi {
       .filter(abs($"export_mom" - $"mu") > lit(2.0) * $"sigma")
       .select($"yr", $"mon", $"export_mom".as("export_mom"),
         (abs($"export_mom" - $"mu") / $"sigma").as("z_score"))
-      .orderBy($"yr", $"mon")
+      .resultOrder($"yr", $"mon")
   }
 
   private val outliersSql =
@@ -403,7 +404,7 @@ object Kpi {
       .withColumn("export_ytd", dSumOver($"export_usd", wy))
       .withColumn("import_ytd", dSumOver($"import_usd", wy))
       .select($"yr", $"mon", $"export_usd", $"export_ytd", $"import_ytd")
-      .orderBy($"yr", $"mon")
+      .resultOrder($"yr", $"mon")
   }
 
   private val ytdSql = {
@@ -443,7 +444,7 @@ object Kpi {
         sqrt(greatest(($"sx2" - $"sx" * $"sx" / $"n_years") / ($"n_years" - 1),
             lit(0.0))).as("std_export_m"),
         $"n_years")
-      .orderBy($"mon")
+      .resultOrder($"mon")
   }
 
   private val monthStatsSql = {
@@ -506,7 +507,7 @@ object Kpi {
         Det.davg($"export_usd").as("avg_export"),
         Det.davg($"import_usd").as("avg_import"),
         count(lit(1)).as("n_months"))
-      .orderBy($"mon")
+      .resultOrder($"mon")
   }
 
   private val seasonalitySql =
@@ -624,7 +625,7 @@ object Kpi {
         Det.dsum($"lines_usd").as("lines_usd"),
         count(when($"lines_usd".isNull, lit(1))).as("orders_missing_lines"))
       .withColumn("delta_usd", $"book_usd" - $"lines_usd")
-      .orderBy($"yr")
+      .resultOrder($"yr")
   }
 
   private val qaTotalsSql =
@@ -658,7 +659,7 @@ object Kpi {
     val w = Window.orderBy($"exp".desc, $"category")
     agg.withColumn("rk", row_number().over(w))
       .select($"rk", $"category", $"exp", $"imp", $"balance_usd", $"coverage")
-      .orderBy($"rk")
+      .resultOrder($"rk")
   }
 
   private val rankingSql =
@@ -685,7 +686,7 @@ object Kpi {
       .withColumn("yr_total", dSumOver($"export_usd", wy))
       .withColumn("share_pct", $"export_usd" / $"yr_total" * 100.0)
       .select($"yr", $"mon", $"export_usd", $"yr_total", $"share_pct")
-      .orderBy($"yr", $"mon")
+      .resultOrder($"yr", $"mon")
   }
 
   private val shareSql = {
@@ -716,7 +717,7 @@ object Kpi {
       .withColumn("prev_rk", lag($"rk", 1).over(wLag))
       .withColumn("rank_shift", $"prev_rk" - $"rk")
       .select($"yr", $"rk", $"category", $"usd", $"prev_rk", $"rank_shift")
-      .orderBy($"yr", $"rk")
+      .resultOrder($"yr", $"rk")
   }
 
   private val rankShiftSql =
@@ -780,7 +781,7 @@ object Kpi {
           .otherwise("deepens deficit of"),
         lit(" the sector balance.\n"),
         lit("Action: "), action).as("insight_md"))
-      .orderBy(abs($"exp_yoy").desc, $"category", $"mon")
+      .resultOrder(abs($"exp_yoy").desc, $"category", $"mon")
   }
 
   private val insightsTextSql = {
@@ -823,7 +824,7 @@ object Kpi {
         Det.dsum(when($"yr" === years.head, $"export_usd")).as(s"y${years.head}"),
         years.tail.map(y =>
           Det.dsum(when($"yr" === y, $"export_usd")).as(s"y$y")): _*)
-      .orderBy($"mon")
+      .resultOrder($"mon")
   }
 
   private val heatmapSql = {
@@ -846,7 +847,7 @@ object Kpi {
       .withColumn("export_ma12", dMeanOver($"export_usd", w12))
       .withColumn("export_ma24", dMeanOver($"export_usd", w24))
       .select($"yr", $"mon", $"export_usd", $"export_ma12", $"export_ma24")
-      .orderBy($"yr", $"mon")
+      .resultOrder($"yr", $"mon")
   }
 
   private val trendSql = {
@@ -958,7 +959,7 @@ object Kpi {
       .filter($"offset_days" <= 7)
       .groupBy($"cohort_day", $"offset_days")
       .agg(countDistinct($"user_id").as("n_active"))
-      .orderBy($"cohort_day", $"offset_days")
+      .resultOrder($"cohort_day", $"offset_days")
   }
 
   private val cohortSql =

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.Out._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -43,7 +44,7 @@ object Multimodal {
         md5($"payload").as("checksum"),
         StubDecoders.fakeWidth(octet_length($"payload").cast(LongType)).as("width"),
         StubDecoders.fakeHeight(octet_length($"payload").cast(LongType)).as("height"))
-      .orderBy($"doc_id")
+      .resultOrder($"doc_id")
   }
 
   private val mmMetadataSql =
@@ -75,7 +76,7 @@ object Multimodal {
       .filter($"frame_idx" % 4 === 0)
       .select($"doc_id", $"frame_idx".cast(LongType).as("frame_idx"),
         md5($"text".substr($"frame_idx" * 16 + 1, lit(16))).as("frame_md5"))
-      .orderBy($"doc_id", $"frame_idx")
+      .resultOrder($"doc_id", $"frame_idx")
   }
 
   private val mmFramesampleSql =
@@ -132,7 +133,7 @@ object Multimodal {
         }
       }
       .toDF()
-      .orderBy($"doc_id")
+      .resultOrder($"doc_id")
   }
 
   private val mmDecodeBatchSql =
@@ -232,7 +233,7 @@ object Multimodal {
 
   private def mmPhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    phashDocs(spark, dir).orderBy($"doc_id")
+    phashDocs(spark, dir).resultOrder($"doc_id")
   }
 
   /** Shared CTE stack ending in `pb` = (doc_id, phash, band0..3) —
@@ -298,7 +299,7 @@ object Multimodal {
       .select($"doc_id", n.cast(LongType).as("n_bytes"),
         sampled.as("thumb"),
         graft.functions.RollingHash.rolling_hash(sampled).as("thumb_hash"))
-      .orderBy($"doc_id")
+      .resultOrder($"doc_id")
   }
 
   private val mmResizeSql = {
@@ -348,7 +349,7 @@ object Multimodal {
         bit_count($"a_ph".bitwiseXOR($"b_ph")).cast(LongType).as("hamming"))
       .distinct()
       .filter($"hamming" <= mmDedupThreshold)
-      .orderBy($"a_id", $"b_id")
+      .resultOrder($"a_id", $"b_id")
   }
 
   private val mmDedupSql: String = {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, Tables}
+import graft.Out._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,7 +41,7 @@ object Relational {
         round(Det.davg($"l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order")
       )
-      .orderBy($"l_returnflag", $"l_linestatus")
+      .resultOrder($"l_returnflag", $"l_linestatus")
   }
 
   private val q1Sql =
@@ -65,7 +66,7 @@ object Relational {
     Tables(spark, dir).orders
       .filter($"o_orderstatus" === "F" && $"o_totalprice" > 150000.0)
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
-      .orderBy($"o_orderkey")
+      .resultOrder($"o_orderkey")
   }
 
   private val q2Sql =
@@ -132,7 +133,7 @@ object Relational {
       .groupBy($"n_name")
       .agg(Det.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
         .as("revenue"))
-      .orderBy($"revenue".desc, $"n_name")
+      .resultOrder($"revenue".desc, $"n_name")
   }
 
   private val q4Sql =
@@ -159,7 +160,7 @@ object Relational {
     t.customer
       .join(recent, $"c_custkey" === $"o_custkey", "left_semi")
       .select($"c_custkey", $"c_name", $"c_mktsegment")
-      .orderBy($"c_custkey")
+      .resultOrder($"c_custkey")
   }
 
   private val q5Sql =
@@ -181,7 +182,7 @@ object Relational {
     t.customer
       .join(big, $"c_custkey" === $"o_custkey", "left_anti")
       .select($"c_custkey", $"c_name")
-      .orderBy($"c_custkey")
+      .resultOrder($"c_custkey")
   }
 
   private val q6Sql =
@@ -203,7 +204,7 @@ object Relational {
         countDistinct($"o_custkey").as("n_cust"),
         countDistinct($"o_orderpriority").as("n_prio"),
         count(lit(1)).as("n_orders"))
-      .orderBy($"o_orderstatus")
+      .resultOrder($"o_orderstatus")
   }
 
   private val q7Sql =
@@ -228,7 +229,7 @@ object Relational {
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
       .select($"p_brand", $"rk", $"p_partkey", $"p_name", $"p_retailprice")
-      .orderBy($"p_brand", $"rk")
+      .resultOrder($"p_brand", $"rk")
   }
 
   private val q8Sql =
@@ -253,7 +254,7 @@ object Relational {
       .rollup($"yr", $"qtr")
       .agg(Det.dsum($"o_totalprice").as("total_usd"),
         count(lit(1)).as("n_orders"))
-      .orderBy($"yr".asc_nulls_first, $"qtr".asc_nulls_first)
+      .resultOrder($"yr".asc_nulls_first, $"qtr".asc_nulls_first)
   }
 
   private val q9Sql =
@@ -276,7 +277,7 @@ object Relational {
     val s = t.supplier.filter($"s_acctbal" > 1000.0)
       .select($"s_suppkey".as("entity_key"), lit("supplier").as("src"),
         $"s_acctbal".as("acctbal"))
-    c.unionAll(s).orderBy($"src", $"entity_key")
+    c.unionAll(s).resultOrder($"src", $"entity_key")
   }
 
   private val q10Sql =
@@ -304,7 +305,7 @@ object Relational {
         Det.dsum(when($"event_type" === "view", $"value")).as("view_usd"),
         count(when($"event_type" === "click", lit(1))).as("click_cnt"),
         count(when($"event_type" === "error", lit(1))).as("error_cnt"))
-      .orderBy($"day")
+      .resultOrder($"day")
   }
 
   private val q11Sql =
@@ -327,7 +328,7 @@ object Relational {
       .agg(Det.dsum($"l_quantity").as("total_qty"),
         count(lit(1)).as("n_lines"))
       .filter($"n_lines" > 100)
-      .orderBy($"l_suppkey")
+      .resultOrder($"l_suppkey")
   }
 
   private val q12Sql =

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.Out._
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -99,7 +100,7 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 5)
       .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), $"cosine")
-      .orderBy($"q_id", $"rk")
+      .resultOrder($"q_id", $"rk")
   }
 
   private val annBruteSql =
@@ -170,7 +171,7 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 5)
       .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), $"cosine")
-      .orderBy($"q_id", $"rk")
+      .resultOrder($"q_id", $"rk")
   }
 
   private val annLshSql =
@@ -246,7 +247,7 @@ object Similarity {
       .withColumn("rk", row_number().over(wN))
       .filter($"rk" <= 5)
       .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), $"cosine")
-      .orderBy($"q_id", $"rk")
+      .resultOrder($"q_id", $"rk")
   }
 
   private def annIvf(spark: SparkSession, dir: String): DataFrame =
@@ -317,7 +318,7 @@ object Similarity {
         count(lit(1)).as("n_members"),
         graft.Det.dsum(lit(1.0) - $"cos").as("inertia"),
         min($"vec_id").as("first_member"))
-      .orderBy($"cluster_id")
+      .resultOrder($"cluster_id")
   }
 
   private val annKmeansStepSql =
@@ -376,7 +377,7 @@ object Similarity {
           greatest(norm($"embedding") * norm($"q".cast("array<double>")),
             lit(1e-30)))
           .as("cos_fidelity"))
-      .orderBy($"vec_id")
+      .resultOrder($"vec_id")
   }
 
   private val annQuantizeSql = {
@@ -439,7 +440,7 @@ object Similarity {
 
   private def annKnnGraph(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    knnEdges(spark, dir).orderBy($"vec_id", $"rk")
+    knnEdges(spark, dir).resultOrder($"vec_id", $"rk")
   }
 
   private val annKnnGraphSql =
@@ -501,7 +502,7 @@ object Similarity {
       .select($"vec_id", coalesce($"cl", $"vec_id").as("cluster_id"))
       .withColumn("cluster_size", count(lit(1)).over(wc))
       .withColumn("is_keeper", $"vec_id" === $"cluster_id")
-      .orderBy($"vec_id")
+      .resultOrder($"vec_id")
   }
 
   private lazy val dedupSemanticSql =
@@ -559,8 +560,14 @@ object Similarity {
     */
   private[graft] def pagerankRanks(nodes: DataFrame, edges: DataFrame): DataFrame = {
     import nodes.sparkSession.implicits._
+    // out-degrees and the corpus count are graph-INDEX artifacts that
+    // the unrolled plan would otherwise re-derive in every iteration
+    // (5× the deg aggregation, 6× the count): checkpoint each once —
+    // two small up-front jobs — so each unrolled iteration is only
+    // edges ⋈ rank ⋈ deg-scan + the dst reduction
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val nRow = nodes.agg(count(lit(1)).as("n_nodes"))
+      .localCheckpoint()
+    val nRow = nodes.agg(count(lit(1)).as("n_nodes")).localCheckpoint()
     var rank = nodes.crossJoin(broadcast(nRow))
       .select($"id", expr(s"${prScale}L div n_nodes").as("r"))
     for (_ <- 1 to prIters) {
@@ -584,7 +591,7 @@ object Similarity {
       .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
     pagerankRanks(nodes, edges)
       .select($"id".as("vec_id"), $"r".as("pr"))
-      .orderBy($"vec_id")
+      .resultOrder($"vec_id")
   }
 
   private val graphPagerankSql = {
@@ -685,16 +692,23 @@ object Similarity {
   }
 
   /** PQ codes per vector: argmin centroid per subspace via the packed
-    * integer min — (vec_id, code_0..code_{pqSubspaces-1}).
+    * integer min — (vec_id, code_0..code_{pqSubspaces-1}). The codes
+    * ARE the PQ index (what a deployment stores instead of vectors),
+    * so like lshIndex they are cached per (session, corpus): built
+    * once, served to every ADC query (ann_pq, ann_ivfpq).
     */
-  private def pqCodes(dists: DataFrame): DataFrame = {
-    import dists.sparkSession.implicits._
+  private val pqCodesCache = new graft.PlanCache()
+  private def pqCodes(spark: SparkSession, dir: String): DataFrame =
+      pqCodesCache.getOrBuild(spark, dir) {
+    import spark.implicits._
+    val dists = pqDists(spark, dir)
     val packs = (0 until pqSubspaces).map(m =>
       min(col(s"d_$m") * pqK + $"idx").as(s"p_$m"))
     dists.groupBy($"vec_id")
       .agg(packs.head, packs.tail: _*)
       .select($"vec_id" +: (0 until pqSubspaces).map(m =>
         (col(s"p_$m") % pqK).cast("int").as(s"code_$m")): _*)
+      .localCheckpoint()
   }
 
   /** Per-query ADC lookup tables as a nested map m -> (idx -> d):
@@ -725,7 +739,7 @@ object Similarity {
     import spark.implicits._
     val qv = pqQuantized(spark, dir)
     val dists = pqDists(spark, dir)
-    val codes = pqCodes(dists)
+    val codes = pqCodes(spark, dir)
     val qmaps = pqQueryMaps(dists)
     val nQ = queryCount(spark, dir, qv.filter(queryFilter($"vec_id")))
     val w = Window.partitionBy($"q_id").orderBy($"adc_dist", $"vec_id")
@@ -734,7 +748,7 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 5)
       .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), $"adc_dist")
-      .orderBy($"q_id", $"rk")
+      .resultOrder($"q_id", $"rk")
   }
 
   private val annPqSql = {
@@ -795,7 +809,7 @@ object Similarity {
   private[graft] def annIvfPqPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dists = pqDists(spark, dir)
-    val labeled = pqCodes(dists)
+    val labeled = pqCodes(spark, dir)
       .join(lshIndex(spark, dir).select($"vec_id", $"label"), "vec_id")
     val v = lshIndex(spark, dir).select($"vec_id", $"embedding", $"nrm")
     val q = v.filter(queryFilter($"vec_id"))
@@ -819,7 +833,7 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 5)
       .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), $"adc_dist")
-      .orderBy($"q_id", $"rk")
+      .resultOrder($"q_id", $"rk")
   }
 
   private def annIvfPq(spark: SparkSession, dir: String): DataFrame =

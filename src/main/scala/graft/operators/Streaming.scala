@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, Tables}
+import graft.Out._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,7 +19,7 @@ object Streaming {
   private def windowedAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.streaming.EventsStream.windowedAgg(Tables(spark, dir).events)
-      .orderBy($"bucket_start", $"event_type")
+      .resultOrder($"bucket_start", $"event_type")
   }
 
   private val windowedAggSql =
@@ -50,7 +51,7 @@ object Streaming {
         max($"ts").as("session_end"),
         count(lit(1)).as("n_events"),
         Det.dsum($"value").as("total_value"))
-      .orderBy($"user_id", $"session_idx")
+      .resultOrder($"user_id", $"session_idx")
   }
 
   private val sessionizeSql =
@@ -89,7 +90,7 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"), Det.dsum($"value").as("total_value"))
       .select($"window.start".as("win_start"), $"event_type", $"n_events",
         $"total_value")
-      .orderBy($"win_start", $"event_type")
+      .resultOrder($"win_start", $"event_type")
   }
 
   private val slidingWindowSql =
@@ -123,7 +124,7 @@ object Streaming {
         Det.dsum($"value").as("total_value"))
       .select($"user_id", $"session_start", $"session_end", $"n_events",
         $"total_value")
-      .orderBy($"user_id", $"session_start")
+      .resultOrder($"user_id", $"session_start")
   }
 
   private val sessionWindowSql =
@@ -163,7 +164,7 @@ object Streaming {
   private def dedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables(spark, dir).events
-    e.unionAll(e).dropDuplicates().orderBy($"event_id")
+    e.unionAll(e).dropDuplicates().resultOrder($"event_id")
   }
 
   private val dedupSql =
@@ -198,7 +199,7 @@ object Streaming {
         $"click_id", $"click_ts",
         expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
           .as("gap_s"))
-      .orderBy($"purchase_id")
+      .resultOrder($"purchase_id")
   }
 
   private val attributionSql =
@@ -238,7 +239,7 @@ object Streaming {
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
       .select($"bucket_start", $"rk", $"event_type", $"n_events")
-      .orderBy($"bucket_start", $"rk")
+      .resultOrder($"bucket_start", $"rk")
   }
 
   private val topkSql =

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.Out._
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -41,7 +42,7 @@ object TextAnalysis {
         regexp_count($"text", lit(bpePattern)).cast(LongType).as("n_bpe_tokens"),
         (length($"text").cast("double") /
           size(tokens($"text")).cast("double")).as("chars_per_token"))
-      .orderBy($"doc_id")
+      .repartition(1).sortWithinPartitions($"doc_id")
   }
 
   private val textTokensSql =
@@ -64,8 +65,11 @@ object TextAnalysis {
   private[graft] def withQuality(df: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val n = size(t).cast("double")
-    val stopHits = size(filter(t,
-      tk => tk.isin(stop("en"): _*))).cast("double")
+    // native codegen'd set-membership count — NOT size(filter(...)):
+    // HOF lambdas run interpreted per token on a corpus-wide scan
+    // (see TokenSetCount's doc); value is identical (multiset count)
+    val stopHits = graft.functions.TokenSetCount
+      .token_set_count(t, stop("en")).cast("double")
     val rep = (n - size(array_distinct(t)).cast("double")) / n
     val stopRatio = stopHits / n
     val avgTokLen = (length(col("text")).cast("double") - (n - 1.0)) / n
@@ -83,7 +87,7 @@ object TextAnalysis {
     withQuality(Tables(spark, dir).documents)
       .select($"doc_id", $"n_chars", $"n_tokens", $"repetition_ratio",
         $"stopword_ratio", $"avg_token_len", $"quality_score")
-      .orderBy($"doc_id")
+      .resultOrder($"doc_id")
   }
 
   private[graft] val textQualitySql = {
@@ -109,8 +113,9 @@ object TextAnalysis {
     */
   private[graft] def withLangid(df: DataFrame): DataFrame = {
     val t = tokens(col("text"))
+    // codegen'd per-language stopword votes (see withQuality's note)
     def hits(l: String) =
-      size(filter(t, tk => tk.isin(stop(l): _*))).cast(LongType)
+      graft.functions.TokenSetCount.token_set_count(t, stop(l))
     df.withColumn("en_hits", hits("en"))
       .withColumn("es_hits", hits("es"))
       .withColumn("de_hits", hits("de"))
@@ -128,7 +133,7 @@ object TextAnalysis {
     withLangid(Tables(spark, dir).documents)
       .select($"doc_id", $"lang", $"en_hits", $"es_hits", $"de_hits",
         $"fr_hits", $"pred_lang")
-      .orderBy($"doc_id")
+      .resultOrder($"doc_id")
   }
 
   private[graft] val textLangidSql = {
@@ -158,7 +163,7 @@ object TextAnalysis {
         md5($"text").as("exact_md5"),
         bowFingerprint($"text").as("bow_fp"),
         size(array_distinct(tokens($"text"))).cast(LongType).as("vocab_size"))
-      .orderBy($"doc_id")
+      .resultOrder($"doc_id")
   }
 
   private val textFingerprintSql =
@@ -223,7 +228,7 @@ object TextAnalysis {
       .withColumn("rk", row_number().over(w))
       .filter($"rk" === 1)
       .select($"doc_id", $"t".as("top_term"), $"tf", $"df", $"score")
-      .orderBy($"doc_id")
+      .resultOrder($"doc_id")
   }
 
   private val tfidfSql =
@@ -273,7 +278,7 @@ object TextAnalysis {
         size($"ctoks").cast(LongType).as("n_chunk_tokens"),
         graft.functions.RollingHash.rolling_hash(array_join($"ctoks", " "))
           .as("chunk_hash"))
-      .orderBy($"doc_id", $"chunk_idx")
+      .resultOrder($"doc_id", $"chunk_idx")
   }
 
   private val textChunkSql =
@@ -349,7 +354,7 @@ object TextAnalysis {
       .withColumn("is_repetitive",
         $"dup_token_frac" > dupTokThreshold ||
           $"top_bigram_frac" > topBigramThreshold)
-      .orderBy($"doc_id")
+      .resultOrder($"doc_id")
   }
 
   private val textRepetitionSql =
@@ -424,7 +429,7 @@ object TextAnalysis {
         expr("(1000 * total_surprisal) div n_tokens").as("avg_surprisal_milli"))
       .withColumn("verdict",
         when($"avg_surprisal_milli" <= lmKeepMilli, "keep").otherwise("drop"))
-      .orderBy($"doc_id")
+      .resultOrder($"doc_id")
   }
 
   private val lmScoreSql =

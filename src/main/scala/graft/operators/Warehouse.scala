@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.Out._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -70,7 +71,7 @@ object Warehouse {
           .as("o_orderstatus"),
         when($"op".isNotNull, $"c_price").otherwise($"o_totalprice")
           .as("o_totalprice"))
-      .orderBy($"o_orderkey")
+      .resultOrder($"o_orderkey")
   }
 
   private val cdcMergeSql =
@@ -122,7 +123,7 @@ object Warehouse {
       .select($"user_id", $"version", $"event_type",
         $"valid_from", $"valid_to",
         $"valid_to".isNull.as("is_current"), $"n_events")
-      .orderBy($"user_id", $"version")
+      .resultOrder($"user_id", $"version")
   }
 
   private val scd2Sql =
@@ -202,7 +203,7 @@ object Warehouse {
           .cast("double").as("total_price"),
         (coalesce($"n", lit(0L)) + coalesce($"dn", lit(0L))).as("n_orders"))
       .filter($"n_orders" > 0)
-      .orderBy($"o_orderstatus")
+      .resultOrder($"o_orderstatus")
   }
 
   // the oracle is the FULL RECOMPUTE over the merged table — the

@@ -37,4 +37,31 @@ class TextFunctionsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hof == exploded)
   }
+
+  test("token_set_count equals the HOF filter count and compiles under codegen") {
+    // the native kernel must reproduce the MULTISET count (every
+    // occurrence — array_intersect-style distinct counting would be a
+    // silent value change), and must actually compile: with fallback
+    // disabled a janino failure throws instead of running interpreted
+    val words = Seq("the", "a", "of", "zebra")
+    val docs = Tables(spark, sf).documents.limit(100)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val both = docs.select($"doc_id",
+        graft.functions.TokenSetCount
+          .token_set_count(TextFunctions.tokens($"text"), words).as("native"),
+        size(filter(TextFunctions.tokens($"text"),
+          tk => tk.isin(words: _*))).cast("long").as("hof"))
+        .collect()
+      assert(both.nonEmpty)
+      both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"doc ${r.getLong(0)}: native ${r.getLong(1)} != hof ${r.getLong(2)}"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
 }
