@@ -15,6 +15,23 @@ class SourcesSpec extends AnyFunSuite {
 
   private lazy val tmp = Files.createTempDirectory("graft-sources").toString
 
+  test("splitLayout serves the same rows as the raw table, split across files") {
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$sf/orders.parquet")
+    val split = Tables(spark, sf).orders
+    assert(split.count() == raw.count())
+    // content identity (no casts, no column changes): keyed full check
+    val a = raw.select($"o_orderkey", $"o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = split.select($"o_orderkey", $"o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+    // the point of the relayout: the scan has multiple input splits
+    // (the raw single-row-group file cannot be split)
+    assert(split.rdd.getNumPartitions > 1,
+      "converted layout did not produce a splittable scan")
+  }
+
   test("csv round-trip preserves rows and schema") {
     val orders = Tables(spark, sf).orders
       .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
