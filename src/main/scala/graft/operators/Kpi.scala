@@ -950,15 +950,24 @@ object Kpi {
 
   private def cohort(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val activity = Tables(spark, dir).events
-      .select($"user_id", to_date($"ts").as("day")).distinct()
-    val firstDay = activity.groupBy($"user_id")
-      .agg(min($"day").as("cohort_day"))
-    activity.join(firstDay, "user_id")
+    // One keyed exchange instead of three (distinct + first-day agg +
+    // self-join): aggregate each user's DISTINCT activity-day set in
+    // one pass (collect_set dedupes), derive the cohort day as the
+    // set's min, and explode back out. After the per-user dedup every
+    // (user, offset) pair is unique, so the retention count is a
+    // plain map-side-partial count — countDistinct's Expand pass
+    // drops out too. Per-user state is bounded by calendar days, the
+    // same bound the sessionization stages rely on.
+    val byUser = Tables(spark, dir).events
+      .select($"user_id", to_date($"ts").as("day"))
+      .groupBy($"user_id").agg(collect_set($"day").as("days"))
+    byUser
+      .select($"user_id", array_min($"days").as("cohort_day"),
+        explode($"days").as("day"))
       .withColumn("offset_days", datediff($"day", $"cohort_day"))
       .filter($"offset_days" <= 7)
       .groupBy($"cohort_day", $"offset_days")
-      .agg(countDistinct($"user_id").as("n_active"))
+      .agg(count(lit(1)).as("n_active"))
       .resultOrder($"cohort_day", $"offset_days")
   }
 

@@ -220,10 +220,13 @@ object TextAnalysis {
     val tok = Tables(spark, dir).documents
       .select($"doc_id", explode(tokens($"text")).as("t"))
     val tf = tok.groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"t").agg(count(lit(1)).as("df"))
+    // df as a count window over tf keyed on the term — one exchange
+    // on t, versus the aggregate-then-join form's two (df agg + tf
+    // re-exchange for the join); value identical (rows per t in tf)
+    val wDf = Window.partitionBy($"t")
     val w = Window.partitionBy($"doc_id")
       .orderBy($"score".desc, $"t")
-    tf.join(df, "t")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .withColumn("score", expr("(tf * 1000000) div df"))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" === 1)
