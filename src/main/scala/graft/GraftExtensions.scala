@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.{DotProduct, RollingHash, SumSquares}
-import graft.plans.TopKStrategy
+import graft.plans.{SetOpToFlagAggregate, TopKStrategy}
 
 /** Registration of the engine's custom pieces.
   *
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(_ => SetOpToFlagAggregate)
     GraftExtensions.functions.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
@@ -52,6 +53,13 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    // live sessions have no optimizer-injection hook; the experimental
+    // extraOptimizations batch runs after the standard batches, where
+    // the rule matches the lowered Distinct(semi/anti join) shapes
+    if (!spark.experimental.extraOptimizations.contains(SetOpToFlagAggregate)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SetOpToFlagAggregate
     }
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry

@@ -42,7 +42,15 @@ object GraftSession {
       // sizing.
       .config("spark.ui.enabled", "false")
 
-  def local(cpus: String): SparkSession = builder(cpus).getOrCreate()
+  def local(cpus: String): SparkSession = {
+    val s = builder(cpus).getOrCreate()
+    // the engine's custom surface (TopKPerKey strategy, the set-op
+    // flag-aggregate rule, SQL-exposed native expressions) is part of
+    // every session, not an opt-in: cluster deployments get it via
+    // --conf spark.sql.extensions=graft.GraftExtensions
+    GraftExtensions.install(s)
+    s
+  }
 }
 
 /** Loaders for the driver-generated TPC-H-ish testdata.

@@ -453,31 +453,55 @@ object CorpusSelect {
       .groupBy($"w").agg(expr("bit_or(mask)").as("word"))
   }
 
+  /** The filter as a VALUE: the ≤[[bloomWords]]-row (w, word) frame
+    * collected into a dense positional array (missing words → 0) —
+    * exactly how Spark's own bloom_filter_agg / might_contain pair
+    * ships a filter to its probe side, and how a production gate
+    * broadcasts its eval-set filter to every executor. The collect is
+    * of a bounded-by-construction frame (8 KB at any corpus size) and
+    * is cached per (session, corpus) alongside the frame form.
+    */
+  private val bloomArrayCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Array[Long]]()
+  private[graft] def bloomFilterArray(spark: SparkSession, dir: String): Array[Long] = {
+    val key = (spark, dir)
+    val hit = bloomArrayCache.get(key)
+    if (hit != null) hit
+    else {
+      val arr = new Array[Long](bloomWords)
+      bloomFilter(spark, dir).collect()
+        .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+      if (bloomArrayCache.size > 8) bloomArrayCache.clear()
+      bloomArrayCache.putIfAbsent(key, arr)
+      arr
+    }
+  }
+
   private def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val posting = Dedup.shinglePosting(spark, dir)
-    val train = posting.filter($"doc_id" % evalMod =!= evalRes)
-    // Probe each DISTINCT shingle once, not once per posting row: the
-    // k-probe explode runs over the distinct-shingle universe (≤ the
-    // posting, usually ≪ — repeated shingles are the point of a df
-    // table), collapsing to one (shingle, maybe) verdict per shingle.
-    // The posting then picks up its verdict through ONE equi-join and
-    // reduces straight to the per-doc counts — the posting is
-    // shuffled once (on shingle) instead of 3× through two groupBys.
-    // The verdict frame is corpus-proportional, so it is NOT
-    // broadcast: AQE sizes the join (at 100 TB it is a shuffled hash
-    // join on the shingle key).
-    val verdicts = train.select($"shingle").distinct()
-      .select($"shingle",
-        explode(array((0 until bloomK).map(lit): _*)).as("j"))
-      .withColumn("pos", bloomPos($"j", $"shingle"))
-      .withColumn("w", expr(s"pos div $bloomWordBits"))
-      .withColumn("mask",
-        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $bloomWordBits AS INT))"))
-      .join(broadcast(bloomFilter(spark, dir)), Seq("w"), "left")
-      .groupBy($"shingle")
-      .agg(expr("bool_and((coalesce(word, CAST(0 AS BIGINT)) & mask) <> 0)").as("maybe"))
-    train.join(verdicts, Seq("shingle"))
+    val train = Dedup.shinglePosting(spark, dir)
+      .filter($"doc_id" % evalMod =!= evalRes)
+    // The probe is ROW-LOCAL: the fixed-size filter rides along as a
+    // literal array (the might_contain deployment shape — a Bloom
+    // filter is a value, not a join side), so each posting row
+    // evaluates its k probes inside the scan projection and the whole
+    // operator is scan → per-doc reduction → sort. Earlier forms paid
+    // a k-way explode plus two joins and two extra aggregations for
+    // the identical bits.
+    val words = lit(bloomFilterArray(spark, dir))
+    val maybe = (0 until bloomK).map { j =>
+      // pos appears in both the word index and the mask shift; the
+      // deterministic subexpression is eliminated inside codegen
+      val pos = bloomPos(lit(j), $"shingle")
+      val mask = call_function("shiftleft", lit(1L),
+        (pos % bloomWordBits).cast("int"))
+      // word index: integer division via floor — exact at these
+      // magnitudes (pos < 2^17, far inside double precision)
+      (element_at(words, floor(pos / bloomWordBits).cast("int") + 1)
+        .bitwiseAND(mask)) =!= 0L
+    }.reduce(_ && _)
+    train
+      .withColumn("maybe", maybe)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_probe_sh"),
         sum(when($"maybe", 1L).otherwise(0L)).as("n_bloom_hits"))

@@ -354,6 +354,23 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("llm_bloom probes row-locally: literal filter, no joins") {
+    // the Bloom filter is a VALUE (8 KB literal array), not a join
+    // side — the probe must be scan → per-doc reduction, with no
+    // explode fanout and no join anywhere in the cold plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // (the cold plan still contains the posting derivation's
+      // token posexplode — the guard is about JOINS: the old probe
+      // joined the filter frame and the verdict frame; the literal
+      // form joins nothing anywhere)
+      val p = plan("llm_bloom")
+      assert(!p.contains("Join"), "bloom probe must not join")
+      assert(p.contains("hashpartitioning(doc_id"),
+        "per-doc reduction must shuffle on doc_id")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("text_quality/text_langid stopword counts run inside codegen") {
     // the corpus-scan scoring pass must not fall back to interpreted
     // HOF lambdas — TokenSetCount's membership loop fuses into the

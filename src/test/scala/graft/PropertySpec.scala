@@ -122,6 +122,22 @@ class PropertySpec extends AnyFunSuite {
     }, 200)
   }
 
+  test("xlsx writer → parser round-trips arbitrary cell grids") {
+    // printable-ASCII plus the XML-special and accented characters the
+    // trade books actually contain; ragged row widths allowed
+    val cell = Gen.listOf(Gen.frequency(
+      8 -> Gen.choose(32.toChar, 126.toChar),
+      2 -> Gen.oneOf('<', '>', '&', '"', 'ñ', 'é', 'Ü'))).map(_.mkString)
+    val row = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, cell))
+    val grid = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, row))
+    check(Prop.forAll(grid) { rows =>
+      val buf = new java.io.ByteArrayOutputStream()
+      graft.sources.Xlsx.writeWorkbook(buf, rows.map(_.toSeq), "P")
+      graft.sources.Xlsx.parseSheet(buf.toByteArray)
+        .map(_.toList).toList == rows
+    }, 100)
+  }
+
   test("shingles3 HOF equals a Scala sliding-window model") {
     val gen = Gen.listOfN(12, Gen.oneOf("a", "b", "cc", "dd")).map(_.mkString(" "))
     check(Prop.forAll(gen) { text =>

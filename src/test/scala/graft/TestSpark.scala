@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("4").appName("graft-test").getOrCreate()
+    GraftExtensions.install(s) // same surface GraftSession.local ships
     s.sparkContext.setLogLevel("WARN")
     s
   }
