@@ -60,4 +60,16 @@ class InsightsSpec extends AnyFunSuite {
       .filter($"count" > 1).count()
     assert(dup == 0)
   }
+
+  test("dashboard bundle renders every tab section from checked operators") {
+    val md = graft.Dashboard.render(spark, sf)
+    for (h <- Seq("Análisis por País", "Métricas Clave", "Serie Temporal",
+        "Estacionalidad", "Distribución Mensual", "reconciliación QA",
+        "Análisis por Categorías", "Heatmap Año × Mes",
+        "Ranking de Categorías", "Cambios de Ranking",
+        "Conclusiones Accionables", "Estadísticas Rápidas"))
+      assert(md.contains(h), s"dashboard missing section: $h")
+    // tables actually carry rows, not just headers
+    assert(md.linesIterator.count(_.startsWith("| ")) > 40)
+  }
 }
