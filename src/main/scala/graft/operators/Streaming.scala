@@ -256,6 +256,37 @@ object Streaming {
        |WHERE rk <= 3
        |ORDER BY bucket_start, rk""".stripMargin
 
+  // ---- stream_upsert: keep-latest-per-key (CDC apply in motion) ----
+  // The materialized upsert view every CDC consumer maintains: one
+  // row per key, the max-(event-time, id) event. Incrementally this
+  // is EventsStream.upsertLatest (mapGroupsWithState, Update mode,
+  // O(keys) state — the view itself); the batch window-rank form
+  // below is its deterministic oracle, and StreamingSpec proves the
+  // two agree across multi-batch upsert sequences.
+
+  private def upsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    Tables(spark, dir).events
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"user_id", $"event_id".as("last_event_id"),
+        $"ts".as("last_ts"), $"event_type".as("last_type"),
+        $"value".as("last_value"))
+      .resultOrder($"user_id")
+  }
+
+  private val upsertSql =
+    """SELECT user_id, event_id AS last_event_id,
+      |  CAST(ts AS TIMESTAMP) AS last_ts,
+      |  event_type AS last_type, value AS last_value
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rk
+      |  FROM events)
+      |WHERE rk = 1
+      |ORDER BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("stream_windowed_agg", windowedAgg, Some(windowedAggSql)),
     Q("stream_topk", topk, Some(topkSql)),
@@ -263,6 +294,7 @@ object Streaming {
     Q("stream_attribution", attribution, Some(attributionSql)),
     Q("stream_sessionize", sessionize, Some(sessionizeSql)),
     Q("stream_sliding_window", slidingWindow, Some(slidingWindowSql)),
-    Q("stream_session_window", sessionWindow, Some(sessionWindowSql))
+    Q("stream_session_window", sessionWindow, Some(sessionWindowSql)),
+    Q("stream_upsert", upsert, Some(upsertSql))
   )
 }

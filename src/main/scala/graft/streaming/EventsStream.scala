@@ -157,6 +157,35 @@ object EventsStream {
       }
   }
 
+  // ---- keep-latest upsert (CDC apply in motion) ----
+
+  case class Latest(user_id: Long, last_event_id: Long,
+      last_ts: java.sql.Timestamp, last_type: String, last_value: Double)
+
+  private def latestKey(l: Latest): (Long, Long) =
+    (micros(l.last_ts), l.last_event_id)
+
+  /** Streaming keep-latest-per-key upsert view — cdc_merge's
+    * keep-latest semantics running incrementally: one state row per
+    * key holding the max-(event-time, id) event, re-emitted whenever
+    * a batch changes it (OutputMode.Update). State is O(keys) — the
+    * upsert table itself — which is the floor for any materialized
+    * CDC view; the batch window-rank form in operators.Streaming is
+    * the oracle.
+    */
+  def upsertLatest(events: Dataset[Event]): Dataset[Latest] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Latest, Latest](GroupStateTimeout.NoTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[Latest]) =>
+          val candidates = state.getOption.iterator ++ evs.map(e =>
+            Latest(userId, e.event_id, e.ts, e.event_type, e.value))
+          val best = candidates.maxBy(latestKey)
+          state.update(best)
+          best
+      }
+  }
+
   /** Production sessionizer: EVENT-TIME TIMEOUT + watermark. A
     * session closes either by an in-batch gap or — the part NoTimeout
     * can't do — when the watermark passes last_event + gap with no

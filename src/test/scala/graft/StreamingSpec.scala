@@ -144,6 +144,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming keep-latest upsert converges to the batch latest view") {
+    import spark.implicits._
+    val all = Tables(spark, sf).events
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventsStream.Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val (b1, b2) = all.splitAt(all.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventsStream.Event]
+    val q = EventsStream.upsertLatest(mem.toDS())
+      .writeStream.format("memory").queryName("upsert_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      // Update mode re-emits a key on every change: the per-key max
+      // across emissions IS the final state, and must equal the batch
+      // window-rank view exactly (id, micros-precise ts, type, value)
+      def us(t: java.sql.Timestamp): Long =
+        t.getTime * 1000 + (t.getNanos / 1000) % 1000
+      val finalState = spark.table("upsert_out").as[EventsStream.Latest]
+        .collect().groupBy(_.user_id)
+        .map { case (_, ls) =>
+          val l = ls.maxBy(x => (us(x.last_ts), x.last_event_id))
+          (l.user_id, l.last_event_id, us(l.last_ts), l.last_type, l.last_value)
+        }.toSet
+      val batch = SparkEntry.queries("stream_upsert")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), us(r.getTimestamp(2)),
+          r.getString(3), r.getDouble(4))).toSet
+      assert(finalState == batch,
+        s"stream=${finalState.size} batch=${batch.size} " +
+          s"missing=${(batch -- finalState).take(3)} extra=${(finalState -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("stateful sessionize matches the batch window-function form") {
     import spark.implicits._
     val events = Tables(spark, sf).events
