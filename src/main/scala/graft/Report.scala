@@ -5,14 +5,70 @@ import org.apache.spark.sql.SparkSession
 
 /** EDA summary report generator — the engine-side analog of the
   * reference's observatorio/eda.py stage, which renders descriptive
-  * statistics, seasonality, and outlier findings into
-  * reports/eda/eda_summary.md. Charts are a presentation concern;
-  * every number in the report comes from the oracle-checked
-  * operators.
+  * statistics, seasonality, and outlier findings (plus figures) into
+  * reports/. Every number comes from the oracle-checked operators;
+  * the figures are dependency-free SVG (a polyline + bar chart built
+  * by string assembly — eda.py's matplotlib PNGs re-expressed in the
+  * one graphics format that needs no library).
   *
   * Usage: graft.Report [sfDir] [outDir]
   */
 object Report {
+
+  private def esc(s: String): String = s.flatMap {
+    case '&' => "&amp;"
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case c => c.toString
+  }
+
+  /** Minimal line chart: points scaled into a fixed 640x240 viewBox
+    * with a light axis frame and min/max labels. Deterministic bytes
+    * for deterministic input.
+    */
+  private[graft] def lineSvg(title: String, ys: Seq[Double]): String = {
+    val (w, h, pad) = (640, 240, 34)
+    val lo = ys.min; val hi = ys.max
+    val span = if (hi == lo) 1.0 else hi - lo
+    val pts = ys.zipWithIndex.map { case (y, i) =>
+      val px = pad + i.toDouble * (w - 2 * pad) / math.max(1, ys.length - 1)
+      val py = h - pad - (y - lo) / span * (h - 2 * pad)
+      f"$px%.1f,$py%.1f"
+    }.mkString(" ")
+    s"""<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 $w $h">
+       |<rect width="$w" height="$h" fill="white"/>
+       |<text x="$pad" y="20" font-family="sans-serif" font-size="13">${esc(title)}</text>
+       |<line x1="$pad" y1="${h - pad}" x2="${w - pad}" y2="${h - pad}" stroke="#999"/>
+       |<line x1="$pad" y1="$pad" x2="$pad" y2="${h - pad}" stroke="#999"/>
+       |<text x="4" y="${h - pad}" font-family="sans-serif" font-size="10">${f"$lo%.2f"}</text>
+       |<text x="4" y="${pad + 4}" font-family="sans-serif" font-size="10">${f"$hi%.2f"}</text>
+       |<polyline points="$pts" fill="none" stroke="#2a6fb0" stroke-width="1.5"/>
+       |</svg>
+       |""".stripMargin
+  }
+
+  /** Minimal bar chart over labeled values (same frame as lineSvg). */
+  private[graft] def barSvg(title: String, labels: Seq[String],
+      ys: Seq[Double]): String = {
+    val (w, h, pad) = (640, 240, 34)
+    val hi = math.max(ys.max, 0.0)
+    val span = if (hi == 0.0) 1.0 else hi
+    val bw = (w - 2 * pad).toDouble / ys.length
+    val bars = ys.zipWithIndex.map { case (y, i) =>
+      val bh = y / span * (h - 2 * pad)
+      val x = pad + i * bw
+      f"""<rect x="$x%.1f" y="${h - pad - bh}%.1f" width="${bw * 0.8}%.1f" height="$bh%.1f" fill="#2a6fb0"/>
+         |<text x="${x + bw * 0.4}%.1f" y="${h - pad + 12}" font-family="sans-serif" font-size="9" text-anchor="middle">${esc(labels(i))}</text>""".stripMargin
+    }.mkString("\n")
+    s"""<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 $w $h">
+       |<rect width="$w" height="$h" fill="white"/>
+       |<text x="$pad" y="20" font-family="sans-serif" font-size="13">${esc(title)}</text>
+       |<line x1="$pad" y1="${h - pad}" x2="${w - pad}" y2="${h - pad}" stroke="#999"/>
+       |<text x="4" y="${pad + 4}" font-family="sans-serif" font-size="10">${f"$hi%.2f"}</text>
+       |$bars
+       |</svg>
+       |""".stripMargin
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("target/reports")
@@ -70,7 +126,18 @@ object Report {
 
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(Paths.get(s"$outDir/eda_summary.md"), md.toString)
-    println(s"report written: $outDir/eda_summary.md")
+
+    // figures (eda.py renders charts into reports/; here as SVG):
+    // monthly export series + seasonality profile, both from the
+    // same oracle-checked frames the tables above already used
+    val trend = q("kpi_trend").collect().filter(!_.isNullAt(2))
+    Files.writeString(Paths.get(s"$outDir/eda_trend.svg"),
+      lineSvg("Monthly exports (USD)", trend.map(_.getDouble(2)).toSeq))
+    Files.writeString(Paths.get(s"$outDir/eda_seasonality.svg"),
+      barSvg("Avg exports by month (USD)",
+        season.map(_.getInt(0).toString).toSeq,
+        season.map(_.getDouble(1)).toSeq))
+    println(s"report written: $outDir/eda_summary.md (+2 SVG figures)")
     spark.stop()
   }
 }

@@ -61,6 +61,22 @@ class InsightsSpec extends AnyFunSuite {
     assert(dup == 0)
   }
 
+  test("EDA SVG figures are well-formed XML and deterministic") {
+    def parse(s: String): Unit =
+      javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(s.getBytes("UTF-8")))
+    val line = graft.Report.lineSvg("exports <&>", Seq(1.0, 3.0, 2.0, 2.5))
+    assert(line == graft.Report.lineSvg("exports <&>", Seq(1.0, 3.0, 2.0, 2.5)))
+    parse(line) // XML-special chars in titles must be escaped
+    val bar = graft.Report.barSvg("m", (1 to 12).map(_.toString), (1 to 12).map(_.toDouble))
+    parse(bar)
+    assert(bar.sliding(5).count(_ == "<rect") == 13) // frame + 12 bars
+    // degenerate inputs must not divide by zero
+    parse(graft.Report.lineSvg("flat", Seq(2.0, 2.0)))
+    parse(graft.Report.barSvg("zero", Seq("a"), Seq(0.0)))
+  }
+
   test("dashboard bundle renders every tab section from checked operators") {
     val md = graft.Dashboard.render(spark, sf)
     for (h <- Seq("Análisis por País", "Métricas Clave", "Serie Temporal",
