@@ -201,6 +201,7 @@ class PlanSpec extends AnyFunSuite {
     // window-bucket keys.
     assert(plan("scd2_dim").contains("hashpartitioning(user_id"))
     assert(plan("stream_topk").contains("hashpartitioning(bucket_start"))
+    assert(plan("stream_upsert").contains("hashpartitioning(user_id"))
   }
 
   test("grouping-sets and histogram aggregate with map-side partials") {
