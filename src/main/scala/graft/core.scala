@@ -139,9 +139,11 @@ object Tables {
     // "t" prefix: the sanitized path starts with '_' (from the root
     // slash), and Spark's file listing treats leading-underscore names
     // as hidden — a converted dir named "_root_..." can be silently
-    // ignored by a scan
+    // ignored by a scan. Size AND mtime in the key: a regenerated
+    // source of identical length must still invalidate the copy.
     val key = "t" + (dir + "/" + name).replaceAll("[^A-Za-z0-9._-]", "_") +
-      "_" + Files.size(src)
+      "_" + Files.size(src) +
+      "_" + Files.getLastModifiedTime(src).toMillis
     val out = Paths.get(System.getProperty("java.io.tmpdir"), "graft-split", key)
     if (!Files.exists(out)) {
       Files.createDirectories(out.getParent)

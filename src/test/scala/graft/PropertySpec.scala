@@ -122,6 +122,32 @@ class PropertySpec extends AnyFunSuite {
     }, 200)
   }
 
+  test("SetOpToFlagAggregate equals set-model semantics on random tables") {
+    // the rewrite runs in EVERY session's optimizer — randomized
+    // equivalence against a Scala set model (and implicitly against
+    // the built-in lowering, which the model also describes), nulls
+    // included, both set ops, varying filter selectivity
+    GraftExtensions.install(spark)
+    val row = for {
+      k <- Gen.frequency(8 -> Gen.choose(0L, 6L).map(Option(_)),
+        2 -> Gen.const(Option.empty[Long]))
+      side <- Gen.choose(0, 3)
+    } yield (k, side)
+    val gen = Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, row))
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.map { case (k, s) => (k.map(Long.box).orNull, s) }
+        .toDF("k", "side")
+      val a = df.filter(col("side") <= 1).select(col("k"))
+      val b = df.filter(col("side") % 2 === 0).select(col("k"))
+      val setA = rows.filter(_._2 <= 1).map(_._1).toSet
+      val setB = rows.filter(_._2 % 2 == 0).map(_._1).toSet
+      def got(d: org.apache.spark.sql.DataFrame): Set[Option[Long]] =
+        d.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+      got(a.intersect(b)) == setA.intersect(setB) &&
+        got(a.except(b)) == setA.diff(setB)
+    }, 60)
+  }
+
   test("xlsx writer → parser round-trips arbitrary cell grids") {
     // printable-ASCII plus the XML-special and accented characters the
     // trade books actually contain; ragged row widths allowed
