@@ -576,7 +576,54 @@ object CorpusSelect {
        |  n_distinct_texts, n_docs - n_distinct_texts AS n_exact_dups
        |FROM c""".stripMargin
 
+  // ---- llm_bpe_stats: the BPE merge-statistics kernel ----
+  // The inner loop of byte-pair-encoding tokenizer training (Sennrich
+  // et al. 2016, "Neural Machine Translation of Rare Words with
+  // Subword Units" — public literature): count corpus frequencies of
+  // adjacent symbol pairs, weighted by word frequency; the argmax
+  // pair becomes the next merge. Distributed shape is two hash
+  // aggregations — word→freq first (vocabulary-sized, map-side
+  // partials collapse the corpus), then pair→Σfreq over the pair
+  // explode of the VOCABULARY (not the corpus — the standard trick
+  // that makes BPE training tractable: pair work scales with distinct
+  // words, not tokens) — and a bounded top-k. Characters here play
+  // the role of the symbol alphabet; iterating merge+recount is the
+  // full trainer, and one iteration is the oracle-checkable unit.
+
+  private def bpeStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = graft.Tables(spark, dir).documents
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    words
+      // adjacent char pairs as 2-char substrings; single-char words
+      // contribute none (sequence(1,0) would DESCEND in Spark, so the
+      // guard is explicit)
+      .filter(length($"w") > 1)
+      .select($"freq",
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+          .as("pair"))
+      .groupBy($"pair").agg(sum($"freq").as("pair_count"))
+      .orderBy($"pair_count".desc, $"pair")
+      .limit(20)
+  }
+
+  private val bpeStatsSql =
+    """WITH words AS (
+      |  SELECT u.w AS w, COUNT(*) AS freq
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS u(w)
+      |  GROUP BY u.w),
+      |pairs AS (
+      |  SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+      |  FROM words, UNNEST(range(1, length(w))) AS r(i)
+      |  WHERE length(w) > 1)
+      |SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+      |FROM pairs GROUP BY pair
+      |ORDER BY pair_count DESC, pair
+      |LIMIT 20""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("llm_bpe_stats", bpeStats, Some(bpeStatsSql)),
     Q("llm_corpus_select", corpusSelect, Some(corpusSelectSql)),
     Q("llm_dataset_card", datasetCard, Some(datasetCardSql)),
     Q("llm_bloom", bloomDecontaminate, Some(bloomDecontaminateSql)),

@@ -21,9 +21,9 @@ class ContractSpec extends AnyFunSuite {
         sql.trim.toUpperCase.startsWith("WITH")))
   }
 
-  test("inventory size matches SURVEY status (114 ops, 113 oracles)") {
-    assert(SparkEntry.allQueries.size == 114)
-    assert(SparkEntry.oracleSql.size == 113)
+  test("inventory size matches SURVEY status (115 ops, 114 oracles)") {
+    assert(SparkEntry.allQueries.size == 115)
+    assert(SparkEntry.oracleSql.size == 114)
     // the single rows-checked survivor is the engine-specific HLL /
     // quantile sketch pair (its KMV twin q27 IS oracle-checked)
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)

@@ -23,4 +23,22 @@ class OperatorSpec extends AnyFunSuite {
   test("every oracle key exists in queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("llm_bpe_stats equals a sequential BPE pair-count model") {
+    import spark.implicits._
+    // independent model: word frequencies, then adjacent char-pair
+    // counts weighted by word freq — the Sennrich merge statistic
+    val words = Tables(spark, sf).documents.select($"text").collect()
+      .flatMap(_.getString(0).split(" "))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairCounts = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- words; i <- 0 until w.length - 1) {
+      val p = w.substring(i, i + 2)
+      pairCounts(p) = pairCounts.getOrElse(p, 0L) + f
+    }
+    val want = pairCounts.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+    val got = SparkEntry.queries("llm_bpe_stats")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, s"got=${got.take(3)} want=${want.take(3)}")
+  }
 }
