@@ -899,7 +899,43 @@ object Similarity {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  // ---- ann_recall_eval: recall@k of the LSH index vs ground truth ----
+  // The evaluation harness every ANN deployment runs before trusting
+  // an index: recall@5 of ann_lsh against the exact brute-force
+  // neighbors, as ONE query — per-query overlap via a left semi-ish
+  // join on (q_id, neighbor_id), reduced to integer totals
+  // (matches / 5·queries), so the figure is bit-stable cross-engine.
+  // At 100 TB this runs over a SAMPLED query set against the served
+  // index — same plan, sampled probe side.
+
+  private def annRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = annBrute(spark, dir)
+      .select($"q_id", $"neighbor_id")
+    val approx = annLsh(spark, dir)
+      .select($"q_id".as("a_q"), $"neighbor_id".as("a_n"))
+    truth
+      .join(approx, $"q_id" === $"a_q" && $"neighbor_id" === $"a_n", "left")
+      .agg(
+        countDistinct($"q_id").as("n_queries"),
+        count(lit(1)).as("n_truth_pairs"),
+        sum(when($"a_n".isNotNull, 1L).otherwise(0L)).as("n_recalled"))
+      .select($"n_queries", $"n_truth_pairs", $"n_recalled",
+        expr("(100 * n_recalled) div n_truth_pairs").as("recall_pct"))
+  }
+
+  private val annRecallEvalSql =
+    s"""WITH truth AS ($annBruteSql),
+       |approx AS ($annLshSql)
+       |SELECT CAST(COUNT(DISTINCT t.q_id) AS BIGINT) AS n_queries,
+       |  CAST(COUNT(*) AS BIGINT) AS n_truth_pairs,
+       |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_recalled,
+       |  CAST((100 * SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS recall_pct
+       |FROM truth t LEFT JOIN approx a
+       |  ON a.q_id = t.q_id AND a.neighbor_id = t.neighbor_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("ann_recall_eval", annRecallEval, Some(annRecallEvalSql)),
     Q("ann_bruteforce", annBrute, Some(annBruteSql)),
     Q("ann_pq", annPq, Some(annPqSql)),
     Q("ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
