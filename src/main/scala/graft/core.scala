@@ -91,20 +91,38 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = big("orders")
   def lineitem: DataFrame = big("lineitem")
 
-  /** events.parquet stores TIMESTAMP(NANOS): nanos arrive as long
-    * (GraftSession sets the legacy conf at build time) and are
-    * floor-truncated to a microsecond TimestampType column — the
-    * same truncation DuckDB applies, so oracle parity holds.
-    * Integer DIV, not "/1000": double division loses precision at
-    * epoch-nanos magnitudes (2^60) and shifts timestamps by 1 us.
+  /** events.ts has shipped in two physical encodings across driver
+    * testdata generations — TIMESTAMP(NANOS) (read as long via the
+    * legacy conf, floor-truncated to micros) and TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ) — so normalization branches on the type
+    * the scan actually produced rather than assuming one generation.
     */
-  def events: DataFrame =
-    big("events").withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def events: DataFrame = Tables.normalizeTs(big("events"))
   def documents: DataFrame = big("documents")
   def embeddings: DataFrame = big("embeddings")
 }
 
 object Tables {
+  /** Normalize an events `ts` column to a microsecond TimestampType
+    * regardless of the physical encoding the driver generated:
+    *  - TIMESTAMP(NANOS) parquet arrives as BIGINT epoch-nanos (via
+    *    spark.sql.legacy.parquet.nanosAsLong) → integer-DIV truncate
+    *    to micros. DIV, not "/1000": double division loses precision
+    *    at epoch-nanos magnitudes (2^60) and shifts timestamps 1 us.
+    *  - TIMESTAMP(MICROS) without UTC adjustment arrives as
+    *    TIMESTAMP_NTZ → cast to TimestampType, an identity wall-clock
+    *    reinterpretation under the session's pinned UTC timezone —
+    *    the same instants DuckDB reads, so oracle parity holds.
+    */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+
   /** Number of files in a converted fact-table layout: pinned (not
     * defaultParallelism) so a 4-thread test JVM and the 32-thread
     * bench JVM share one converted copy.

@@ -622,7 +622,50 @@ object CorpusSelect {
       |ORDER BY pair_count DESC, pair
       |LIMIT 20""".stripMargin
 
+  // ---- llm_split: leakage-free deterministic train/val/test split ----
+  // Every training corpus ships with a split assignment, and the
+  // classic leakage bug is splitting by ROW: two near-identical
+  // copies of one document land in train and test and the eval is
+  // contaminated. The split key here is the CANONICAL content hash
+  // (dedup_canonical's normalize-then-hash), so byte-identical and
+  // trivially-reformatted copies always land in the SAME split by
+  // construction — no coordination, no join against a dedup table.
+  // Assignment is hash-threshold per mille over the cross-engine
+  // rolling hash (train 900 / valid 50 / test 50): row-local,
+  // reproducible on any engine, and stable under corpus growth (a
+  // new document never moves an old one between splits). One narrow
+  // codegen projection, zero shuffle — the 100 TB plan is this scan.
+
+  private val validFrom = 900
+  private val testFrom = 950
+
+  private def split(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = graft.functions.RollingHash.rolling_hash(
+      concat(lit("split|"), md5(Dedup.canonical($"text")))) % 1000L
+    graft.Tables(spark, dir).documents
+      .select($"doc_id", $"lang", key.as("split_key"))
+      .withColumn("split",
+        when($"split_key" < validFrom, "train")
+          .when($"split_key" < testFrom, "valid")
+          .otherwise("test"))
+      .resultOrder($"doc_id")
+  }
+
+  private val splitSql = {
+    val keyExpr = graft.functions.RollingHash.sql(
+      s"'split|' || md5(${Dedup.canonicalSqlExpr("text")})")
+    s"""SELECT doc_id, lang, split_key,
+       |  CASE WHEN split_key < $validFrom THEN 'train'
+       |       WHEN split_key < $testFrom THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, lang, $keyExpr % 1000 AS split_key
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("llm_split", split, Some(splitSql)),
     Q("llm_bpe_stats", bpeStats, Some(bpeStatsSql)),
     Q("llm_corpus_select", corpusSelect, Some(corpusSelectSql)),
     Q("llm_dataset_card", datasetCard, Some(datasetCardSql)),

@@ -46,8 +46,12 @@ object Dedup {
   // projection + one hash-keyed aggregate; same shuffle profile as
   // dedup_exact.
 
-  private def canonical(c: org.apache.spark.sql.Column) =
+  private[graft] def canonical(c: org.apache.spark.sql.Column) =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** DuckDB twin of [[canonical]] (global-flag regex replaces). */
+  private[operators] def canonicalSqlExpr(e: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
   private def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -68,6 +72,99 @@ object Dedup {
       |FROM documents
       |GROUP BY canonical_hash
       |ORDER BY canonical_hash""".stripMargin
+
+  // ---- dedup_url: URL-canonicalization dedup ----
+  // The FIRST dedup pass of every web-crawl pipeline runs before any
+  // content is even fetched twice: canonicalize the URL (case-fold
+  // host, strip scheme + www, drop tracking parameters, normalize the
+  // trailing slash) and collapse crawl records that differ only in
+  // those cosmetic dimensions. Row-local regexp_replace chain + one
+  // hash-keyed aggregate — identical shuffle profile to dedup_exact,
+  // so the 100 TB story is the same scan-and-aggregate.
+  //
+  // The synthetic corpus carries no URL column, so — the established
+  // pattern of llm_pii_scrub — the query DRIVES the canonicalizer
+  // over a deterministic crawl URL constructed from catalog fields,
+  // in TWO syntactic forms (scheme/www presence, tracking-param
+  // order, trailing slash alternate by doc parity) that canonicalize
+  // to the SAME normal form: the cross-form collisions are exactly
+  // what the operator exists to catch. Pattern dialect: the
+  // java.util.regex ∩ RE2 subset (no lookaround/backrefs).
+
+  private def crawlUrl(doc_id: org.apache.spark.sql.Column,
+      source: org.apache.spark.sql.Column, lang: org.apache.spark.sql.Column) =
+    when(doc_id % 2 === 0,
+      concat(lit("https://"), source, lit(".example.com/doc/"),
+        (doc_id % 100).cast("string"), lit("?page="), (doc_id % 3).cast("string"),
+        lit("&utm_source=feed&session=s"), doc_id.cast("string")))
+      .otherwise(
+        concat(lit("http://www."), source, lit(".example.com/doc/"),
+          (doc_id % 100).cast("string"), lit("/?utm_campaign="), lang,
+          lit("&page="), (doc_id % 3).cast("string"), lit("&ref=rss")))
+
+  private val crawlUrlSql =
+    """CASE WHEN doc_id % 2 = 0
+      |  THEN 'https://' || source || '.example.com/doc/' || CAST(doc_id % 100 AS VARCHAR)
+      |    || '?page=' || CAST(doc_id % 3 AS VARCHAR)
+      |    || '&utm_source=feed&session=s' || CAST(doc_id AS VARCHAR)
+      |  ELSE 'http://www.' || source || '.example.com/doc/' || CAST(doc_id % 100 AS VARCHAR)
+      |    || '/?utm_campaign=' || lang
+      |    || '&page=' || CAST(doc_id % 3 AS VARCHAR) || '&ref=rss'
+      |END""".stripMargin.replace("\n", " ")
+
+  private val trackingParam = "(utm_[a-z0-9_]+|session|ref)"
+
+  /** The canonicalization chain. Order matters: mid-list tracking
+    * params go first (so a leading tracking param becomes leading-
+    * and-only or leading-with-successor, handled next), then the
+    * path/query seam (`/?` → `?`) and the trailing slash.
+    */
+  private def canonicalUrl(c: org.apache.spark.sql.Column) = {
+    val steps: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = Seq(
+      lower(_),
+      regexp_replace(_, "^https?://", ""),
+      regexp_replace(_, "^www\\.", ""),
+      regexp_replace(_, s"&$trackingParam=[^&]*", ""),
+      regexp_replace(_, s"\\?$trackingParam=[^&]*&", "?"),
+      regexp_replace(_, s"\\?$trackingParam=[^&]*$$", ""),
+      regexp_replace(_, "/\\?", "?"),
+      regexp_replace(_, "/$", ""))
+    steps.foldLeft(c)((acc, f) => f(acc))
+  }
+
+  private def canonicalUrlSql(e: String): String =
+    Seq(
+      (s: String) => s"lower($s)",
+      (s: String) => s"regexp_replace($s, '^https?://', '')",
+      (s: String) => s"regexp_replace($s, '^www\\.', '')",
+      (s: String) => s"regexp_replace($s, '&$trackingParam=[^&]*', '', 'g')",
+      (s: String) => s"regexp_replace($s, '\\?$trackingParam=[^&]*&', '?')",
+      (s: String) => s"regexp_replace($s, '\\?$trackingParam=[^&]*$$', '')",
+      (s: String) => s"regexp_replace($s, '/\\?', '?')",
+      (s: String) => s"regexp_replace($s, '/$$', '')"
+    ).foldLeft(e)((acc, f) => f(acc))
+
+  private def dedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id",
+        crawlUrl($"doc_id", $"source", $"lang").as("url"))
+      .select($"doc_id", $"url", canonicalUrl($"url").as("canonical_url"))
+      .groupBy($"canonical_url")
+      .agg(count(lit(1)).as("n_crawl_records"),
+        min($"doc_id").as("keeper_doc_id"),
+        countDistinct($"url").as("n_distinct_raw"))
+      .resultOrder($"canonical_url")
+  }
+
+  private val dedupUrlSql =
+    s"""SELECT ${canonicalUrlSql("url")} AS canonical_url,
+       |  COUNT(*) AS n_crawl_records,
+       |  MIN(doc_id) AS keeper_doc_id,
+       |  COUNT(DISTINCT url) AS n_distinct_raw
+       |FROM (SELECT doc_id, $crawlUrlSql AS url FROM documents)
+       |GROUP BY canonical_url
+       |ORDER BY canonical_url""".stripMargin
 
   // ---- dedup_ngram_jaccard: 3-gram shingle Jaccard within length bands ----
 
@@ -924,6 +1021,7 @@ object Dedup {
     Q("dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("dedup_chunks", dedupChunks, Some(dedupChunksSql)),
     Q("dedup_canonical", dedupCanonical, Some(dedupCanonicalSql)),
+    Q("dedup_url", dedupUrl, Some(dedupUrlSql)),
     Q("dedup_ngram_jaccard", dedupNgram, Some(dedupNgramSql)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Q("dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),

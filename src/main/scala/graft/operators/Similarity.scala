@@ -617,6 +617,68 @@ object Similarity {
        |SELECT id AS vec_id, r AS pr FROM it$prIters ORDER BY vec_id""".stripMargin
   }
 
+  // ---- graph_triangles: motif counting over the kNN graph ----
+  // The third graph workload class beside listing (ann_knn_graph) and
+  // iterative propagation (graph_pagerank): MOTIF COUNTING. Triangle
+  // census + global clustering coefficient is the standard structure
+  // probe of a similarity graph — a high coefficient means the
+  // embedding space has tight semantic clusters (dedup_semantic will
+  // bite), a low one means the kNN edges are mostly noise. One pass,
+  // all-integer, so the figure is bit-stable cross-engine.
+  //
+  // Plan shape: undirected edge set (a<b, distinct) → per-vertex
+  // degrees (one keyed aggregate) → triangle closure as TWO shuffled
+  // equi-joins on vertex keys (e1(a,b) ⋈ e2(b,c) ⋈ closing (a,c)),
+  // counting each triangle once via a<b<c. Nothing is broadcast.
+  // At 100 TB the join fan-out is bounded by construction: a kNN
+  // graph has out-degree ≤ k, so wedges-per-vertex ≤ deg² with deg
+  // capped near 2k — the same degree bound production triangle
+  // counters get from degree-ordering (node-iterator++). Wedge count
+  // Σ d(d-1)/2 is exact integer; coefficient reported in milli units
+  // via truncating div (non-negative operands → trunc ≡ floor ≡
+  // DuckDB's //).
+
+  private def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ue = knnEdges(spark, dir)
+      .select(least($"vec_id", $"neighbor_id").as("a"),
+        greatest($"vec_id", $"neighbor_id").as("b"))
+      .distinct()
+    val deg = ue.select($"a".as("id")).unionAll(ue.select($"b".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("d"))
+    val degStats = deg.agg(
+      count(lit(1)).as("n_vertices"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val edgeStats = ue.agg(count(lit(1)).as("n_edges"))
+    val e2 = ue.select($"a".as("b2"), $"b".as("c2"))
+    val e3 = ue.select($"a".as("a3"), $"b".as("c3"))
+    val triStats = ue
+      .join(e2, $"b" === $"b2")
+      .join(e3, $"a" === $"a3" && $"c2" === $"c3")
+      .agg(count(lit(1)).as("n_triangles"))
+    degStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(triStats))
+      .select($"n_vertices", $"n_edges", $"n_wedges", $"n_triangles",
+        expr("(3000 * n_triangles) div greatest(n_wedges, 1L)")
+          .as("global_cc_milli"))
+  }
+
+  private lazy val graphTrianglesSql =
+    s"""WITH knn AS ($annKnnGraphSql),
+       |ue AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a,
+       |         greatest(vec_id, neighbor_id) AS b FROM knn),
+       |deg AS (SELECT id, COUNT(*) AS d
+       |        FROM (SELECT a AS id FROM ue UNION ALL SELECT b AS id FROM ue)
+       |        GROUP BY id),
+       |ds AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       |         CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+       |es AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM ue),
+       |ts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |       FROM ue e1 JOIN ue e2 ON e2.a = e1.b
+       |       JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b)
+       |SELECT n_vertices, n_edges, n_wedges, n_triangles,
+       |  CAST((3000 * n_triangles) // greatest(n_wedges, 1) AS BIGINT) AS global_cc_milli
+       |FROM ds CROSS JOIN es CROSS JOIN ts""".stripMargin
+
   // ---- ann_pq: product quantization + asymmetric-distance search ----
   // The third leg of the compressed-ANN stack (quantize → IVF → PQ):
   // split each vector into pqSubspaces subvectors, encode each
@@ -946,6 +1008,7 @@ object Similarity {
     Q("ann_quantize", annQuantize, Some(annQuantizeSql)),
     Q("ann_knn_graph", annKnnGraph, Some(annKnnGraphSql)),
     Q("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
+    Q("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticSql))
   )
 }

@@ -16,25 +16,29 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet physical schema (ts is TIMESTAMP(NANOS), read as
-    * long via the legacy conf and truncated to micros).
+  /** events.parquet physical schema. The ts encoding has varied
+    * across driver testdata generations (TIMESTAMP(NANOS) → long via
+    * the legacy conf; TIMESTAMP(MICROS) → TIMESTAMP_NTZ), so the
+    * streaming schema borrows the type a batch scan of the same file
+    * actually produces — a one-time footer read, not a data job —
+    * and ts is normalized by the same branch the batch loader uses.
     */
-  val rawSchema: StructType = StructType(Seq(
+  def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
   def readStreamEvents(spark: SparkSession, dir: String): DataFrame = {
-    // nanosAsLong comes from GraftSession at session-build time
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     // the source is a single file; streaming file sources need a
     // directory, so point at the dir and glob-filter to events
-    spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(rawSchema(tsType))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Hourly tumbling-window aggregation per event type. Used by the

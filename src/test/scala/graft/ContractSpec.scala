@@ -21,9 +21,9 @@ class ContractSpec extends AnyFunSuite {
         sql.trim.toUpperCase.startsWith("WITH")))
   }
 
-  test("inventory size matches SURVEY status (116 ops, 115 oracles)") {
-    assert(SparkEntry.allQueries.size == 116)
-    assert(SparkEntry.oracleSql.size == 115)
+  test("inventory size matches SURVEY status (119 ops, 118 oracles)") {
+    assert(SparkEntry.allQueries.size == 119)
+    assert(SparkEntry.oracleSql.size == 118)
     // the single rows-checked survivor is the engine-specific HLL /
     // quantile sketch pair (its KMV twin q27 IS oracle-checked)
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)

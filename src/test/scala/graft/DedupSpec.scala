@@ -35,6 +35,80 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.values.map(_._2).sum > 0, "no duplicate chunks in corpus")
   }
 
+  test("dedup_url collapses both syntactic crawl-URL forms to one canonical form") {
+    val rows = q("dedup_url").collect()
+    val nDocs = Tables(spark, sf).documents.count()
+    // record conservation: every crawl record lands in exactly one group
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    // the corpus actually exercises the canonicalizer: some canonical
+    // URL must collapse >1 DISTINCT raw form (the even/odd doc parity
+    // emits scheme/www/tracking/trailing-slash variants that only a
+    // correct chain maps together)
+    assert(rows.exists(r => r.getLong(3) >= 2), "no cross-form collision")
+    // canonical forms carry no scheme, www, or tracking params
+    rows.map(_.getString(0)).foreach { u =>
+      assert(!u.contains("http") && !u.startsWith("www."), u)
+      assert(!u.contains("utm_") && !u.contains("session=") && !u.contains("ref="), u)
+      assert(!u.endsWith("/"), u)
+    }
+  }
+
+  test("llm_split is leakage-free: equal canonical content implies equal split") {
+    val split = SparkEntry.queries("llm_split")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // keys are well-defined per-mille values
+    assert(split.values.forall { case (k, _) => k >= 0 && k < 1000 })
+    // thresholds applied exactly
+    split.values.foreach { case (k, s) =>
+      val want = if (k < 900) "train" else if (k < 950) "valid" else "test"
+      assert(s == want, s"key=$k split=$s")
+    }
+    // leakage guard: a REFORMATTED copy of any document (case, extra
+    // punctuation, collapsed whitespace — exactly what dedup_canonical
+    // normalizes away) must land in the SAME split as its original.
+    // The synthetic corpus has no exact duplicates, so the copies are
+    // constructed here and pushed through the same column pipeline.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sample = Tables(spark, sf).documents
+      .select($"doc_id", $"text").limit(20).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mangled = sample.map { case (id, t) =>
+      (id, "  " + t.toUpperCase + "!!,  ") }
+    val key = graft.functions.RollingHash.rolling_hash(
+      concat(lit("split|"), md5(graft.operators.Dedup.canonical($"text")))) % 1000L
+    def keysOf(rows: Seq[(Long, String)]): Map[Long, Long] =
+      rows.toSeq.toDF("doc_id", "text").select($"doc_id", key.as("k"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kOrig = keysOf(sample.toSeq)
+    val kCopy = keysOf(mangled.toSeq)
+    sample.foreach { case (id, _) =>
+      assert(kOrig(id) == kCopy(id), s"doc $id: reformatted copy changes split key")
+      assert(kOrig(id) == split(id)._1, s"doc $id: test pipeline != llm_split key")
+    }
+  }
+
+  test("graph_triangles matches a sequential triangle census of the kNN graph") {
+    val edges = graft.operators.Similarity.knnEdges(spark, sf)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => { val a = r.getLong(0); val b = r.getLong(1)
+        (math.min(a, b), math.max(a, b)) }).distinct
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nTri = edges.map { case (a, b) =>
+      adj.getOrElse(a, Set.empty[Long]).count(c => c > b &&
+        adj.getOrElse(b, Set.empty[Long]).contains(c)).toLong
+    }.sum
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.length.toLong
+    val wedges = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val row = q("graph_triangles").collect().head
+    assert(row.getLong(0) == verts)
+    assert(row.getLong(1) == edges.length.toLong)
+    assert(row.getLong(2) == wedges)
+    assert(row.getLong(3) == nTri, s"got ${row.getLong(3)} want $nTri")
+    assert(row.getLong(4) == 3000L * nTri / math.max(wedges, 1L))
+  }
+
   test("incremental dedup equals the batch run restricted to cross pairs") {
     import graft.operators.Dedup.{deltaMod, deltaRes}
     val batch = q("dedup_ngram_jaccard").collect()

@@ -388,6 +388,51 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("dedup_url canonicalizes row-locally: no join, one keyed aggregate") {
+    // URL canonicalization is a regexp chain inside the scan
+    // projection; the only exchange is the per-canonical-URL
+    // aggregate — the same scan-and-aggregate profile as dedup_exact
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("dedup_url")
+      assert(!p.contains("Join"), "dedup_url must not join")
+      assert(p.contains("hashpartitioning(canonical_url"),
+        "dedup aggregate must shuffle on canonical_url")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("llm_split assigns splits with zero keyed shuffle") {
+    // the leakage-free split is a row-local hash-threshold projection:
+    // any join (against a dedup table) or keyed exchange here would be
+    // the coordination the content-hash key exists to avoid
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("llm_split")
+      assert(!p.contains("Join"), "llm_split must not join")
+      assert(!p.contains("hashpartitioning"),
+        "llm_split must not shuffle on a key")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("graph_triangles closes wedges via vertex equi-joins, never all-pairs") {
+    // triangle census = two shuffled equi-joins on vertex keys over
+    // the a<b ordered edge set; a cartesian over edges is the O(E²)
+    // shape degree-bounded motif counting exists to avoid. The final
+    // crossJoins are exempt: 1-row stat frames, explicitly broadcast.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("graph_triangles")
+      assert(!p.contains("CartesianProduct"),
+        "triangle closure degenerates to an all-pairs edge join")
+      assert(p.contains("hashpartitioning(b"),
+        "wedge join must shuffle on the shared vertex key")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("rolling_hash participates in whole-stage codegen") {
     // AQE prints the pre-execution plan without codegen regions;
     // disable it for this inspection only
