@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, RollingHash, SumSquares}
+import graft.functions.{ByteEnergy, ByteSum, DotProduct, RollingHash, SumSquares}
 import graft.plans.{SetOpToFlagAggregate, TopKStrategy}
 
 /** Registration of the engine's custom pieces.
@@ -45,7 +45,9 @@ object GraftExtensions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "rolling_hash" -> arity("rolling_hash", 1)(exprs => RollingHash(exprs.head)),
     "dot_product" -> arity("dot_product", 2)(exprs => DotProduct(exprs(0), exprs(1))),
-    "sum_squares" -> arity("sum_squares", 1)(exprs => SumSquares(exprs.head))
+    "sum_squares" -> arity("sum_squares", 1)(exprs => SumSquares(exprs.head)),
+    "byte_sum" -> arity("byte_sum", 1)(exprs => ByteSum(exprs.head)),
+    "byte_energy" -> arity("byte_energy", 1)(exprs => ByteEnergy(exprs.head))
   )
 
   /** Register on an already-running session. */

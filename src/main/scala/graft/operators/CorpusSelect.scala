@@ -109,6 +109,62 @@ object CorpusSelect {
        |HAVING COUNT(DISTINCT tr.sh) >= $minSharedShingles
        |ORDER BY tr.doc_id""".stripMargin
 
+  // ---- llm_containment: pair-level eval-in-train containment ----
+  // llm_decontaminate answers "is this training doc contaminated at
+  // all"; the AUDIT question is "by WHICH benchmark doc, and how
+  // much of it leaked". Containment C(E,T) = |sh(E) ∩ sh(T)| / |sh(E)|
+  // (Broder's containment, the asymmetric twin of Jaccard) is the
+  // standard measure: C→1 means the eval doc appears nearly whole
+  // inside the training doc even when the training doc is much
+  // larger (where Jaccard would dilute to ~0). Reported per
+  // (train, eval) pair in exact milli units (integer div of two
+  // distinct-counts — bit-stable cross-engine).
+  //
+  // Scale shape: same df-capped posting equi-join as decontaminate
+  // (per-shingle fanout ≤ cap × eval postings), one pair-keyed
+  // counting aggregate, then an equi-join against the per-eval-doc
+  // shingle totals (eval-slice-proportional, AQE-sized, never
+  // forced broadcast). The ≥2-shared-shingles floor bounds the
+  // output to genuinely overlapping pairs.
+
+  private val minPairShingles = 2
+
+  private def containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val posting = Dedup.shinglePosting(spark, dir)
+    val evalPost = posting.filter($"doc_id" % evalMod === evalRes)
+      .select($"doc_id".as("eval_id"), $"shingle")
+    val evalSize = evalPost.groupBy($"eval_id")
+      .agg(countDistinct($"shingle").as("n_eval_sh"))
+    val trainPost = posting.filter($"doc_id" % evalMod =!= evalRes)
+    trainPost.join(evalPost, "shingle")
+      .groupBy($"doc_id", $"eval_id")
+      .agg(countDistinct($"shingle").as("n_shared"))
+      .filter($"n_shared" >= minPairShingles)
+      .join(evalSize, "eval_id")
+      .select($"doc_id", $"eval_id", $"n_shared", $"n_eval_sh",
+        expr("(1000 * n_shared) div n_eval_sh").as("containment_milli"))
+      .resultOrder($"doc_id", $"eval_id")
+  }
+
+  private val containmentSql =
+    s"""WITH ${Dedup.postingSqlCtes},
+       |ev AS (SELECT doc_id AS eval_id, sh FROM posting
+       |       WHERE doc_id % $evalMod = $evalRes),
+       |evsz AS (SELECT eval_id, COUNT(DISTINCT sh) AS n_eval_sh
+       |         FROM ev GROUP BY eval_id),
+       |tr AS (SELECT doc_id, sh FROM posting
+       |       WHERE doc_id % $evalMod <> $evalRes),
+       |pairs AS (
+       |  SELECT tr.doc_id, ev.eval_id, COUNT(DISTINCT tr.sh) AS n_shared
+       |  FROM tr JOIN ev ON ev.sh = tr.sh
+       |  GROUP BY tr.doc_id, ev.eval_id
+       |  HAVING COUNT(DISTINCT tr.sh) >= $minPairShingles)
+       |SELECT p.doc_id, p.eval_id, p.n_shared, evsz.n_eval_sh,
+       |  (1000 * p.n_shared) // evsz.n_eval_sh AS containment_milli
+       |FROM pairs p JOIN evsz ON evsz.eval_id = p.eval_id
+       |ORDER BY p.doc_id, p.eval_id""".stripMargin
+
   // ---- llm_sample_mix: deterministic stratified mixture sampling ----
   // The "data mixing" knob: per-language sampling rates (per mille)
   // applied via the cross-engine rolling hash of the doc id — pure
@@ -622,6 +678,59 @@ object CorpusSelect {
       |ORDER BY pair_count DESC, pair
       |LIMIT 20""".stripMargin
 
+  // ---- llm_ingest_jsonl: the JSONL corpus entry boundary ----
+  // Training corpora ship as JSON-Lines (one JSON object per line —
+  // the interchange format of every public text corpus), so the
+  // engine must prove a real JSONL round-trip: documents are
+  // materialized ONCE per (SF) as .jsonl through Spark's
+  // distributed JSON writer, read back through `spark.read.schema(…)
+  // .json` — the EXPLICIT schema matters: schema inference is a
+  // second full scan of the corpus, unacceptable at 100 TB — and
+  // row-fidelity is proven against the parquet-sourced oracle
+  // (doc_id, lang, length, md5): any escaping/encoding loss in the
+  // writer/reader pair lands in the hash compare. The fixture write
+  // is the same publish-or-reuse pattern as the CSV/xlsx books
+  // (bounded side job, atomic move, content-keyed path).
+
+  private val jsonlRoot = "/root/repo/target/corpus_jsonl"
+  private val jsonlCache = new graft.PlanCache()
+  private val jsonlLock = new Object
+
+  private def jsonlDocs(spark: SparkSession, dir: String): DataFrame =
+      jsonlCache.getOrBuild(spark, dir) {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir).documents
+    val n = docs.count()
+    val path = java.nio.file.Paths.get(s"$jsonlRoot/docs_sf_$n")
+    if (!java.nio.file.Files.exists(path)) {
+      val tmp = s"$jsonlRoot/.tmp_${n}_${java.util.UUID.randomUUID()}"
+      docs.select($"doc_id", $"lang", $"source", $"text")
+        .write.mode("overwrite").json(tmp)
+      jsonlLock.synchronized {
+        if (!java.nio.file.Files.exists(path))
+          java.nio.file.Files.move(java.nio.file.Paths.get(tmp), path)
+      }
+    }
+    spark.read
+      .schema("doc_id BIGINT, lang STRING, source STRING, text STRING")
+      .json(path.toString)
+  }
+
+  private def ingestJsonl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    jsonlDocs(spark, dir)
+      .select($"doc_id", $"lang",
+        length($"text").cast("long").as("n_chars"),
+        md5($"text").as("text_md5"))
+      .resultOrder($"doc_id")
+  }
+
+  private val ingestJsonlSql =
+    """SELECT doc_id, lang,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  md5(text) AS text_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- llm_split: leakage-free deterministic train/val/test split ----
   // Every training corpus ships with a split assignment, and the
   // classic leakage bug is splitting by ROW: two near-identical
@@ -665,6 +774,7 @@ object CorpusSelect {
   }
 
   val all: Seq[Q] = Seq(
+    Q("llm_ingest_jsonl", ingestJsonl, Some(ingestJsonlSql)),
     Q("llm_split", split, Some(splitSql)),
     Q("llm_bpe_stats", bpeStats, Some(bpeStatsSql)),
     Q("llm_corpus_select", corpusSelect, Some(corpusSelectSql)),
@@ -673,6 +783,7 @@ object CorpusSelect {
     Q("llm_quality_classify", qualityClassify, Some(qualityClassifySql)),
     Q("llm_shard_shuffle", shardShuffle, Some(shardShuffleSql)),
     Q("llm_decontaminate", decontaminate, Some(decontaminateSql)),
+    Q("llm_containment", containment, Some(containmentSql)),
     Q("llm_sample_mix", sampleMix, Some(sampleMixSql)),
     Q("llm_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("llm_pack", pack, Some(packSql))

@@ -984,7 +984,127 @@ object Kpi {
       |GROUP BY cohort_day, offset_days
       |ORDER BY cohort_day, offset_days""".stripMargin
 
+  // ---- kpi_pareto: ABC / Pareto classification of categories ----
+  // The concentration view behind every "top categories drive X% of
+  // trade" statement (app.py's leaderboard implies it): rank
+  // categories by total export value, accumulate the running share,
+  // classify A (≤80% cumulative), B (≤95%), C (tail). The windows
+  // run over the per-category AGGREGATE (≤ |categories| rows — the
+  // documented aggregate-then-window design), so the unpartitioned
+  // cumulative sum is bounded whatever the fact SF. Shares are
+  // floor'd per-mille over exact-decimal cumulative sums: the window
+  // order is total, so the double division is bit-identical
+  // cross-engine and floor (non-negative) ≡ trunc on both.
+
+  private def pareto(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = catMonthly(spark, dir)
+      .groupBy($"category")
+      .agg(Det.dsum($"exp").as("exp"))
+    val ord = Window.orderBy($"exp".desc, $"category")
+    val cumW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    agg
+      .withColumn("rk", row_number().over(ord))
+      .withColumn("cum_exp", dSumOver($"exp", cumW))
+      .withColumn("total_exp", dSumOver($"exp", allW))
+      .withColumn("cum_pm", floor(lit(1000.0) * $"cum_exp" / $"total_exp").cast("long"))
+      .withColumn("abc_class",
+        when($"cum_pm" <= 800, "A").when($"cum_pm" <= 950, "B").otherwise("C"))
+      .select($"rk", $"category", $"exp", $"cum_exp", $"cum_pm", $"abc_class")
+      .resultOrder($"rk")
+  }
+
+  private val paretoSql = {
+    val cumOver = "(ORDER BY exp DESC, category ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    val allOver = "(ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    s"""WITH $catMonthlySqlCte,
+       |a AS (SELECT category, ${Det.dsumSql("exp")} AS exp
+       |      FROM m GROUP BY category),
+       |c AS (SELECT category, exp,
+       |    ROW_NUMBER() OVER (ORDER BY exp DESC, category) AS rk,
+       |    ${dSumOverSql("exp", cumOver)} AS cum_exp,
+       |    ${dSumOverSql("exp", allOver)} AS total_exp
+       |  FROM a)
+       |SELECT rk, category, exp, cum_exp,
+       |  CAST(floor(1000.0 * cum_exp / total_exp) AS BIGINT) AS cum_pm,
+       |  CASE WHEN floor(1000.0 * cum_exp / total_exp) <= 800 THEN 'A'
+       |       WHEN floor(1000.0 * cum_exp / total_exp) <= 950 THEN 'B'
+       |       ELSE 'C' END AS abc_class
+       |FROM c ORDER BY rk""".stripMargin
+  }
+
+  // ---- kpi_forecast: OLS trend fit + next-month projection ----
+  // The reference's trend narrative ("exports growing ~N%/yr",
+  // eda.py's fitted trend lines) as a closed-form least-squares fit
+  // over the monthly series: slope/intercept from the five summary
+  // sums (n, Σx, Σx², Σy, Σxy — one aggregate over the ≤96-row
+  // monthly grain), then the next-month projection. x is the global
+  // month index (row_number over the series), Σy/Σxy accumulate in
+  // exact decimal (Det) so both engines divide bit-identical doubles;
+  // Σx/Σx² are integers. The whole fit is ONE aggregate over the
+  // cached monthly frame — the 100 TB cost is the already-shared
+  // monthly rollup, not the fit.
+
+  private def forecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = row_number().over(Window.orderBy($"yr", $"mon"))
+    // a month with no orders of one flow is a ZERO-revenue month, not
+    // a missing observation: leaving it NULL would drop its y from
+    // Σy/Σxy while its x still counts in Σx/Σx² — a silently skewed fit
+    val b = baseMonthly(spark, dir)
+      .select($"yr", $"mon",
+        coalesce($"export_usd", lit(0.0)).as("export_usd"),
+        coalesce($"import_usd", lit(0.0)).as("import_usd"))
+      .withColumn("x", x.cast("long"))
+    val s = b.agg(
+      count(lit(1)).as("n"),
+      sum($"x").as("sx"),
+      sum($"x" * $"x").as("sxx"),
+      Det.dsum($"export_usd").as("sy_exp"),
+      Det.dsum($"x" * $"export_usd").as("sxy_exp"),
+      Det.dsum($"import_usd").as("sy_imp"),
+      Det.dsum($"x" * $"import_usd").as("sxy_imp"))
+    def fit(sy: String, sxy: String, pfx: String) = Seq(
+      expr(s"ROUND((n * $sxy - sx * $sy) / (n * sxx - sx * sx), 6)")
+        .as(s"${pfx}_slope"),
+      expr(s"ROUND(($sy - ((n * $sxy - sx * $sy) / (n * sxx - sx * sx)) * sx) / n, 6)")
+        .as(s"${pfx}_intercept"),
+      expr(s"""ROUND((($sy - ((n * $sxy - sx * $sy) / (n * sxx - sx * sx)) * sx) / n)
+              | + ((n * $sxy - sx * $sy) / (n * sxx - sx * sx)) * (n + 1), 6)"""
+        .stripMargin).as(s"${pfx}_next"))
+    s.select(col("n") +: (fit("sy_exp", "sxy_exp", "export") ++
+      fit("sy_imp", "sxy_imp", "import")): _*)
+  }
+
+  private val forecastSql = {
+    def fit(sy: String, sxy: String, pfx: String) = {
+      val slope = s"((n * $sxy - sx * $sy) / (n * sxx - sx * sx))"
+      val icept = s"(($sy - $slope * sx) / n)"
+      s"""ROUND($slope, 6) AS ${pfx}_slope,
+         |  ROUND($icept, 6) AS ${pfx}_intercept,
+         |  ROUND($icept + $slope * (n + 1), 6) AS ${pfx}_next""".stripMargin
+    }
+    s"""WITH $baseSql,
+       |xb AS (SELECT COALESCE(export_usd, 0) AS export_usd,
+       |         COALESCE(import_usd, 0) AS import_usd,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY yr, mon) AS BIGINT) AS x
+       |       FROM base),
+       |s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+       |    ${Det.dsumSql("export_usd")} AS sy_exp,
+       |    ${Det.dsumSql("x * export_usd")} AS sxy_exp,
+       |    ${Det.dsumSql("import_usd")} AS sy_imp,
+       |    ${Det.dsumSql("x * import_usd")} AS sxy_imp
+       |  FROM xb)
+       |SELECT n, ${fit("sy_exp", "sxy_exp", "export")},
+       |  ${fit("sy_imp", "sxy_imp", "import")}
+       |FROM s""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("kpi_pareto", pareto, Some(paretoSql)),
+    Q("kpi_forecast", forecast, Some(forecastSql)),
     Q("kpi_exec_summary", execSummary, Some(execSummarySql)),
     Q("kpi_funnel", funnel, Some(funnelSql)),
     Q("kpi_cohort", cohort, Some(cohortSql)),

@@ -372,7 +372,54 @@ object Multimodal {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---- mm_audio_window: overlapped framing + window features ----
+  // The audio verb of the multimodal surface (metadata/frame-sample/
+  // decode/phash/resize cover image+video): stub-decoded 8-bit PCM
+  // (payload bytes = samples, midpoint 128) is framed into W=32
+  // windows hopped by H=16 — the 50%-overlap STFT layout every
+  // spectral featurizer uses — and each window gets exact-integer
+  // features: dc = byte_sum (DC offset) and energy = Σ(s−128)²
+  // (ByteEnergy, a native codegen Expression like ByteSum), so the
+  // oracle reproduces both bit-for-bit with no float RMS. Only FULL
+  // windows are framed (trailing partial is dropped — the framing
+  // convention that keeps window stats comparable). Row-local
+  // explode + projection, zero shuffle before the output order: the
+  // 100 TB plan is the scan itself, windows×corpus staying inside
+  // one whole-stage-codegen region.
+
+  private val audioW = 32
+  private val audioH = 16
+
+  private def mmAudioWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = length($"text")
+    val nWin = when(n >= audioW, (n - audioW) / audioH + 1).otherwise(0).cast("int")
+    Tables(spark, dir).documents
+      .filter($"doc_id" % 3 === 1) // the audio modality slice (mm_metadata routing)
+      .select($"doc_id", $"text",
+        posexplode(when(nWin > 0, sequence(lit(0), nWin - 1))
+          .otherwise(array().cast("array<int>"))))
+      .withColumnRenamed("col", "window_idx")
+      .select($"doc_id", $"window_idx".cast(LongType).as("window_idx"),
+        graft.functions.ByteSum.byte_sum(
+          $"text".substr($"window_idx" * audioH + 1, lit(audioW))).as("dc"),
+        graft.functions.ByteEnergy.byte_energy(
+          $"text".substr($"window_idx" * audioH + 1, lit(audioW))).as("energy"))
+      .resultOrder($"doc_id", $"window_idx")
+  }
+
+  private val mmAudioWindowSql =
+    s"""SELECT doc_id, CAST(k AS BIGINT) AS window_idx,
+       |  ${graft.functions.ByteSum.sql(s"substr(text, k * $audioH + 1, $audioW)")} AS dc,
+       |  ${graft.functions.ByteEnergy.sql(s"substr(text, k * $audioH + 1, $audioW)")} AS energy
+       |FROM documents,
+       |  UNNEST(range(0, CASE WHEN length(text) >= $audioW
+       |    THEN (length(text) - $audioW) // $audioH + 1 ELSE 0 END)) AS t(k)
+       |WHERE doc_id % 3 = 1
+       |ORDER BY doc_id, window_idx""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("mm_audio_window", mmAudioWindow, Some(mmAudioWindowSql)),
     Q("mm_metadata", mmMetadata, Some(mmMetadataSql)),
     Q("mm_framesample", mmFramesample, Some(mmFramesampleSql)),
     Q("mm_decode_batch", mmDecodeBatch, Some(mmDecodeBatchSql)),

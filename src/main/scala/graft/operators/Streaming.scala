@@ -31,6 +31,29 @@ object Streaming {
        |GROUP BY bucket_start, event_type
        |ORDER BY bucket_start, event_type""".stripMargin
 
+  // ---- stream_enrich: stream-static dimension join ----
+  // The enrichment pattern every event pipeline runs before
+  // aggregating: attach dimension attributes (here customer market
+  // segment) to the stream, then window-aggregate on the enriched
+  // key. The batch form is the oracle; the incremental form (same
+  // plan under a watermark) is spec'd stream==batch in StreamingSpec.
+
+  private def enrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    graft.streaming.EventsStream.enrich(t.events, t.customer)
+      .resultOrder($"bucket_start", $"segment")
+  }
+
+  private val enrichSql =
+    s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start,
+       |  c_mktsegment AS segment,
+       |  COUNT(*) AS n_events,
+       |  ${Det.dsumSql("value")} AS total_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY bucket_start, segment
+       |ORDER BY bucket_start, segment""".stripMargin
+
   // ---- stream_sessionize: 30-min-gap sessions (batch window form) ----
   // The flatMapGroupsWithState variant lives in EventsStream; this
   // window-function formulation is its deterministic batch oracle.
@@ -295,6 +318,7 @@ object Streaming {
     Q("stream_sessionize", sessionize, Some(sessionizeSql)),
     Q("stream_sliding_window", slidingWindow, Some(slidingWindowSql)),
     Q("stream_session_window", sessionWindow, Some(sessionWindowSql)),
-    Q("stream_upsert", upsert, Some(upsertSql))
+    Q("stream_upsert", upsert, Some(upsertSql)),
+    Q("stream_enrich", enrich, Some(enrichSql))
   )
 }

@@ -60,6 +60,31 @@ object EventsStream {
     windowedAgg(events.withWatermark("ts", "2 hours"))
   }
 
+  /** Stream-static enrichment — the canonical streaming join class
+    * beside stream-stream (stream_attribution): each event is joined
+    * to the customer dimension (user_id = c_custkey) and revenue is
+    * aggregated per (hour, market segment). The static side is
+    * planned per micro-batch, so Spark's size-based selection
+    * broadcasts the dim while it is small and falls back to a
+    * shuffled join when it is not — the stream never blocks on dim
+    * size. Works identically as a batch plan (the verify oracle) and
+    * under a watermark as an incremental query.
+    */
+  def enrich(events: DataFrame, customers: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .join(customers.select($"c_custkey", $"c_mktsegment"),
+        $"user_id" === $"c_custkey")
+      .groupBy(window($"ts", "1 hour"), $"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        graft.Det.dsum($"value").as("total_value"))
+      .select($"window.start".as("bucket_start"),
+        $"c_mktsegment".as("segment"), $"n_events", $"total_value")
+  }
+
+  def enrichStreaming(events: DataFrame, customers: DataFrame): DataFrame =
+    enrich(events.withWatermark("ts", "2 hours"), customers)
+
   /** Streaming exact dedup on event_id — the streaming twin of
     * dedup_exact. dropDuplicatesWithinWatermark is the form whose
     * state is actually bounded by the watermark: plain

@@ -109,6 +109,29 @@ class DedupSpec extends AnyFunSuite {
     assert(row.getLong(4) == 3000L * nTri / math.max(wedges, 1L))
   }
 
+  test("llm_containment: valid milli range and consistency with decontaminate") {
+    val pairs = SparkEntry.queries("llm_containment")(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (shared, evalSz, milli) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(shared >= 2 && shared <= evalSz, r.toString)
+      assert(milli == 1000L * shared / evalSz, r.toString)
+      assert(milli >= 0 && milli <= 1000, r.toString)
+    }
+    // the planted near-dup of an eval doc must surface as a
+    // high-containment pair (the audit this operator exists for)
+    assert(pairs.exists(_.getLong(4) >= 500), "no high-containment pair found")
+    // every flagged train doc in decontaminate (≥3 shared total) that
+    // concentrates its overlap on ONE eval doc must appear here too
+    // (pair threshold is lower), so the pair view can never miss a
+    // doc-level flag with a single eval source
+    val deconta = SparkEntry.queries("llm_decontaminate")(spark, sf).collect()
+      .filter(r => r.getLong(2) == 1).map(_.getLong(0)).toSet
+    val pairDocs = pairs.map(_.getLong(0)).toSet
+    assert(deconta.subsetOf(pairDocs),
+      s"single-source flagged docs missing from pair audit: ${deconta -- pairDocs}")
+  }
+
   test("incremental dedup equals the batch run restricted to cross pairs") {
     import graft.operators.Dedup.{deltaMod, deltaRes}
     val batch = q("dedup_ngram_jaccard").collect()

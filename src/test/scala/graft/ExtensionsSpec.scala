@@ -18,6 +18,10 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 96354L) // (('a'*31+'b')*31+'c') mod 1e9+7
     assert(r.getDouble(1) == 11.0)
     assert(r.getDouble(2) == 25.0)
+    val b = spark.sql(
+      "SELECT byte_sum('ab') AS s, byte_energy('ab') AS e").first()
+    assert(b.getLong(0) == 97L + 98L)
+    assert(b.getLong(1) == (97L - 128L) * (97L - 128L) + (98L - 128L) * (98L - 128L))
   }
 
   test("install registers the TopKPerKey strategy") {

@@ -9,6 +9,45 @@ class KpiSpec extends AnyFunSuite {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("kpi_pareto: cumulative share is monotone and closes at 1000 per mille") {
+    val rows = q("kpi_pareto").orderBy("rk").collect()
+    val pms = rows.map(_.getLong(4))
+    assert(pms.zip(pms.tail).forall { case (a, b) => a <= b }, "cum_pm not monotone")
+    assert(pms.last == 1000L, s"last cum_pm ${pms.last}")
+    // classes partition the ranking in A..B..C order
+    val cls = rows.map(_.getString(5)).distinct
+    assert(cls.sameElements(cls.sorted), s"classes out of order: ${cls.mkString}")
+    rows.foreach { r =>
+      val want = if (r.getLong(4) <= 800) "A" else if (r.getLong(4) <= 950) "B" else "C"
+      assert(r.getString(5) == want)
+    }
+  }
+
+  test("kpi_forecast equals a sequential OLS recompute") {
+    val series = q("kpi_base_monthly").orderBy("yr", "mon").collect()
+      .map(r => (if (r.isNullAt(2)) 0.0 else r.getDouble(2),
+        if (r.isNullAt(3)) 0.0 else r.getDouble(3)))
+    def ols(ys: Array[Double]): (Double, Double, Double) = {
+      val n = ys.length.toDouble
+      val xs = (1 to ys.length).map(_.toDouble)
+      val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      // mirror the engine's decimal-exact accumulation closely
+      // enough for a 1e-6-rounded compare on this short series
+      val sy = ys.sum; val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val icept = (sy - slope * sx) / n
+      (slope, icept, icept + slope * (n + 1))
+    }
+    val (es, ei, en) = ols(series.map(_._1))
+    val (is, ii, in) = ols(series.map(_._2))
+    val r = q("kpi_forecast").collect().head
+    assert(r.getLong(0) == series.length)
+    for ((got, want) <- Seq(r.getDouble(1) -> es, r.getDouble(2) -> ei,
+        r.getDouble(3) -> en, r.getDouble(4) -> is, r.getDouble(5) -> ii,
+        r.getDouble(6) -> in))
+      assert(math.abs(got - want) < 1e-4, s"got $got want $want")
+  }
+
   test("base_monthly covers the full 1995-2001 order range") {
     val rows = q("kpi_base_monthly").collect()
     assert(rows.length == 80) // 6.5y of months, fixed generator range

@@ -36,6 +36,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_audio_window equals a sequential framing recompute") {
+    val texts = Tables(spark, sf).documents
+      .filter($"doc_id" % 3 === 1).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = texts.toSeq.flatMap { case (id, t) =>
+      val nWin = if (t.length >= 32) (t.length - 32) / 16 + 1 else 0
+      (0 until nWin).map { k =>
+        val w = t.substring(k * 16, k * 16 + 32)
+        (id, k.toLong, graft.functions.ByteSum.sum(w),
+          graft.functions.ByteEnergy.energy(w))
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("mm_audio_window")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(want.nonEmpty, "no audio windows framed")
+  }
+
   test("phash: near-identical payloads collide on a band, distinct ones differ") {
     // a one-byte brightness edit flips at most the bits of the slices
     // it lands in — the banding must still produce >= 1 shared key

@@ -388,6 +388,26 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("contamination joins never force-broadcast the eval posting") {
+    // the eval slice is corpus-proportional (~1%), so the posting
+    // joins in decontaminate/containment must rely on size-based
+    // selection only — with the auto threshold off, any surviving
+    // BroadcastExchange could only come from an explicit hint
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (q <- Seq("llm_decontaminate", "llm_containment")) {
+        val p = plan(q)
+        assert(!p.contains("BroadcastExchange"),
+          s"$q force-broadcasts a corpus-proportional posting")
+        assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("dedup_url canonicalizes row-locally: no join, one keyed aggregate") {
     // URL canonicalization is a regexp chain inside the scan
     // projection; the only exchange is the per-canonical-URL
@@ -431,6 +451,22 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+  }
+
+  test("mm_audio_window frames inside codegen with no keyed shuffle") {
+    // windows × corpus is the dominant term of an audio scan: the
+    // framing explode and both feature loops must fuse into the
+    // generated stage, and nothing may shuffle on a key before the
+    // output order
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("mm_audio_window")
+      assert(!p.contains("Join"), "mm_audio_window must not join")
+      assert(!p.contains("hashpartitioning"),
+        "mm_audio_window must not shuffle on a key")
+      val line = p.linesIterator.find(_.toLowerCase.contains("byteenergy")).get
+      assert(line.contains("*("), s"feature loops not codegen'd: $line")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("rolling_hash participates in whole-stage codegen") {

@@ -32,6 +32,35 @@ class SourcesSpec extends AnyFunSuite {
       "converted layout did not produce a splittable scan")
   }
 
+  test("llm_ingest_jsonl materializes genuine JSON-Lines files") {
+    // the oracle proves row fidelity; this pins the FORMAT — the
+    // fixture must be one standalone JSON object per line with the
+    // contract fields, or it isn't the interchange format it claims
+    SparkEntry.queries("llm_ingest_jsonl")(spark, sf).count() // force fixture
+    val dirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get("/root/repo/target/corpus_jsonl"))
+    val fixture = try {
+      import scala.jdk.CollectionConverters._
+      dirs.iterator().asScala.filter(_.getFileName.toString.startsWith("docs_sf_")).toSeq
+    } finally dirs.close()
+    assert(fixture.nonEmpty)
+    val part = java.nio.file.Files.list(fixture.head)
+    val f = try {
+      import scala.jdk.CollectionConverters._
+      part.iterator().asScala.find(_.getFileName.toString.endsWith(".json")).get
+    } finally part.close()
+    val lines = java.nio.file.Files.readAllLines(f)
+    assert(!lines.isEmpty)
+    import org.apache.spark.sql.functions.{col, from_json, schema_of_json}
+    import spark.implicits._
+    val parsed = Seq(lines.get(0)).toDF("j")
+      .select(from_json(col("j"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING, source STRING, text STRING")).as("o"))
+      .select("o.*").first()
+    assert(!parsed.isNullAt(0) && !parsed.isNullAt(3), s"line 0 not JSONL: ${lines.get(0).take(80)}")
+  }
+
   test("csv round-trip preserves rows and schema") {
     val orders = Tables(spark, sf).orders
       .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")

@@ -37,6 +37,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming stream-static enrichment == batch enriched agg") {
+    val cust = Tables(spark, sf).customer
+    val stream = EventsStream.enrichStreaming(
+      EventsStream.readStreamEvents(spark, sf), cust)
+    val query = stream.writeStream
+      .format("memory").queryName("enrich_out").outputMode("complete")
+      .start()
+    try {
+      query.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .orderBy("bucket_start", "segment").collect()
+      val want = EventsStream.enrich(Tables(spark, sf).events, cust)
+        .orderBy("bucket_start", "segment").collect()
+      assert(got.length == want.length && got.sameElements(want))
+    } finally query.stop()
+  }
+
   test("streaming dedup collapses a doubled input to distinct events") {
     import spark.implicits._
     // duplicate the stream by reading the same dir twice via union
