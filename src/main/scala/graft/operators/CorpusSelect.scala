@@ -701,7 +701,11 @@ object CorpusSelect {
     import spark.implicits._
     val docs = graft.Tables(spark, dir).documents
     val n = docs.count()
-    val path = java.nio.file.Paths.get(s"$jsonlRoot/docs_sf_$n")
+    // keyed on (source dir, row count), NOT count alone: sf0.001 and
+    // sf0.01 both ship 500 docs, so a count-only key collides across
+    // SFs and serves one SF's fixture to the other's oracle
+    val path = java.nio.file.Paths.get(
+      s"$jsonlRoot/docs_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$n")
     if (!java.nio.file.Files.exists(path)) {
       val tmp = s"$jsonlRoot/.tmp_${n}_${java.util.UUID.randomUUID()}"
       docs.select($"doc_id", $"lang", $"source", $"text")
@@ -730,6 +734,74 @@ object CorpusSelect {
       |  CAST(length(text) AS BIGINT) AS n_chars,
       |  md5(text) AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- llm_export_shards: the training-export SINK boundary ----
+  // The write-side twin of llm_ingest_jsonl: a training corpus
+  // leaves the engine as a PARTITIONED layout (one directory per
+  // shard — the unit trainers stream independently), and the export
+  // must be auditable. The fixture write runs Spark's distributed
+  // partitionBy writer once per SF; the query reads the WRITTEN
+  // files back and emits the per-shard manifest every export job
+  // publishes: doc count, token count, and an order-independent
+  // content checksum (sum of rolling hashes — commutative, so the
+  // figure is identical whatever order tasks wrote rows in). The
+  // oracle recomputes the manifest from the parquet source table:
+  // any row lost, duplicated, or mangled by the writer/reader pair
+  // flips a checksum. Shard key = llm_shard_shuffle's hash (same
+  // dial: production raises the shard count so per-shard bytes stay
+  // bounded; the plan is unchanged at any width).
+
+  private val exportRoot = "/root/repo/target/corpus_shards"
+  private val exportCache = new graft.PlanCache()
+  private val exportLock = new Object
+  private val nExportShards = 16
+
+  private def exportedShards(spark: SparkSession, dir: String): DataFrame =
+      exportCache.getOrBuild(spark, dir) {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir).documents
+    val n = docs.count()
+    // dir+count key for the same cross-SF collision reason as the
+    // jsonl fixture (sf0.001 and sf0.01 both have 500 docs)
+    val path = java.nio.file.Paths.get(
+      s"$exportRoot/docs_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$n")
+    if (!java.nio.file.Files.exists(path)) {
+      val tmp = s"$exportRoot/.tmp_${n}_${java.util.UUID.randomUUID()}"
+      docs.select($"doc_id", $"text",
+          (graft.functions.RollingHash.rolling_hash(
+            concat(lit("shard|"), $"doc_id".cast("string"))) % nExportShards)
+            .as("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+      exportLock.synchronized {
+        if (!java.nio.file.Files.exists(path))
+          java.nio.file.Files.move(java.nio.file.Paths.get(tmp), path)
+      }
+    }
+    spark.read.parquet(path.toString)
+  }
+
+  private def exportShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    exportedShards(spark, dir)
+      .groupBy($"shard".cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.functions.TextFunctions.tokens($"text")).cast("long"))
+          .as("n_tokens"),
+        sum(graft.functions.RollingHash.rolling_hash($"text")).as("content_hash"))
+      .resultOrder($"shard")
+  }
+
+  private val exportShardsSql = {
+    val shardKey = graft.functions.RollingHash.sql(
+      "'shard|' || CAST(doc_id AS VARCHAR)")
+    s"""WITH s AS (SELECT doc_id, text, $shardKey % $nExportShards AS shard
+       |           FROM documents)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(${graft.functions.RollingHash.sql("text")}) AS BIGINT)
+       |    AS content_hash
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+  }
 
   // ---- llm_split: leakage-free deterministic train/val/test split ----
   // Every training corpus ships with a split assignment, and the
@@ -775,6 +847,7 @@ object CorpusSelect {
 
   val all: Seq[Q] = Seq(
     Q("llm_ingest_jsonl", ingestJsonl, Some(ingestJsonlSql)),
+    Q("llm_export_shards", exportShards, Some(exportShardsSql)),
     Q("llm_split", split, Some(splitSql)),
     Q("llm_bpe_stats", bpeStats, Some(bpeStatsSql)),
     Q("llm_corpus_select", corpusSelect, Some(corpusSelectSql)),

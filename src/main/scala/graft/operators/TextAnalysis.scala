@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import graft.Out._
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -452,7 +453,58 @@ object TextAnalysis {
        |         <= $lmKeepMilli THEN 'keep' ELSE 'drop' END AS verdict
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- text_entropy: per-doc unigram diversity (self-entropy) ----
+  // The diversity twin of text_lm_score: where lm_score rates a doc
+  // under the CORPUS unigram model, self-entropy rates it under its
+  // OWN token distribution — low entropy = template/boilerplate/
+  // keyword-stuffed text even when every token is common, the signal
+  // the Gopher repetition rules approximate with fixed thresholds.
+  // Same integer-exact surprisal ladder (floor(log2(n div c)) via
+  // bit-length — no floating logs), summed per doc and shipped as a
+  // floor milli-bit average.
+  //
+  // Scale shape: map-side-combining groupBy (doc, token), then the
+  // per-doc total via a doc-partitioned window — the window's
+  // hashpartitioning(doc_id) exchange is REUSED by the final per-doc
+  // aggregate (same key), so the whole op is two exchanges over
+  // counts, never over the raw token stream.
+
+  private def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"doc_id")
+    Tables(spark, dir).documents
+      .select($"doc_id", explode(tokens($"text")).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum($"c").over(w))
+      .withColumn("surp", (length(bin(expr("n div c"))) - 1).cast("long"))
+      .groupBy($"doc_id")
+      .agg(max($"n").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum($"c" * $"surp").as("hsum"))
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"hsum",
+        expr("(1000 * hsum) div n_tokens").as("entropy_milli"))
+      .resultOrder($"doc_id")
+  }
+
+  private val textEntropySql =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |             FROM documents),
+       |dc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+       |dn AS (SELECT doc_id, t, c,
+       |         CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+       |       FROM dc),
+       |s AS (SELECT doc_id, c, n,
+       |        CAST(length(bin(n // c)) - 1 AS BIGINT) AS surp
+       |      FROM dn)
+       |SELECT doc_id,
+       |  MAX(n) AS n_tokens,
+       |  COUNT(*) AS n_distinct,
+       |  CAST(SUM(c * surp) AS BIGINT) AS hsum,
+       |  (1000 * CAST(SUM(c * surp) AS BIGINT)) // MAX(n) AS entropy_milli
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_entropy", textEntropy, Some(textEntropySql)),
     Q("text_lm_score", lmScore, Some(lmScoreSql)),
     Q("text_tokens", textTokens, Some(textTokensSql)),
     Q("text_quality", textQuality, Some(textQualitySql)),

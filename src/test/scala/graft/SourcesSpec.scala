@@ -41,7 +41,7 @@ class SourcesSpec extends AnyFunSuite {
       java.nio.file.Paths.get("/root/repo/target/corpus_jsonl"))
     val fixture = try {
       import scala.jdk.CollectionConverters._
-      dirs.iterator().asScala.filter(_.getFileName.toString.startsWith("docs_sf_")).toSeq
+      dirs.iterator().asScala.filter(_.getFileName.toString.startsWith("docs_")).toSeq
     } finally dirs.close()
     assert(fixture.nonEmpty)
     val part = java.nio.file.Files.list(fixture.head)
@@ -59,6 +59,21 @@ class SourcesSpec extends AnyFunSuite {
           "doc_id BIGINT, lang STRING, source STRING, text STRING")).as("o"))
       .select("o.*").first()
     assert(!parsed.isNullAt(0) && !parsed.isNullAt(3), s"line 0 not JSONL: ${lines.get(0).take(80)}")
+  }
+
+  test("llm_export_shards manifest conserves the corpus") {
+    val rows = SparkEntry.queries("llm_export_shards")(spark, sf).collect()
+    val docs = Tables(spark, sf).documents
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    // the checksum total is order-independent, so the manifest total
+    // must equal the source-table total computed without any sharding
+    val srcHash = docs.select(org.apache.spark.sql.functions.sum(
+      graft.functions.RollingHash.rolling_hash(
+        org.apache.spark.sql.functions.col("text")))).first().getLong(0)
+    assert(rows.map(_.getLong(3)).sum == srcHash)
+    // the written layout is genuinely partitioned: one directory per
+    // non-empty shard
+    assert(rows.length > 1, "sharded export collapsed to one shard")
   }
 
   test("csv round-trip preserves rows and schema") {

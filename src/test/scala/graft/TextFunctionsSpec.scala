@@ -15,6 +15,26 @@ class TextFunctionsSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("text_entropy equals a sequential floor-surprisal recompute") {
+    def floorLog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val want = Tables(spark, sf).documents.select("doc_id", "text").collect()
+      .map { r =>
+        val counts = r.getString(1).split(" ", -1)
+          .groupBy(identity).view.mapValues(_.length.toLong).toMap
+        val n = counts.values.sum
+        val h = counts.values.map(c => c * floorLog2(n / c)).sum
+        r.getLong(0) -> ((n, counts.size.toLong, h, 1000L * h / n))
+      }.toMap
+    val got = SparkEntry.queries("text_entropy")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+    // the signal separates: repeated-token docs must score lower than
+    // the max possible (all-distinct) entropy for their length
+    assert(want.values.exists { case (n, d, _, _) => d < n },
+      "corpus has no repeated-token doc")
+  }
+
   test("HOF simhash64 equals the exploded-aggregate formulation") {
     val docs = Tables(spark, sf).documents.limit(50)
     val hof = docs
