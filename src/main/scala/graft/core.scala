@@ -182,6 +182,42 @@ object Tables {
     }
     spark.read.parquet(out.toString)
   }
+
+  /** Publish-or-reuse protocol for fixture directories derived from
+    * one source parquet file (the JSONL corpus copy, the sharded
+    * export layout, …): same hardening as [[splitLayout]] — keyed by
+    * (source path, size, mtime) so a regenerated same-count source
+    * can never serve a stale fixture, and concurrent first writers
+    * (test JVM + bench JVM) each write a private tmp dir, one winner
+    * publishes via atomic rename, losers delete their copy instead
+    * of throwing FileAlreadyExistsException. `write` receives the
+    * private tmp path; the returned path is the published directory.
+    */
+  private[graft] def publishFixture(root: String, dir: String, srcFile: String)(
+      write: String => Unit): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(s"$dir/$srcFile")
+    val key = "t" + (dir + "/" + srcFile).replaceAll("[^A-Za-z0-9._-]", "_") +
+      "_" + Files.size(src) +
+      "_" + Files.getLastModifiedTime(src).toMillis
+    val out = Paths.get(root, key)
+    if (!Files.exists(out)) {
+      Files.createDirectories(out.getParent)
+      val tmp = Paths.get(out.getParent.toString,
+        s".tmp_${key}_${java.util.UUID.randomUUID()}")
+      write(tmp.toString)
+      splitLock.synchronized {
+        if (Files.exists(out)) deleteRecursively(tmp) // lost the race
+        else {
+          try Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException =>
+            deleteRecursively(tmp) // another JVM published first
+          }
+        }
+      }
+    }
+    out.toString
+  }
 }
 
 /** Bounded keyed cache for expensive corpus-level plan artifacts

@@ -694,30 +694,24 @@ object CorpusSelect {
 
   private val jsonlRoot = "/root/repo/target/corpus_jsonl"
   private val jsonlCache = new graft.PlanCache()
-  private val jsonlLock = new Object
 
   private def jsonlDocs(spark: SparkSession, dir: String): DataFrame =
       jsonlCache.getOrBuild(spark, dir) {
     import spark.implicits._
-    val docs = graft.Tables(spark, dir).documents
-    val n = docs.count()
-    // keyed on (source dir, row count), NOT count alone: sf0.001 and
-    // sf0.01 both ship 500 docs, so a count-only key collides across
-    // SFs and serves one SF's fixture to the other's oracle
-    val path = java.nio.file.Paths.get(
-      s"$jsonlRoot/docs_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$n")
-    if (!java.nio.file.Files.exists(path)) {
-      val tmp = s"$jsonlRoot/.tmp_${n}_${java.util.UUID.randomUUID()}"
-      docs.select($"doc_id", $"lang", $"source", $"text")
-        .write.mode("overwrite").json(tmp)
-      jsonlLock.synchronized {
-        if (!java.nio.file.Files.exists(path))
-          java.nio.file.Files.move(java.nio.file.Paths.get(tmp), path)
-      }
+    // Tables.publishFixture keys on (source path, size, mtime): a
+    // count-based key would collide across SFs (sf0.001 and sf0.01
+    // both ship 500 docs) and a regenerated same-size source must
+    // also invalidate; the shared protocol handles the multi-JVM
+    // publish race too
+    val path = graft.Tables.publishFixture(jsonlRoot, dir, "documents.parquet") {
+      tmp =>
+        graft.Tables(spark, dir).documents
+          .select($"doc_id", $"lang", $"source", $"text")
+          .write.mode("overwrite").json(tmp)
     }
     spark.read
       .schema("doc_id BIGINT, lang STRING, source STRING, text STRING")
-      .json(path.toString)
+      .json(path)
   }
 
   private def ingestJsonl(spark: SparkSession, dir: String): DataFrame = {
@@ -753,31 +747,23 @@ object CorpusSelect {
 
   private val exportRoot = "/root/repo/target/corpus_shards"
   private val exportCache = new graft.PlanCache()
-  private val exportLock = new Object
   private val nExportShards = 16
 
   private def exportedShards(spark: SparkSession, dir: String): DataFrame =
       exportCache.getOrBuild(spark, dir) {
     import spark.implicits._
-    val docs = graft.Tables(spark, dir).documents
-    val n = docs.count()
-    // dir+count key for the same cross-SF collision reason as the
-    // jsonl fixture (sf0.001 and sf0.01 both have 500 docs)
-    val path = java.nio.file.Paths.get(
-      s"$exportRoot/docs_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$n")
-    if (!java.nio.file.Files.exists(path)) {
-      val tmp = s"$exportRoot/.tmp_${n}_${java.util.UUID.randomUUID()}"
-      docs.select($"doc_id", $"text",
-          (graft.functions.RollingHash.rolling_hash(
-            concat(lit("shard|"), $"doc_id".cast("string"))) % nExportShards)
-            .as("shard"))
-        .write.mode("overwrite").partitionBy("shard").parquet(tmp)
-      exportLock.synchronized {
-        if (!java.nio.file.Files.exists(path))
-          java.nio.file.Files.move(java.nio.file.Paths.get(tmp), path)
-      }
+    // same shared (path, size, mtime)-keyed publish protocol as the
+    // jsonl fixture — see jsonlDocs
+    val path = graft.Tables.publishFixture(exportRoot, dir, "documents.parquet") {
+      tmp =>
+        graft.Tables(spark, dir).documents
+          .select($"doc_id", $"text",
+            (graft.functions.RollingHash.rolling_hash(
+              concat(lit("shard|"), $"doc_id".cast("string"))) % nExportShards)
+              .as("shard"))
+          .write.mode("overwrite").partitionBy("shard").parquet(tmp)
     }
-    spark.read.parquet(path.toString)
+    spark.read.parquet(path)
   }
 
   private def exportShards(spark: SparkSession, dir: String): DataFrame = {

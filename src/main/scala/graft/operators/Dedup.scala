@@ -86,30 +86,39 @@ object Dedup {
   // pattern of llm_pii_scrub — the query DRIVES the canonicalizer
   // over a deterministic crawl URL constructed from catalog fields,
   // in TWO syntactic forms (scheme/www presence, tracking-param
-  // order, trailing slash alternate by doc parity) that canonicalize
-  // to the SAME normal form: the cross-form collisions are exactly
-  // what the operator exists to catch. Pattern dialect: the
-  // java.util.regex ∩ RE2 subset (no lookaround/backrefs).
+  // order, trailing slash) that canonicalize to the SAME normal
+  // form: the cross-form collisions are exactly what the operator
+  // exists to catch. The form is selected by (doc_id div 100) % 2
+  // and every varying URL part is a function of (source,
+  // doc_id % 100) ONLY — source is itself doc_id-mod-periodic with a
+  // period dividing 100 — so docs N and N+100 emit the same logical
+  // URL through OPPOSITE syntactic forms and MUST collide after
+  // canonicalization (DedupSpec asserts a mixed-form group exists; a
+  // parity-coupled choice like doc_id % 2 with a %100 path would
+  // make the two form populations disjoint and the central claim
+  // vacuous). Pattern dialect: the java.util.regex ∩ RE2 subset (no
+  // lookaround/backrefs).
 
-  private def crawlUrl(doc_id: org.apache.spark.sql.Column,
-      source: org.apache.spark.sql.Column, lang: org.apache.spark.sql.Column) =
-    when(doc_id % 2 === 0,
+  private[graft] def crawlUrl(doc_id: org.apache.spark.sql.Column,
+      source: org.apache.spark.sql.Column) =
+    when(expr("doc_id div 100") % 2 === 0,
       concat(lit("https://"), source, lit(".example.com/doc/"),
-        (doc_id % 100).cast("string"), lit("?page="), (doc_id % 3).cast("string"),
+        (doc_id % 100).cast("string"), lit("?page="), (doc_id % 100 % 3).cast("string"),
         lit("&utm_source=feed&session=s"), doc_id.cast("string")))
       .otherwise(
         concat(lit("http://www."), source, lit(".example.com/doc/"),
-          (doc_id % 100).cast("string"), lit("/?utm_campaign="), lang,
-          lit("&page="), (doc_id % 3).cast("string"), lit("&ref=rss")))
+          (doc_id % 100).cast("string"), lit("/?utm_campaign=l"),
+          (doc_id % 100 % 7).cast("string"),
+          lit("&page="), (doc_id % 100 % 3).cast("string"), lit("&ref=rss")))
 
   private val crawlUrlSql =
-    """CASE WHEN doc_id % 2 = 0
+    """CASE WHEN (doc_id // 100) % 2 = 0
       |  THEN 'https://' || source || '.example.com/doc/' || CAST(doc_id % 100 AS VARCHAR)
-      |    || '?page=' || CAST(doc_id % 3 AS VARCHAR)
+      |    || '?page=' || CAST(doc_id % 100 % 3 AS VARCHAR)
       |    || '&utm_source=feed&session=s' || CAST(doc_id AS VARCHAR)
       |  ELSE 'http://www.' || source || '.example.com/doc/' || CAST(doc_id % 100 AS VARCHAR)
-      |    || '/?utm_campaign=' || lang
-      |    || '&page=' || CAST(doc_id % 3 AS VARCHAR) || '&ref=rss'
+      |    || '/?utm_campaign=l' || CAST(doc_id % 100 % 7 AS VARCHAR)
+      |    || '&page=' || CAST(doc_id % 100 % 3 AS VARCHAR) || '&ref=rss'
       |END""".stripMargin.replace("\n", " ")
 
   private val trackingParam = "(utm_[a-z0-9_]+|session|ref)"
@@ -119,7 +128,7 @@ object Dedup {
     * and-only or leading-with-successor, handled next), then the
     * path/query seam (`/?` → `?`) and the trailing slash.
     */
-  private def canonicalUrl(c: org.apache.spark.sql.Column) = {
+  private[graft] def canonicalUrl(c: org.apache.spark.sql.Column) = {
     val steps: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = Seq(
       lower(_),
       regexp_replace(_, "^https?://", ""),
@@ -148,7 +157,7 @@ object Dedup {
     import spark.implicits._
     Tables(spark, dir).documents
       .select($"doc_id",
-        crawlUrl($"doc_id", $"source", $"lang").as("url"))
+        crawlUrl($"doc_id", $"source").as("url"))
       .select($"doc_id", $"url", canonicalUrl($"url").as("canonical_url"))
       .groupBy($"canonical_url")
       .agg(count(lit(1)).as("n_crawl_records"),

@@ -1058,28 +1058,38 @@ object Kpi {
         coalesce($"export_usd", lit(0.0)).as("export_usd"),
         coalesce($"import_usd", lit(0.0)).as("import_usd"))
       .withColumn("x", x.cast("long"))
+    // the x·y product is the one dsum input that GROWS with x: at
+    // high SF it would overflow the DECIMAL(18,6) per-row cast
+    // (Spark's non-ANSI cast nulls the row and silently skews the
+    // fit; DuckDB errors). Per the Det convention (core.scala: scale
+    // down before multiplying), the product is summed in THOUSANDS
+    // and rescaled inside the formulas — identical on both engines.
     val s = b.agg(
       count(lit(1)).as("n"),
       sum($"x").as("sx"),
       sum($"x" * $"x").as("sxx"),
       Det.dsum($"export_usd").as("sy_exp"),
-      Det.dsum($"x" * $"export_usd").as("sxy_exp"),
+      Det.dsum($"x" * $"export_usd" / 1000.0).as("sxyk_exp"),
       Det.dsum($"import_usd").as("sy_imp"),
-      Det.dsum($"x" * $"import_usd").as("sxy_imp"))
-    def fit(sy: String, sxy: String, pfx: String) = Seq(
-      expr(s"ROUND((n * $sxy - sx * $sy) / (n * sxx - sx * sx), 6)")
-        .as(s"${pfx}_slope"),
-      expr(s"ROUND(($sy - ((n * $sxy - sx * $sy) / (n * sxx - sx * sx)) * sx) / n, 6)")
-        .as(s"${pfx}_intercept"),
-      expr(s"""ROUND((($sy - ((n * $sxy - sx * $sy) / (n * sxx - sx * sx)) * sx) / n)
-              | + ((n * $sxy - sx * $sy) / (n * sxx - sx * sx)) * (n + 1), 6)"""
-        .stripMargin).as(s"${pfx}_next"))
-    s.select(col("n") +: (fit("sy_exp", "sxy_exp", "export") ++
-      fit("sy_imp", "sxy_imp", "import")): _*)
+      Det.dsum($"x" * $"import_usd" / 1000.0).as("sxyk_imp"))
+    def fit(sy: String, sxyk: String, pfx: String) = {
+      val sxy = s"(1000.0 * $sxyk)"
+      Seq(
+        expr(s"ROUND((n * $sxy - sx * $sy) / (n * sxx - sx * sx), 6)")
+          .as(s"${pfx}_slope"),
+        expr(s"ROUND(($sy - ((n * $sxy - sx * $sy) / (n * sxx - sx * sx)) * sx) / n, 6)")
+          .as(s"${pfx}_intercept"),
+        expr(s"""ROUND((($sy - ((n * $sxy - sx * $sy) / (n * sxx - sx * sx)) * sx) / n)
+                | + ((n * $sxy - sx * $sy) / (n * sxx - sx * sx)) * (n + 1), 6)"""
+          .stripMargin).as(s"${pfx}_next"))
+    }
+    s.select(col("n") +: (fit("sy_exp", "sxyk_exp", "export") ++
+      fit("sy_imp", "sxyk_imp", "import")): _*)
   }
 
   private val forecastSql = {
-    def fit(sy: String, sxy: String, pfx: String) = {
+    def fit(sy: String, sxyk: String, pfx: String) = {
+      val sxy = s"(1000.0 * $sxyk)"
       val slope = s"((n * $sxy - sx * $sy) / (n * sxx - sx * sx))"
       val icept = s"(($sy - $slope * sx) / n)"
       s"""ROUND($slope, 6) AS ${pfx}_slope,
@@ -1093,12 +1103,12 @@ object Kpi {
        |       FROM base),
        |s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
        |    ${Det.dsumSql("export_usd")} AS sy_exp,
-       |    ${Det.dsumSql("x * export_usd")} AS sxy_exp,
+       |    ${Det.dsumSql("x * export_usd / 1000.0")} AS sxyk_exp,
        |    ${Det.dsumSql("import_usd")} AS sy_imp,
-       |    ${Det.dsumSql("x * import_usd")} AS sxy_imp
+       |    ${Det.dsumSql("x * import_usd / 1000.0")} AS sxyk_imp
        |  FROM xb)
-       |SELECT n, ${fit("sy_exp", "sxy_exp", "export")},
-       |  ${fit("sy_imp", "sxy_imp", "import")}
+       |SELECT n, ${fit("sy_exp", "sxyk_exp", "export")},
+       |  ${fit("sy_imp", "sxyk_imp", "import")}
        |FROM s""".stripMargin
   }
 

@@ -41,10 +41,26 @@ class DedupSpec extends AnyFunSuite {
     // record conservation: every crawl record lands in exactly one group
     assert(rows.map(_.getLong(1)).sum == nDocs)
     // the corpus actually exercises the canonicalizer: some canonical
-    // URL must collapse >1 DISTINCT raw form (the even/odd doc parity
-    // emits scheme/www/tracking/trailing-slash variants that only a
-    // correct chain maps together)
-    assert(rows.exists(r => r.getLong(3) >= 2), "no cross-form collision")
+    // URL must collapse >1 DISTINCT raw form
+    assert(rows.exists(r => r.getLong(3) >= 2), "no multi-form collision")
+    // ...and the collision must be genuinely CROSS-form: at least one
+    // canonical group containing BOTH an https:// raw record and an
+    // http://www. raw record (docs N and N+100 share source and every
+    // varying URL part but sit in opposite form branches — a
+    // parity-coupled construction would make the two form populations
+    // disjoint and this assertion is what keeps that claim honest)
+    import org.apache.spark.sql.functions.col
+    val raw = Tables(spark, sf).documents
+      .select(col("doc_id"),
+        graft.operators.Dedup.crawlUrl(col("doc_id"), col("source")).as("url"))
+      .select(col("url"),
+        graft.operators.Dedup.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val mixed = raw.groupBy(_._2).values.filter { g =>
+      g.exists(_._1.startsWith("https://")) &&
+        g.exists(_._1.startsWith("http://www."))
+    }
+    assert(mixed.nonEmpty, "no canonical group mixes both syntactic forms")
     // canonical forms carry no scheme, www, or tracking params
     rows.map(_.getString(0)).foreach { u =>
       assert(!u.contains("http") && !u.startsWith("www."), u)

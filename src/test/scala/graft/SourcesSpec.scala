@@ -41,7 +41,7 @@ class SourcesSpec extends AnyFunSuite {
       java.nio.file.Paths.get("/root/repo/target/corpus_jsonl"))
     val fixture = try {
       import scala.jdk.CollectionConverters._
-      dirs.iterator().asScala.filter(_.getFileName.toString.startsWith("docs_")).toSeq
+      dirs.iterator().asScala.filterNot(_.getFileName.toString.startsWith(".")).toSeq
     } finally dirs.close()
     assert(fixture.nonEmpty)
     val part = java.nio.file.Files.list(fixture.head)
