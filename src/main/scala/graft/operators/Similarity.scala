@@ -560,19 +560,21 @@ object Similarity {
     */
   private[graft] def pagerankRanks(nodes: DataFrame, edges: DataFrame): DataFrame = {
     import nodes.sparkSession.implicits._
-    // out-degrees and the corpus count are graph-INDEX artifacts that
-    // the unrolled plan would otherwise re-derive in every iteration
-    // (5× the deg aggregation, 6× the count): checkpoint each once —
-    // two small up-front jobs — so each unrolled iteration is only
-    // edges ⋈ rank ⋈ deg-scan + the dst reduction
+    // the degree-weighted edge list and the corpus count are
+    // graph-INDEX artifacts that the unrolled plan would otherwise
+    // re-derive in every iteration (5× the deg aggregation + 5× the
+    // edges⋈deg join, 6× the count): pre-join out-degrees onto the
+    // edges ONCE, partitioned by src and checkpointed — each unrolled
+    // iteration is then ONE join (rank shuffled to the edge
+    // partitioning) + the dst reduction
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+    val edgesW = edges.join(deg, "src")
+      .repartition($"src").localCheckpoint()
     val nRow = nodes.agg(count(lit(1)).as("n_nodes")).localCheckpoint()
     var rank = nodes.crossJoin(broadcast(nRow))
       .select($"id", expr(s"${prScale}L div n_nodes").as("r"))
     for (_ <- 1 to prIters) {
-      val contrib = edges.join(rank.withColumnRenamed("id", "src"), "src")
-        .join(deg, "src")
+      val contrib = edgesW.join(rank.withColumnRenamed("id", "src"), "src")
         .select($"dst", expr("r div deg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("contrib"))
       rank = nodes.join(contrib, $"id" === $"dst", "left")

@@ -35,6 +35,56 @@ class PropertySpec extends AnyFunSuite {
     }, 20)
   }
 
+  test("canonicalUrl is idempotent and form-insensitive on generated URLs") {
+    // a canonicalizer that is not a projection (canon ∘ canon ≠
+    // canon) silently splits groups when crawl records are
+    // re-canonicalized on a later pass; and the scheme/www/seam
+    // variants of one logical URL must map together
+    val hostGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(10))
+    val urlGen = for {
+      host <- hostGen
+      path <- Gen.choose(0, 99)
+      page <- Gen.choose(0, 9)
+      session <- Gen.choose(0L, 1000000L)
+      scheme <- Gen.oneOf("https://", "http://", "http://www.", "https://www.")
+      slash <- Gen.oneOf("", "/")
+      tracking <- Gen.oneOf(
+        s"?page=$page&utm_source=feed&session=s$session",
+        s"$slash?utm_campaign=x&page=$page&ref=rss",
+        s"?page=$page")
+    } yield (host, path, page, s"$scheme$host.example.com/doc/$path$tracking")
+    def canon(us: Seq[String]): Seq[String] =
+      us.toDF("u").select(
+        graft.operators.Dedup.canonicalUrl(col("u"))).collect().map(_.getString(0)).toSeq
+    check(Prop.forAll(Gen.listOfN(8, urlGen)) { cases =>
+      val urls = cases.map(_._4)
+      val c1 = canon(urls)
+      val c2 = canon(c1)
+      // idempotent, and every canonical form is scheme/www/tracking-free
+      c1 == c2 &&
+        c1.zip(cases).forall { case (c, (host, path, page, _)) =>
+          c == s"$host.example.com/doc/$path?page=$page"
+        }
+    }, 10)
+  }
+
+  test("llm_split keys are stable under corpus growth (pure content function)") {
+    // the split key must depend on the document TEXT alone: appending
+    // new documents to the corpus can never move an old document
+    // between splits (resplitting leaks train into test on rerun)
+    val textGen = Gen.nonEmptyListOf(
+      Gen.oneOf(Gen.alphaNumChar, Gen.const(' '))).map(_.mkString.take(60))
+    def keys(texts: Seq[String]): Seq[Long] =
+      texts.toDF("text").select(
+        RollingHash.rolling_hash(concat(lit("split|"),
+          md5(graft.operators.Dedup.canonical(col("text"))))) % 1000L)
+        .collect().map(_.getLong(0)).toSeq
+    check(Prop.forAll(Gen.listOfN(6, textGen), Gen.listOfN(6, textGen)) {
+      (base, extra) =>
+        keys(base) == keys(base ++ extra).take(base.length)
+    }, 10)
+  }
+
   test("star-contraction CC equals union-find on random graphs") {
     // small number of cases (each is several Spark jobs), but each
     // case is an arbitrary multigraph — shapes (cliques, chains,
