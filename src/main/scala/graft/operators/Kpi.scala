@@ -1035,6 +1035,65 @@ object Kpi {
        |FROM c ORDER BY rk""".stripMargin
   }
 
+  // ---- kpi_contrib: YoY bridge (waterfall) decomposition ----
+  // The "what moved the total" view behind every YoY narrative
+  // (insights_engine's impact strings imply it): per-category export
+  // delta between two years, each category's share of the TOTAL
+  // move in floor per-mille (signed — floor is toward −∞ on both
+  // engines, unlike the div/CAST truncation traps), and a direction
+  // tag. Aggregate-then-window like every KPI: the windows run over
+  // the per-category year pivot (≤ |categories| rows), and the
+  // total-delta window sum accumulates in exact decimal so the
+  // shared denominator is bit-identical cross-engine.
+
+  private val contribPrevYr = 1999
+  private val contribCurYr = 2000
+
+  private def contrib(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = catMonthly(spark, dir)
+      .filter($"yr" === contribPrevYr || $"yr" === contribCurYr)
+      .groupBy($"category")
+      .agg(
+        Det.dsum(when($"yr" === contribPrevYr, $"exp")).as("p"),
+        Det.dsum(when($"yr" === contribCurYr, $"exp")).as("c"))
+      .select($"category",
+        coalesce($"p", lit(0.0)).as("exp_prev"),
+        coalesce($"c", lit(0.0)).as("exp_cur"))
+      .withColumn("delta", $"exp_cur" - $"exp_prev")
+    val allW = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    a.withColumn("total_delta", dSumOver($"delta", allW))
+      .withColumn("delta_pm",
+        floor(lit(1000.0) * $"delta" / $"total_delta").cast("long"))
+      .withColumn("direction",
+        when($"delta" > 0, "up").when($"delta" < 0, "down").otherwise("flat"))
+      .select($"category", $"exp_prev", $"exp_cur", $"delta",
+        $"delta_pm", $"direction")
+      .resultOrder($"delta".desc, $"category")
+  }
+
+  private val contribSql = {
+    val allOver = "(ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    s"""WITH $catMonthlySqlCte,
+       |a AS (
+       |  SELECT category,
+       |    COALESCE(${Det.dsumSql(s"CASE WHEN yr = $contribPrevYr THEN exp END")}, 0)
+       |      AS exp_prev,
+       |    COALESCE(${Det.dsumSql(s"CASE WHEN yr = $contribCurYr THEN exp END")}, 0)
+       |      AS exp_cur
+       |  FROM m WHERE yr IN ($contribPrevYr, $contribCurYr)
+       |  GROUP BY category),
+       |d AS (SELECT category, exp_prev, exp_cur,
+       |        (exp_cur - exp_prev) AS delta FROM a),
+       |t AS (SELECT *, ${dSumOverSql("delta", allOver)} AS total_delta FROM d)
+       |SELECT category, exp_prev, exp_cur, delta,
+       |  CAST(floor(1000.0 * delta / total_delta) AS BIGINT) AS delta_pm,
+       |  CASE WHEN delta > 0 THEN 'up'
+       |       WHEN delta < 0 THEN 'down' ELSE 'flat' END AS direction
+       |FROM t ORDER BY delta DESC, category""".stripMargin
+  }
+
   // ---- kpi_forecast: OLS trend fit + next-month projection ----
   // The reference's trend narrative ("exports growing ~N%/yr",
   // eda.py's fitted trend lines) as a closed-form least-squares fit
@@ -1115,6 +1174,7 @@ object Kpi {
   val all: Seq[Q] = Seq(
     Q("kpi_pareto", pareto, Some(paretoSql)),
     Q("kpi_forecast", forecast, Some(forecastSql)),
+    Q("kpi_contrib", contrib, Some(contribSql)),
     Q("kpi_exec_summary", execSummary, Some(execSummarySql)),
     Q("kpi_funnel", funnel, Some(funnelSql)),
     Q("kpi_cohort", cohort, Some(cohortSql)),

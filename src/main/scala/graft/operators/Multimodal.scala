@@ -418,7 +418,56 @@ object Multimodal {
        |WHERE doc_id % 3 = 1
        |ORDER BY doc_id, window_idx""".stripMargin
 
+  // ---- mm_video_scene: scene-cut detection over the frame stream ----
+  // The video ANALYSIS verb on top of the framing plumbing
+  // (mm_framesample samples; this one interprets): consecutive-frame
+  // brightness delta |Σbytes(k) − Σbytes(k−1)| above a threshold is
+  // the classic hard-cut detector every shot-segmentation pipeline
+  // starts with. Features are the codegen ByteSum over non-overlapping
+  // 16-byte stub "frames"; the only exchange is the per-video lag
+  // window (hashpartitioning(doc_id) — one task per video's frame
+  // list, bounded by clip length, parallel across the corpus). τ=200
+  // flags ~6% of frame transitions on this corpus.
+
+  private val sceneTau = 200L
+
+  private def mmVideoScene(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nFrames = ((length($"text") + 15) / 16).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"frame_idx")
+    Tables(spark, dir).documents
+      .filter($"doc_id" % 3 === 2) // the video modality slice (mm_metadata routing)
+      .select($"doc_id", $"text",
+        posexplode(when(nFrames > 0, sequence(lit(0), nFrames - 1))
+          .otherwise(array().cast("array<int>"))))
+      .withColumnRenamed("col", "frame_idx")
+      .select($"doc_id", $"frame_idx".cast(LongType).as("frame_idx"),
+        graft.functions.ByteSum.byte_sum(
+          $"text".substr($"frame_idx" * 16 + 1, lit(16))).as("bs"))
+      .withColumn("delta", abs($"bs" - lag($"bs", 1).over(w)))
+      .filter($"delta" > sceneTau)
+      .select($"doc_id", $"frame_idx", $"delta")
+      .resultOrder($"doc_id", $"frame_idx")
+  }
+
+  private val mmVideoSceneSql =
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+       |    ${graft.functions.ByteSum.sql("substr(text, k * 16 + 1, 16)")} AS bs
+       |  FROM documents,
+       |    UNNEST(range(0, (length(text) + 15) // 16)) AS t(k)
+       |  WHERE doc_id % 3 = 2),
+       |d AS (SELECT doc_id, frame_idx,
+       |        abs(bs - LAG(bs) OVER (PARTITION BY doc_id ORDER BY frame_idx))
+       |          AS delta
+       |      FROM f)
+       |SELECT doc_id, frame_idx, delta FROM d
+       |WHERE delta > $sceneTau
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("mm_video_scene", mmVideoScene, Some(mmVideoSceneSql)),
     Q("mm_audio_window", mmAudioWindow, Some(mmAudioWindowSql)),
     Q("mm_metadata", mmMetadata, Some(mmMetadataSql)),
     Q("mm_framesample", mmFramesample, Some(mmFramesampleSql)),

@@ -23,6 +23,25 @@ class KpiSpec extends AnyFunSuite {
     }
   }
 
+  test("kpi_contrib: deltas reconcile and shares/directions are consistent") {
+    val rows = q("kpi_contrib").collect()
+    rows.foreach { r =>
+      val (prev, cur, delta) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(math.abs(delta - (cur - prev)) < 1e-9)
+      val dir = r.getString(5)
+      assert(dir == (if (delta > 0) "up" else if (delta < 0) "down" else "flat"))
+    }
+    // output is ranked by delta descending
+    val deltas = rows.map(_.getDouble(3))
+    assert(deltas.zip(deltas.tail).forall { case (a, b) => a >= b })
+    // per-mille shares of the total move roughly close (floor rounding
+    // loses at most 1 per-mille per category)
+    val totalDelta = deltas.sum
+    val pmSum = rows.map(_.getLong(4)).sum
+    if (totalDelta > 0)
+      assert(pmSum <= 1000 && pmSum > 1000 - rows.length, s"pmSum=$pmSum")
+  }
+
   test("kpi_forecast equals a sequential OLS recompute") {
     val series = q("kpi_base_monthly").orderBy("yr", "mon").collect()
       .map(r => (if (r.isNullAt(2)) 0.0 else r.getDouble(2),

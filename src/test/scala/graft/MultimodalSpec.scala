@@ -36,6 +36,23 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_video_scene equals a sequential cut-detection recompute") {
+    val texts = Tables(spark, sf).documents
+      .filter($"doc_id" % 3 === 2).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val want = texts.flatMap { case (id, t) =>
+      val frames = t.grouped(16).map(graft.functions.ByteSum.sum).toSeq
+      frames.zip(frames.tail).zipWithIndex.collect {
+        case ((prev, cur), i) if math.abs(cur - prev) > 200 =>
+          (id, (i + 1).toLong, math.abs(cur - prev))
+      }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    val got = SparkEntry.queries("mm_video_scene")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(want.nonEmpty, "no scene cuts detected in corpus")
+  }
+
   test("mm_audio_window equals a sequential framing recompute") {
     val texts = Tables(spark, sf).documents
       .filter($"doc_id" % 3 === 1).select($"doc_id", $"text").collect()
