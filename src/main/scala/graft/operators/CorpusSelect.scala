@@ -806,12 +806,19 @@ object CorpusSelect {
   private val validFrom = 900
   private val testFrom = 950
 
+  /** The per-mille split key as a column expression — private[graft]
+    * so the specs exercise the PRODUCTION derivation (a test-local
+    * re-implementation would keep passing if this one regressed to a
+    * doc_id/row-order key, the exact leakage bug it exists to avoid).
+    */
+  private[graft] def splitKey(text: org.apache.spark.sql.Column) =
+    graft.functions.RollingHash.rolling_hash(
+      concat(lit("split|"), md5(Dedup.canonical(text)))) % 1000L
+
   private def split(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val key = graft.functions.RollingHash.rolling_hash(
-      concat(lit("split|"), md5(Dedup.canonical($"text")))) % 1000L
     graft.Tables(spark, dir).documents
-      .select($"doc_id", $"lang", key.as("split_key"))
+      .select($"doc_id", $"lang", splitKey($"text").as("split_key"))
       .withColumn("split",
         when($"split_key" < validFrom, "train")
           .when($"split_key" < testFrom, "valid")

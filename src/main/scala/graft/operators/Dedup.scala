@@ -132,7 +132,10 @@ object Dedup {
     val steps: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = Seq(
       lower(_),
       regexp_replace(_, "^https?://", ""),
-      regexp_replace(_, "^www\\.", ""),
+      // (www\.)+ not www\.: a host like www.www.x must reach its fixed
+      // point in ONE pass or the canonicalizer is not idempotent and
+      // re-canonicalizing crawl records on a later pass splits groups
+      regexp_replace(_, "^(www\\.)+", ""),
       regexp_replace(_, s"&$trackingParam=[^&]*", ""),
       regexp_replace(_, s"\\?$trackingParam=[^&]*&", "?"),
       regexp_replace(_, s"\\?$trackingParam=[^&]*$$", ""),
@@ -145,7 +148,7 @@ object Dedup {
     Seq(
       (s: String) => s"lower($s)",
       (s: String) => s"regexp_replace($s, '^https?://', '')",
-      (s: String) => s"regexp_replace($s, '^www\\.', '')",
+      (s: String) => s"regexp_replace($s, '^(www\\.)+', '')",
       (s: String) => s"regexp_replace($s, '&$trackingParam=[^&]*', '', 'g')",
       (s: String) => s"regexp_replace($s, '\\?$trackingParam=[^&]*&', '?')",
       (s: String) => s"regexp_replace($s, '\\?$trackingParam=[^&]*$$', '')",

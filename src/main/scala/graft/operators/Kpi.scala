@@ -1064,8 +1064,13 @@ object Kpi {
     val allW = Window.partitionBy().rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     a.withColumn("total_delta", dSumOver($"delta", allW))
+      // total_delta = 0 (the years exactly cancel) would NULL the
+      // division on Spark and inf/error it on DuckDB — define the
+      // share as 0 when there is no total move
       .withColumn("delta_pm",
-        floor(lit(1000.0) * $"delta" / $"total_delta").cast("long"))
+        when($"total_delta" =!= 0.0,
+          floor(lit(1000.0) * $"delta" / $"total_delta").cast("long"))
+          .otherwise(0L))
       .withColumn("direction",
         when($"delta" > 0, "up").when($"delta" < 0, "down").otherwise("flat"))
       .select($"category", $"exp_prev", $"exp_cur", $"delta",
@@ -1088,7 +1093,9 @@ object Kpi {
        |        (exp_cur - exp_prev) AS delta FROM a),
        |t AS (SELECT *, ${dSumOverSql("delta", allOver)} AS total_delta FROM d)
        |SELECT category, exp_prev, exp_cur, delta,
-       |  CAST(floor(1000.0 * delta / total_delta) AS BIGINT) AS delta_pm,
+       |  CASE WHEN total_delta <> 0
+       |       THEN CAST(floor(1000.0 * delta / total_delta) AS BIGINT)
+       |       ELSE 0 END AS delta_pm,
        |  CASE WHEN delta > 0 THEN 'up'
        |       WHEN delta < 0 THEN 'down' ELSE 'flat' END AS direction
        |FROM t ORDER BY delta DESC, category""".stripMargin

@@ -63,16 +63,25 @@ object Multimodal {
   // sampled and hashed — the plumbing (explode, per-frame transform,
   // hash) is exactly what a video frame-sampler does after decode.
 
-  private def mmFramesample(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // guard empty text: sequence(0, -1) would count DOWN to [0, -1]
-    // and emit a phantom frame the oracle's range() doesn't have
+  /** Non-overlapping 16-byte frame explode shared by mm_framesample
+    * and mm_video_scene: (doc_id, text, pos, frame_idx) per frame.
+    * The empty-text guard matters — sequence(0, -1) counts DOWN to
+    * [0, -1] and would emit a phantom frame the oracles' range()
+    * doesn't have. One copy so the framing convention can never
+    * desynchronize between the sampler and the cut detector.
+    */
+  private def frameExplode(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val nFrames = ((length($"text") + 15) / 16).cast("int")
-    Tables(spark, dir).documents
-      .select($"doc_id", $"text",
+    docs.select($"doc_id", $"text",
         posexplode(when(nFrames > 0, sequence(lit(0), nFrames - 1))
           .otherwise(array().cast("array<int>"))))
       .withColumnRenamed("col", "frame_idx")
+  }
+
+  private def mmFramesample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    frameExplode(Tables(spark, dir).documents)
       .filter($"frame_idx" % 4 === 0)
       .select($"doc_id", $"frame_idx".cast(LongType).as("frame_idx"),
         md5($"text".substr($"frame_idx" * 16 + 1, lit(16))).as("frame_md5"))
@@ -433,15 +442,10 @@ object Multimodal {
 
   private def mmVideoScene(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val nFrames = ((length($"text") + 15) / 16).cast("int")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"frame_idx")
-    Tables(spark, dir).documents
-      .filter($"doc_id" % 3 === 2) // the video modality slice (mm_metadata routing)
-      .select($"doc_id", $"text",
-        posexplode(when(nFrames > 0, sequence(lit(0), nFrames - 1))
-          .otherwise(array().cast("array<int>"))))
-      .withColumnRenamed("col", "frame_idx")
+    frameExplode(Tables(spark, dir).documents
+        .filter($"doc_id" % 3 === 2)) // the video modality slice (mm_metadata routing)
       .select($"doc_id", $"frame_idx".cast(LongType).as("frame_idx"),
         graft.functions.ByteSum.byte_sum(
           $"text".substr($"frame_idx" * 16 + 1, lit(16))).as("bs"))

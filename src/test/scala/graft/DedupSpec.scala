@@ -91,10 +91,9 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1)))
     val mangled = sample.map { case (id, t) =>
       (id, "  " + t.toUpperCase + "!!,  ") }
-    val key = graft.functions.RollingHash.rolling_hash(
-      concat(lit("split|"), md5(graft.operators.Dedup.canonical($"text")))) % 1000L
     def keysOf(rows: Seq[(Long, String)]): Map[Long, Long] =
-      rows.toSeq.toDF("doc_id", "text").select($"doc_id", key.as("k"))
+      rows.toSeq.toDF("doc_id", "text")
+        .select($"doc_id", graft.operators.CorpusSelect.splitKey($"text").as("k"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val kOrig = keysOf(sample.toSeq)
     val kCopy = keysOf(mangled.toSeq)

@@ -25,6 +25,7 @@ class KpiSpec extends AnyFunSuite {
 
   test("kpi_contrib: deltas reconcile and shares/directions are consistent") {
     val rows = q("kpi_contrib").collect()
+    assert(rows.nonEmpty, "bridge years missing from the corpus date range")
     rows.foreach { r =>
       val (prev, cur, delta) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
       assert(math.abs(delta - (cur - prev)) < 1e-9)

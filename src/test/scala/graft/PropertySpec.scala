@@ -40,7 +40,12 @@ class PropertySpec extends AnyFunSuite {
     // canon) silently splits groups when crawl records are
     // re-canonicalized on a later pass; and the scheme/www/seam
     // variants of one logical URL must map together
-    val hostGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(10))
+    // "h" prefix: a bare host of exactly "www" would itself be
+    // stripped by the leading-www rule and the exact-form expectation
+    // below would not apply (that behavior is intended — (www.)+
+    // strips ALL leading www labels in one pass for idempotence)
+    val hostGen = Gen.nonEmptyListOf(Gen.alphaLowerChar)
+      .map(l => "h" + l.mkString.take(9))
     val urlGen = for {
       host <- hostGen
       path <- Gen.choose(0, 99)
@@ -74,10 +79,12 @@ class PropertySpec extends AnyFunSuite {
     // between splits (resplitting leaks train into test on rerun)
     val textGen = Gen.nonEmptyListOf(
       Gen.oneOf(Gen.alphaNumChar, Gen.const(' '))).map(_.mkString.take(60))
+    // the PRODUCTION key expression (CorpusSelect.splitKey), not a
+    // test-local copy — a re-implementation here would keep passing
+    // if the operator regressed to a doc_id/row-order key
     def keys(texts: Seq[String]): Seq[Long] =
-      texts.toDF("text").select(
-        RollingHash.rolling_hash(concat(lit("split|"),
-          md5(graft.operators.Dedup.canonical(col("text"))))) % 1000L)
+      texts.toDF("text")
+        .select(graft.operators.CorpusSelect.splitKey(col("text")))
         .collect().map(_.getLong(0)).toSeq
     check(Prop.forAll(Gen.listOfN(6, textGen), Gen.listOfN(6, textGen)) {
       (base, extra) =>
