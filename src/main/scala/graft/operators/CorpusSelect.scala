@@ -729,6 +729,45 @@ object CorpusSelect {
       |  md5(text) AS text_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- llm_mix_epochs: per-source data-repetition schedule ----
+  // The data-constrained-scaling knob (repeating high-value sources
+  // for multiple epochs while crawl-grade text runs once): each
+  // source gets a deterministic repetition factor, every document is
+  // expanded into one row per epoch, and each (doc, epoch) carries
+  // an independent interleave key so repeats of one document never
+  // cluster in training order. Everything is ROW-LOCAL (factor =
+  // hash of the source, explode by factor, keys from the shared
+  // rolling hash): at 100 TB the repetition schedule is a
+  // metadata-only transform on the scan — no shuffle, no copy of the
+  // text until the export writer streams it.
+
+  private def mixEpochs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val factor = lit(1) + graft.functions.RollingHash.rolling_hash(
+      concat(lit("epoch|"), $"source")) % 3L
+    graft.Tables(spark, dir).documents
+      .select($"doc_id", $"source", factor.as("n_epochs"))
+      .select($"doc_id", $"source", $"n_epochs",
+        explode(sequence(lit(1L), $"n_epochs")).as("epoch"))
+      .withColumn("interleave_key",
+        graft.functions.RollingHash.rolling_hash(concat(
+          lit("mixord|"), $"doc_id".cast("string"), lit("|"),
+          $"epoch".cast("string"))))
+      .resultOrder($"doc_id", $"epoch")
+  }
+
+  private val mixEpochsSql = {
+    val factor = "1 + " + graft.functions.RollingHash.sql("'epoch|' || source") + " % 3"
+    val ordKey = graft.functions.RollingHash.sql(
+      "'mixord|' || CAST(doc_id AS VARCHAR) || '|' || CAST(epoch AS VARCHAR)")
+    s"""WITH d AS (SELECT doc_id, source, CAST($factor AS BIGINT) AS n_epochs
+       |           FROM documents)
+       |SELECT doc_id, source, n_epochs, CAST(epoch AS BIGINT) AS epoch,
+       |  $ordKey AS interleave_key
+       |FROM d, UNNEST(range(1, n_epochs + 1)) AS t(epoch)
+       |ORDER BY doc_id, epoch""".stripMargin
+  }
+
   // ---- llm_export_shards: the training-export SINK boundary ----
   // The write-side twin of llm_ingest_jsonl: a training corpus
   // leaves the engine as a PARTITIONED layout (one directory per
@@ -841,6 +880,7 @@ object CorpusSelect {
   val all: Seq[Q] = Seq(
     Q("llm_ingest_jsonl", ingestJsonl, Some(ingestJsonlSql)),
     Q("llm_export_shards", exportShards, Some(exportShardsSql)),
+    Q("llm_mix_epochs", mixEpochs, Some(mixEpochsSql)),
     Q("llm_split", split, Some(splitSql)),
     Q("llm_bpe_stats", bpeStats, Some(bpeStatsSql)),
     Q("llm_corpus_select", corpusSelect, Some(corpusSelectSql)),

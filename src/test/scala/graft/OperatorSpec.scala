@@ -24,6 +24,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("llm_mix_epochs: every doc appears exactly its source-factor times") {
+    val rows = SparkEntry.queries("llm_mix_epochs")(spark, sf).collect()
+    val perDoc = rows.groupBy(_.getLong(0))
+    perDoc.foreach { case (id, g) =>
+      val n = g.head.getLong(2)
+      assert(g.length == n, s"doc $id: ${g.length} rows, factor $n")
+      assert(g.map(_.getLong(3)).sorted.sameElements(1L to n), s"doc $id epochs")
+      // repeats of one doc get distinct interleave keys (they must
+      // not cluster in training order)
+      assert(g.map(_.getLong(4)).distinct.length == g.length, s"doc $id keys")
+      val factor = 1L + graft.functions.RollingHash.hash(
+        "epoch|" + g.head.getString(1)) % 3L
+      assert(n == factor, s"doc $id factor")
+    }
+    // the schedule actually repeats something and not everything
+    val fs = perDoc.values.map(_.head.getLong(2)).toSet
+    assert(fs.size > 1, s"degenerate factors $fs")
+  }
+
   test("llm_bpe_stats equals a sequential BPE pair-count model") {
     import spark.implicits._
     // independent model: word frequencies, then adjacent char-pair
