@@ -109,6 +109,22 @@ object Dashboard {
       md ++= s"| ${i(r, 0)} | ${r.getString(1)} | ${d(r, 2, "%.0f")} | ${d(r, 4, "%.0f")} | ${d(r, 5, "%.2f")} |\n"
     }
 
+    md ++= "\n### Concentración ABC (Pareto)\n"
+    md ++= "| rk | category | clase | acumulado ‰ |\n| --- | --- | --- | --- |\n"
+    q("kpi_pareto").collect().take(10).foreach { r =>
+      md ++= s"| ${i(r, 0)} | ${r.getString(1)} | ${r.getString(5)} | ${r.getLong(4)} |\n"
+    }
+
+    md ++= "\n### Puente YoY por Categoría\n"
+    q("kpi_contrib").collect().take(5).foreach { r =>
+      md ++= s"- ${r.getString(0)}: Δ ${d(r, 3, "%.0f")} (${r.getLong(4)}‰, ${r.getString(5)})\n"
+    }
+
+    md ++= "\n### Tendencia OLS y Proyección\n"
+    val fc = q("kpi_forecast").first()
+    md ++= s"- Export: pendiente ${d(fc, 1, "%.2f")}/mes → próximo mes ${d(fc, 3, "%.0f")}\n"
+    md ++= s"- Import: pendiente ${d(fc, 4, "%.2f")}/mes → próximo mes ${d(fc, 6, "%.0f")}\n"
+
     md ++= "\n### Cambios de Ranking\n"
     q("kpi_rank_shift").collect().takeRight(10).foreach { r =>
       val shift = if (r.isNullAt(5)) "nuevo" else f"${r.getInt(5)}%+d"

@@ -83,6 +83,8 @@ class InsightsSpec extends AnyFunSuite {
         "Estacionalidad", "Distribución Mensual", "reconciliación QA",
         "Análisis por Categorías", "Heatmap Año × Mes",
         "Ranking de Categorías", "Cambios de Ranking",
+        "Concentración ABC (Pareto)", "Puente YoY por Categoría",
+        "Tendencia OLS y Proyección",
         "Conclusiones Accionables", "Estadísticas Rápidas"))
       assert(md.contains(h), s"dashboard missing section: $h")
     // tables actually carry rows, not just headers
