@@ -191,6 +191,45 @@ object Similarity {
        |WHERE rk <= 5
        |ORDER BY q_id, rk""".stripMargin
 
+  // ---- ann_index_stats: LSH index health report ----
+  // The operational introspection every served vector index needs:
+  // bucket-population distribution (count, min/max/avg, singleton
+  // rate) and the candidate PAIR WORK Σ p(p−1)/2 — the number the
+  // width dial (VectorFunctions.lshPlanesFor) exists to keep
+  // near-constant per bucket as the corpus grows. At 100 TB this is
+  // the query a platform runs before every reindex decision: if
+  // max_pop or pair_work drifts up, the index needs more planes.
+  // One keyed aggregate over the cached index + a single-row rollup,
+  // all-integer, exact cross-engine.
+
+  private def annIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    lshIndex(spark, dir)
+      .groupBy($"bucket").agg(count(lit(1)).as("pop"))
+      .agg(
+        sum($"pop").as("n_vectors"),
+        count(lit(1)).as("n_buckets"),
+        max($"pop").as("max_pop"),
+        min($"pop").as("min_pop"),
+        sum(when($"pop" === 1, 1L).otherwise(0L)).as("n_singleton"),
+        sum(expr("pop * (pop - 1) div 2")).as("pair_work"))
+      .select($"n_vectors", $"n_buckets", $"max_pop", $"min_pop",
+        $"n_singleton", $"pair_work",
+        expr("(1000 * n_vectors) div n_buckets").as("avg_pop_milli"))
+  }
+
+  private val annIndexStatsSql =
+    s"""WITH v AS (SELECT ${lshSigSql("embedding")} AS bucket FROM embeddings),
+       |p AS (SELECT bucket, COUNT(*) AS pop FROM v GROUP BY bucket)
+       |SELECT CAST(SUM(pop) AS BIGINT) AS n_vectors,
+       |  COUNT(*) AS n_buckets,
+       |  CAST(MAX(pop) AS BIGINT) AS max_pop,
+       |  CAST(MIN(pop) AS BIGINT) AS min_pop,
+       |  CAST(SUM(CASE WHEN pop = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+       |  CAST(SUM((pop * (pop - 1)) // 2) AS BIGINT) AS pair_work,
+       |  (1000 * CAST(SUM(pop) AS BIGINT)) // COUNT(*) AS avg_pop_milli
+       |FROM p""".stripMargin
+
   // ---- ann_ivf: inverted-file (cluster-probe) ANN ----
   // The production path for corpus-scale search: centroids per
   // partition (here the label clustering; k-means at scale), each
@@ -1004,6 +1043,7 @@ object Similarity {
     Q("ann_pq", annPq, Some(annPqSql)),
     Q("ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
     Q("ann_lsh", annLsh, Some(annLshSql)),
+    Q("ann_index_stats", annIndexStats, Some(annIndexStatsSql)),
     Q("ann_ivf", annIvf, Some(annIvfSqlProbe(1))),
     Q("ann_ivf_multiprobe", annIvfMulti, Some(annIvfSqlProbe(2))),
     Q("ann_kmeans_step", annKmeansStep, Some(annKmeansStepSql)),

@@ -13,6 +13,19 @@ import graft.functions.VectorFunctions
 class LshSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("ann_index_stats reconciles with the index it reports on") {
+    val r = SparkEntry.queries("ann_index_stats")(spark, sf).collect().head
+    val nVec = Tables(spark, sf).embeddings.count()
+    assert(r.getLong(0) == nVec)
+    val (buckets, maxPop, minPop, pairWork) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))
+    assert(buckets >= 1 && buckets <= nVec)
+    assert(minPop >= 1 && maxPop >= minPop && maxPop <= nVec)
+    // each bucket of p contributes p(p-1)/2 >= p-1 candidate pairs
+    assert(pairWork >= nVec - buckets)
+    assert(r.getLong(6) == 1000L * nVec / buckets)
+  }
+
   test("ann_pq matches a sequential product-quantization recompute") {
     val rows = Tables(spark, sf).embeddings.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
