@@ -63,9 +63,17 @@ object GraftExtensions {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SetOpToFlagAggregate
     }
+    // idempotent like the strategy/rule installs above: a session that
+    // already has the functions (a prior install, or the
+    // spark.sql.extensions path) is left alone — re-registering logs a
+    // "replaced a previously registered function" warning per function
+    // per session, which pollutes the bench log tail the driver parses
     functions.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, builder, "built-in")
+      if (!spark.sessionState.functionRegistry
+          .functionExists(FunctionIdentifier(name))) {
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
   }
 }

@@ -115,9 +115,19 @@ object ByteEnergy {
   def byte_energy(c: Column): Column =
     GraftShim.column(ByteEnergy(GraftShim.expression(c)))
 
-  /** DuckDB twin (ASCII input, as in the testdata corpus). */
+  /** DuckDB twin.
+    *
+    * PRECONDITION — ASCII input only: the Spark side sums UTF-8
+    * BYTES while this twin sums per-CHARACTER via ascii(ch); they
+    * agree iff every char is one byte (true of the testdata corpus,
+    * asserted nowhere else). The empty string needs the explicit
+    * CASE: DuckDB's string_split('', '') yields [''] with
+    * ascii('') = 0, so the fold would produce (0-128)² = 16384
+    * where Spark's byte loop over zero bytes returns 0.
+    */
   def sql(e: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), [(CAST(ascii(ch) AS BIGINT) - 128) * (CAST(ascii(ch) AS BIGINT) - 128) for ch in string_split($e, '')]), (acc, x) -> acc + x)"
+    s"CASE WHEN length($e) = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), [(CAST(ascii(ch) AS BIGINT) - 128) * (CAST(ascii(ch) AS BIGINT) - 128) for ch in string_split($e, '')]), (acc, x) -> acc + x) END"
 }
 
 object ByteSum {
@@ -130,7 +140,13 @@ object ByteSum {
   def byte_sum(c: Column): Column =
     GraftShim.column(ByteSum(GraftShim.expression(c)))
 
-  /** DuckDB twin (ASCII input, as in the testdata corpus). */
+  /** DuckDB twin.
+    *
+    * PRECONDITION — ASCII input only (UTF-8 bytes vs ascii(ch), see
+    * [[ByteEnergy.sql]]). Empty input is safe here without a guard:
+    * string_split('','') yields [''] and ascii('') = 0, so the fold
+    * returns 0, matching Spark's empty byte loop.
+    */
   def sql(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(ch) AS BIGINT) for ch in string_split($e, '')]), (acc, x) -> acc + x)"
 }

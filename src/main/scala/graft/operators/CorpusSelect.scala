@@ -692,7 +692,11 @@ object CorpusSelect {
   // is the same publish-or-reuse pattern as the CSV/xlsx books
   // (bounded side job, atomic move, content-keyed path).
 
-  private val jsonlRoot = "/root/repo/target/corpus_jsonl"
+  // fixture roots live under java.io.tmpdir (same convention as
+  // Tables.splitLayout), never a hardcoded checkout path — the repo
+  // must be relocatable; SourcesSpec references these constants
+  private[graft] val jsonlRoot =
+    s"${System.getProperty("java.io.tmpdir")}/graft-fixtures/corpus_jsonl"
   private val jsonlCache = new graft.PlanCache()
 
   private def jsonlDocs(spark: SparkSession, dir: String): DataFrame =
@@ -784,7 +788,8 @@ object CorpusSelect {
   // dial: production raises the shard count so per-shard bytes stay
   // bounded; the plan is unchanged at any width).
 
-  private val exportRoot = "/root/repo/target/corpus_shards"
+  private[graft] val exportRoot =
+    s"${System.getProperty("java.io.tmpdir")}/graft-fixtures/corpus_shards"
   private val exportCache = new graft.PlanCache()
   private val nExportShards = 16
 

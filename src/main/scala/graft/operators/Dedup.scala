@@ -150,10 +150,15 @@ object Dedup {
       (s: String) => s"regexp_replace($s, '^https?://', '')",
       (s: String) => s"regexp_replace($s, '^(www\\.)+', '')",
       (s: String) => s"regexp_replace($s, '&$trackingParam=[^&]*', '', 'g')",
-      (s: String) => s"regexp_replace($s, '\\?$trackingParam=[^&]*&', '?')",
-      (s: String) => s"regexp_replace($s, '\\?$trackingParam=[^&]*$$', '')",
-      (s: String) => s"regexp_replace($s, '/\\?', '?')",
-      (s: String) => s"regexp_replace($s, '/$$', '')"
+      // 'g' on every step (not just the first): Spark's
+      // regexp_replace is always-global, so the SQL twin must be
+      // semantically identical rather than identical-by-construction
+      // on today's single-seam URLs (the $-anchored steps can only
+      // match once, but 'g' is harmless there)
+      (s: String) => s"regexp_replace($s, '\\?$trackingParam=[^&]*&', '?', 'g')",
+      (s: String) => s"regexp_replace($s, '\\?$trackingParam=[^&]*$$', '', 'g')",
+      (s: String) => s"regexp_replace($s, '/\\?', '?', 'g')",
+      (s: String) => s"regexp_replace($s, '/$$', '', 'g')"
     ).foldLeft(e)((acc, f) => f(acc))
 
   private def dedupUrl(spark: SparkSession, dir: String): DataFrame = {

@@ -179,16 +179,23 @@ object TextAnalysis {
   // then a plain count aggregate — vocabulary statistics for corpus
   // analysis.
 
+  /** Adjacent-token bigram array built map-side from the token ARRAY
+    * (zip with its own tail; the final position pairs with NULL and
+    * is dropped, same rows as a lead-window over the exploded
+    * stream) — no posexplode, no doc-partitioned window sort: n-gram
+    * construction is row-local work, so the only exchange these
+    * operators pay is the counting aggregate's.
+    */
+  private def bigramArr(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(
+      zip_with(toks, slice(toks, lit(2), size(toks)),
+        (a, b) => when(b.isNotNull, concat_ws(" ", a, b))),
+      _.isNotNull)
+
   private def topBigrams(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
     Tables(spark, dir).documents
-      .select($"doc_id", posexplode(tokens($"text")))
-      .withColumnRenamed("col", "t")
-      .select(concat_ws(" ", $"t", lead($"t", 1).over(w)).as("bigram"),
-        lead($"t", 1).over(w).isNotNull.as("is_full"))
-      .filter($"is_full")
+      .select(explode(bigramArr(tokens($"text"))).as("bigram"))
       .groupBy($"bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"bigram")
@@ -217,21 +224,30 @@ object TextAnalysis {
 
   private def tfidf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val tok = Tables(spark, dir).documents
       .select($"doc_id", explode(tokens($"text")).as("t"))
     val tf = tok.groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
-    // df as a count window over tf keyed on the term — one exchange
-    // on t, versus the aggregate-then-join form's two (df agg + tf
-    // re-exchange for the join); value identical (rows per t in tf)
-    val wDf = Window.partitionBy($"t")
-    val w = Window.partitionBy($"doc_id")
-      .orderBy($"score".desc, $"t")
-    tf.withColumn("df", count(lit(1)).over(wDf))
+    // df = rows per term in tf, as an aggregate JOINED back — not a
+    // count window over t: WindowExec must sort its partition input,
+    // so the window form pays a full sort of tf on t where this form
+    // pays a map-side-combined aggregate (vocab-sized, Heaps-law
+    // sublinear) plus a join that AQE turns into a broadcast at
+    // bench scale; tf's exchange is computed once and REUSED for
+    // both consumers (same subtree). Deliberately NOT a broadcast
+    // hint: vocab grows with the corpus, AQE decides by size.
+    val df = tf.groupBy($"t").agg(count(lit(1)).as("df"))
+    // top term per doc via ONE min-of-struct aggregate instead of a
+    // rank window: min(struct(-score, t, …)) is exactly "score DESC,
+    // t ASC" lexicographic order, aggregates map-side (the doc_id
+    // exchange then carries one row per doc, not one per term), and
+    // needs no sort at all
+    tf.join(df, "t")
       .withColumn("score", expr("(tf * 1000000) div df"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" === 1)
-      .select($"doc_id", $"t".as("top_term"), $"tf", $"df", $"score")
+      .groupBy($"doc_id")
+      .agg(min(struct((-$"score").as("ns"), $"t", $"tf", $"df", $"score"))
+        .as("top"))
+      .select($"doc_id", $"top.t".as("top_term"),
+        $"top.tf".as("tf"), $"top.df".as("df"), $"top.score".as("score"))
       .resultOrder($"doc_id")
   }
 
@@ -326,20 +342,23 @@ object TextAnalysis {
 
   private def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    // all three gram granularities built row-locally from the token
+    // array (see bigramArr) and exploded as ONE (kind, gram) stream —
+    // the r6 form's posexplode + lead-window paid a full exchange AND
+    // sort of the token stream before any counting; this pays none
+    def kg(k: Int, g: org.apache.spark.sql.Column) = struct(lit(k).as("kind"), g.as("gram"))
+    val toks = tokens($"text")
+    val uni = transform(toks, t => kg(1, t))
+    val bi = transform(bigramArr(toks), g => kg(2, g))
+    val tri = transform(
+      filter(
+        zip_with(bigramArr(toks), slice(toks, lit(3), size(toks)),
+          (ab, c) => when(c.isNotNull, concat_ws(" ", ab, c))),
+        _.isNotNull),
+      g => kg(3, g))
     val grams = Tables(spark, dir).documents
-      .select($"doc_id", posexplode(tokens($"text")))
-      .withColumnRenamed("col", "t")
-      .select($"doc_id", $"t",
-        lead($"t", 1).over(w).as("t1"), lead($"t", 2).over(w).as("t2"))
-      .select($"doc_id", expr(
-        """stack(3,
-          |  1, t,
-          |  2, IF(t1 IS NULL, NULL, concat_ws(' ', t, t1)),
-          |  3, IF(t2 IS NULL, NULL, concat_ws(' ', t, t1, t2))
-          |) AS (kind, gram)""".stripMargin))
-      .filter($"gram".isNotNull)
+      .select($"doc_id", explode(concat(uni, bi, tri)).as("kg"))
+      .select($"doc_id", $"kg.kind".as("kind"), $"kg.gram".as("gram"))
     def kcol(k: Int, c: org.apache.spark.sql.Column) =
       sum(when($"kind" === k, c).otherwise(0L))
     val stats = grams
@@ -422,7 +441,12 @@ object TextAnalysis {
     val tok = Tables(spark, dir).documents
       .select($"doc_id", explode(tokens($"text")).as("t"))
     val dc = tok.groupBy($"doc_id", $"t").agg(count(lit(1)).as("k"))
-    val vc = tok.groupBy($"t").agg(count(lit(1)).as("c"))
+    // vocab counts derived FROM dc (Σk per term), not from a second
+    // explode of the corpus: the raw token stream is scanned once,
+    // dc's exchange is reused for both the join probe side and this
+    // rollup (identical subtree → ReuseExchange), and the rollup's
+    // partial aggregation ships vocab-sized partials only
+    val vc = dc.groupBy($"t").agg(sum($"k").as("c"))
     val tot = vc.agg(sum($"c").as("n"))
     dc.join(vc, "t").crossJoin(broadcast(tot))
       .withColumn("surp", (length(bin(expr("n div c"))) - 1).cast("long"))

@@ -38,7 +38,7 @@ class SourcesSpec extends AnyFunSuite {
     // contract fields, or it isn't the interchange format it claims
     SparkEntry.queries("llm_ingest_jsonl")(spark, sf).count() // force fixture
     val dirs = java.nio.file.Files.list(
-      java.nio.file.Paths.get("/root/repo/target/corpus_jsonl"))
+      java.nio.file.Paths.get(graft.operators.CorpusSelect.jsonlRoot))
     val fixture = try {
       import scala.jdk.CollectionConverters._
       dirs.iterator().asScala.filterNot(_.getFileName.toString.startsWith(".")).toSeq
