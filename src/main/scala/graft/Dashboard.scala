@@ -22,7 +22,17 @@ import org.apache.spark.sql.Row
   * category-bounded), the one place driver-side materialization is
   * the right call — the same shape as Report.scala's EDA stage.
   *
-  * Usage: graft.Dashboard [sfDir] [outDir]
+  * Interactivity: the reference dashboard is parameterized (year
+  * range slider app.py:165, flow checkboxes app.py:175-177, category
+  * multiselect in render_category_analysis) — the engine analog is
+  * [[TradeParams]]: the filters ride the dir string into every
+  * oracle-checked operator and land as pushed predicates on the
+  * parquet scans (DashboardSpec asserts PushedFilters), so a filtered
+  * bundle re-runs the SAME plans over less data, exactly like the
+  * Streamlit rerun does.
+  *
+  * Usage: graft.Dashboard [sfDir] [outDir] [yearFrom:yearTo]
+  *          [flows(csv)] [categories(csv)]
   */
 object Dashboard {
 
@@ -34,31 +44,59 @@ object Dashboard {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("target/reports")
+    val params = TradeParams(
+      yearFrom = args.lift(2).flatMap(_.split(':').headOption.filter(_.nonEmpty))
+        .map(_.toInt),
+      yearTo = args.lift(2).flatMap(_.split(':').lift(1)).map(_.toInt),
+      flows = args.lift(3).map(_.split(',').toSet),
+      categories = args.lift(4).map(_.split(',').toSeq))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
-    Files.writeString(Paths.get(s"$outDir/dashboard.md"), render(spark, sfDir))
+    Files.writeString(Paths.get(s"$outDir/dashboard.md"),
+      render(spark, sfDir, params))
     println(s"dashboard written: $outDir/dashboard.md")
     spark.stop()
   }
 
+  def render(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    render(spark, sfDir, TradeParams())
+
   /** The bundle itself — separated from main so tests render against
-    * the shared session without stopping it.
+    * the shared session without stopping it. Guards every single-row
+    * read with headOption: under a narrow filter (e.g. the exec
+    * summary's hardcoded latest year excluded) a tile renders as "sin
+    * datos" instead of crashing, the way a dashboard shows an empty
+    * widget.
     */
-  def render(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = {
-    def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+  def render(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      params: TradeParams): String = {
+    val dir = params(sfDir)
+    def q(name: String) = SparkEntry.queries(name)(spark, dir)
     val md = new StringBuilder
 
     md ++= "# Trade Observatory — dashboard bundle\n\n"
+    if (!params.isEmpty) {
+      val yrs = (params.yearFrom, params.yearTo) match {
+        case (None, None) => None
+        case (a, b) => Some(s"años ${a.getOrElse("…")}–${b.getOrElse("…")}")
+      }
+      val sel = yrs ++ params.flows.map(f => s"flujos ${f.toSeq.sorted.mkString("+")}") ++
+        params.categories.map(c => s"categorías ${c.mkString(", ")}")
+      md ++= s"_Filtros: ${sel.mkString(" · ")}_\n\n"
+    }
 
     // ---- tab 1: country analysis ----
     md ++= "## Análisis por País\n\n### Métricas Clave\n"
-    val ex = q("kpi_exec_summary").first()
-    md ++= s"- Exportaciones ${ex.getInt(0)}: ${d(ex, 1, "%.0f")} USD\n"
-    md ++= s"- Importaciones ${ex.getInt(0)}: ${d(ex, 2, "%.0f")} USD\n"
-    md ++= s"- Balance: ${d(ex, 3, "%.0f")} USD\n"
-    md ++= s"- Categoría líder: ${ex.getString(4)} (${d(ex, 5, "%.0f")} USD)\n\n"
+    q("kpi_exec_summary").collect().headOption match {
+      case Some(ex) =>
+        md ++= s"- Exportaciones ${ex.getInt(0)}: ${d(ex, 1, "%.0f")} USD\n"
+        md ++= s"- Importaciones ${ex.getInt(0)}: ${d(ex, 2, "%.0f")} USD\n"
+        md ++= s"- Balance: ${d(ex, 3, "%.0f")} USD\n"
+        md ++= s"- Categoría líder: ${ex.getString(4)} (${d(ex, 5, "%.0f")} USD)\n\n"
+      case None => md ++= "- sin datos bajo el filtro\n\n"
+    }
 
     md ++= "### Serie Temporal (últimos 12 meses, MA12)\n"
     md ++= "| yr | mon | export (USD) | MA12 |\n| --- | --- | --- | --- |\n"
@@ -121,9 +159,10 @@ object Dashboard {
     }
 
     md ++= "\n### Tendencia OLS y Proyección\n"
-    val fc = q("kpi_forecast").first()
-    md ++= s"- Export: pendiente ${d(fc, 1, "%.2f")}/mes → próximo mes ${d(fc, 3, "%.0f")}\n"
-    md ++= s"- Import: pendiente ${d(fc, 4, "%.2f")}/mes → próximo mes ${d(fc, 6, "%.0f")}\n"
+    q("kpi_forecast").collect().headOption.foreach { fc =>
+      md ++= s"- Export: pendiente ${d(fc, 1, "%.2f")}/mes → próximo mes ${d(fc, 3, "%.0f")}\n"
+      md ++= s"- Import: pendiente ${d(fc, 4, "%.2f")}/mes → próximo mes ${d(fc, 6, "%.0f")}\n"
+    }
 
     md ++= "\n### Cambios de Ranking\n"
     q("kpi_rank_shift").collect().takeRight(10).foreach { r =>
@@ -138,12 +177,14 @@ object Dashboard {
     }
 
     md ++= "### Estadísticas Rápidas\n"
-    val qs = q("kpi_quick_stats").first()
-    md ++= s"- Media mensual: ${d(qs, 0, "%.4f")}B | σ: ${d(qs, 1, "%.4f")}B | máx: ${d(qs, 2, "%.4f")}B\n"
-    md ++= s"- Meses con superávit: ${qs.getLong(3)}/${qs.getLong(4)}\n"
-    md ++= s"- Mejor mes: ${i(qs, 5)}-${i(qs, 6)} (${d(qs, 7, "%.4f")}B)\n"
-    val vol = q("kpi_volatility").first()
-    md ++= s"- Volatilidad YoY: ${d(vol, 1, "%.2f")} (media YoY ${d(vol, 0, "%.2f")}, n=${vol.getLong(2)})\n"
+    q("kpi_quick_stats").collect().headOption.foreach { qs =>
+      md ++= s"- Media mensual: ${d(qs, 0, "%.4f")}B | σ: ${d(qs, 1, "%.4f")}B | máx: ${d(qs, 2, "%.4f")}B\n"
+      md ++= s"- Meses con superávit: ${qs.getLong(3)}/${qs.getLong(4)}\n"
+      md ++= s"- Mejor mes: ${i(qs, 5)}-${i(qs, 6)} (${d(qs, 7, "%.4f")}B)\n"
+    }
+    q("kpi_volatility").collect().headOption.foreach { vol =>
+      md ++= s"- Volatilidad YoY: ${d(vol, 1, "%.2f")} (media YoY ${d(vol, 0, "%.2f")}, n=${vol.getLong(2)})\n"
+    }
     md.toString
   }
 }

@@ -67,17 +67,103 @@ object GraftSession {
   }
 }
 
+/** Dashboard-style source parameters — the engine analog of the
+  * reference UI's filter widgets (app.py:165 year-range slider,
+  * app.py:175-177 flow checkboxes, category multiselect in
+  * render_category_analysis). Encoded as a fragment on the table-dir
+  * string (`dir#yf=1996&yt=1998&flow=export&cat=...`) so the
+  * parameterization rides the existing `(SparkSession, dir)` operator
+  * signature: every oracle-checked operator runs UNCHANGED against
+  * the filtered source, PlanCache keys (keyed on the full dir string)
+  * never mix filtered and unfiltered artifacts, and the predicates
+  * sit directly above the parquet scans where Catalyst pushes them
+  * into the reader (PushedFilters — asserted by DashboardSpec).
+  *
+  * Mapping onto the trade analog: years filter `o_orderdate` /
+  * `l_shipdate` as date RANGES (pushable; `year(col)` would not be),
+  * flows filter `o_orderstatus` ('F'→export) and `l_linestatus`
+  * ('F'→export, 'O'→import), categories filter `part.p_type` and
+  * restrict lineitem rows through the existing inner join.
+  */
+final case class TradeParams(
+    yearFrom: Option[Int] = None,
+    yearTo: Option[Int] = None,
+    flows: Option[Set[String]] = None,      // subset of {export, import}
+    categories: Option[Seq[String]] = None) {
+  def isEmpty: Boolean =
+    yearFrom.isEmpty && yearTo.isEmpty && flows.isEmpty && categories.isEmpty
+
+  private def enc(s: String) =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  /** Decorate a table dir with this filter (identity when empty). */
+  def apply(dir: String): String =
+    if (isEmpty) dir
+    else {
+      val kv = yearFrom.map("yf=" + _) ++ yearTo.map("yt=" + _) ++
+        flows.map(f => "flow=" + f.toSeq.sorted.map(enc).mkString(",")) ++
+        categories.map(c => "cat=" + c.map(enc).mkString(","))
+      dir + "#" + kv.mkString("&")
+    }
+
+  private def dateRange(c: Column): Column = {
+    val lo = yearFrom.map(y => c >= to_date(lit(f"$y%04d-01-01")))
+    val hi = yearTo.map(y => c <= to_date(lit(f"$y%04d-12-31")))
+    (lo ++ hi).reduceOption(_ && _).getOrElse(lit(true))
+  }
+  private def flowFilter(c: Column, exportVal: String, importVal: Option[String]): Column =
+    flows match {
+      case Some(f) if f != Set("export", "import") =>
+        val byFlow = Seq(
+          if (f("export")) Some(c === exportVal) else None,
+          if (f("import")) importVal.map(c === _).orElse(Some(c =!= exportVal))
+          else None).flatten
+        byFlow.reduceOption(_ || _).getOrElse(lit(false))
+      case _ => lit(true)
+    }
+
+  private[graft] def onOrders(df: DataFrame): Column =
+    dateRange(df("o_orderdate")) && flowFilter(df("o_orderstatus"), "F", None)
+  private[graft] def onLineitem(df: DataFrame): Column =
+    dateRange(df("l_shipdate")) && flowFilter(df("l_linestatus"), "F", Some("O"))
+  private[graft] def onPart(df: DataFrame): Column =
+    categories.map(c => df("p_type").isin(c: _*)).getOrElse(lit(true))
+}
+
+object TradeParams {
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Split a possibly-decorated dir into (filesystem path, params). */
+  def parseDir(dir: String): (String, TradeParams) =
+    dir.split('#') match {
+      case Array(path) => (path, TradeParams())
+      case Array(path, frag) =>
+        val kv = frag.split('&').map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> v
+        }.toMap
+        (path, TradeParams(
+          kv.get("yf").map(_.toInt), kv.get("yt").map(_.toInt),
+          kv.get("flow").map(_.split(',').map(dec).toSet),
+          kv.get("cat").map(_.split(',').map(dec).toSeq)))
+      case _ => throw new IllegalArgumentException(s"bad table dir: $dir")
+    }
+}
+
 /** Loaders for the driver-generated TPC-H-ish testdata.
   *
   * Reads are plain parquet scans so Catalyst pushes filters and
   * prunes columns into the scan (verify with explain: PushedFilters
   * / ReadSchema). At 100 TB these would be partitioned/bucketed
   * tables behind a catalog; the query code below only depends on
-  * logical schemas, so the swap is confined to this class.
+  * logical schemas, so the swap is confined to this class. `dir` may
+  * carry a [[TradeParams]] fragment (`#yf=...`): the filters apply
+  * directly above the affected scans.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  private val (path, params) = TradeParams.parseDir(dir)
+
   private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    spark.read.parquet(s"$path/$name.parquet")
 
   /** Fact tables: the testdata ships one single-row-group parquet
     * file per table, which Spark cannot split — every downstream
@@ -95,15 +181,20 @@ final case class Tables(spark: SparkSession, dir: String) {
     * the plan shape of a real multi-file 100 TB layout, where the
     * scan has thousands of splits and nobody repartitions after read.
     */
-  private def big(name: String): DataFrame = Tables.splitLayout(spark, dir, name)
+  private def big(name: String): DataFrame = Tables.splitLayout(spark, path, name)
 
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
   def customer: DataFrame = t("customer")
   def supplier: DataFrame = t("supplier")
-  def part: DataFrame = t("part")
-  def orders: DataFrame = big("orders")
-  def lineitem: DataFrame = big("lineitem")
+  // identity (not Filter(true)) when unparameterized, so the default
+  // path's plans are bit-identical to prior rounds
+  private def f(df: DataFrame, c: DataFrame => Column): DataFrame =
+    if (params.isEmpty) df else df.filter(c(df))
+
+  def part: DataFrame = f(t("part"), params.onPart)
+  def orders: DataFrame = f(big("orders"), params.onOrders)
+  def lineitem: DataFrame = f(big("lineitem"), params.onLineitem)
 
   /** events.ts has shipped in two physical encodings across driver
     * testdata generations — TIMESTAMP(NANOS) (read as long via the
@@ -221,9 +312,10 @@ object Tables {
     * of throwing FileAlreadyExistsException. `write` receives the
     * private tmp path; the returned path is the published directory.
     */
-  private[graft] def publishFixture(root: String, dir: String, srcFile: String)(
+  private[graft] def publishFixture(root: String, rawDir: String, srcFile: String)(
       write: String => Unit): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = TradeParams.parseDir(rawDir)._1 // tolerate a params fragment
     val src = Paths.get(s"$dir/$srcFile")
     val key = "t" + (dir + "/" + srcFile).replaceAll("[^A-Za-z0-9._-]", "_") +
       "_" + Files.size(src) +
@@ -321,6 +413,13 @@ private[graft] object PlanCache {
   */
 private[graft] object Out {
   implicit final class ResultOrderOps(private val df: DataFrame) extends AnyVal {
+    // NOTE (measured, r7): coalesce(1) instead of repartition(1) cuts
+    // the merge exchange but COLLAPSES the last computing stage to a
+    // single task (the whole post-shuffle aggregate/window runs
+    // 1-threaded) — benched 22% WORSE overall (72.1 s vs 58.9 s at
+    // sf0.1, regressions up to +1.1 s on q16/dedup_incremental/
+    // ann_pq). The extra tiny exchange is the cheaper trade at every
+    // scale; keep repartition(1).
     def resultOrder(cols: Column*): DataFrame =
       df.repartition(1).sortWithinPartitions(cols: _*)
   }

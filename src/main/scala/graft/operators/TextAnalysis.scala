@@ -192,6 +192,47 @@ object TextAnalysis {
         (a, b) => when(b.isNotNull, concat_ws(" ", a, b))),
       _.isNotNull)
 
+  /** Longest equal-run in `array_sort(arr)` — the max multiplicity of
+    * any element — as ONE O(n) fold. Row-local: no explode, no gram
+    * shuffle, no per-element array building (an `array_append` fold
+    * would be O(n²) in copies).
+    */
+  private def maxRunSql(arr: String): String =
+    s"""aggregate(array_sort($arr),
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+       |  (s, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(x <=> s.prev, s.run + 1L, 1L),
+       |    'best', GREATEST(s.best, IF(x <=> s.prev, s.run + 1L, 1L))),
+       |  s -> s.best)""".stripMargin
+
+  /** Run-length term counts `array<struct<t,c>>` over a token-array
+    * column, built ROW-LOCALLY from the sorted array: run starts are
+    * the positions where the sorted value changes, run lengths the
+    * distance to the next start. O(n log n) per document, zero
+    * exchange — what reaches a downstream explode is already the
+    * per-(doc, term) count stream, never raw tokens. Intermediate
+    * `_tf_*` columns must be dropped by the caller's final select.
+    */
+  private def withTfEntries(df: DataFrame, toksCol: String): DataFrame =
+    df.withColumn("_tf_sorted", array_sort(col(toksCol)))
+      .withColumn("_tf_starts", expr(
+        """CASE WHEN size(_tf_sorted) = 0 THEN CAST(array() AS ARRAY<INT>)
+          |ELSE filter(sequence(1, size(_tf_sorted)),
+          |  i -> i = 1 OR element_at(_tf_sorted, i) != element_at(_tf_sorted, i - 1))
+          |END""".stripMargin))
+      .withColumn("_tf_entries", expr(
+        // ends = starts shifted left, closed by n+1; zip_with pads the
+        // SHORTER side with nulls, so the empty case is guarded
+        """CASE WHEN size(_tf_starts) = 0
+          |  THEN CAST(array() AS ARRAY<STRUCT<t: STRING, c: BIGINT>>)
+          |ELSE zip_with(_tf_starts,
+          |  concat(slice(_tf_starts, 2, size(_tf_starts) - 1),
+          |         array(size(_tf_sorted) + 1)),
+          |  (s, e) -> named_struct('t', element_at(_tf_sorted, s),
+          |                         'c', CAST(e - s AS BIGINT)))
+          |END""".stripMargin))
+
   private def topBigrams(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir).documents
@@ -224,17 +265,20 @@ object TextAnalysis {
 
   private def tfidf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tok = Tables(spark, dir).documents
-      .select($"doc_id", explode(tokens($"text")).as("t"))
-    val tf = tok.groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+    // tf built ROW-LOCALLY (run-length fold over the sorted token
+    // array): the raw token stream never shuffles — the first
+    // exchange already carries (doc, term, tf) rows
+    val tf = withTfEntries(
+        Tables(spark, dir).documents.withColumn("toks", tokens($"text")), "toks")
+      .select($"doc_id", explode($"_tf_entries").as("e"))
+      .select($"doc_id", $"e.t".as("t"), $"e.c".as("tf"))
     // df = rows per term in tf, as an aggregate JOINED back — not a
     // count window over t: WindowExec must sort its partition input,
     // so the window form pays a full sort of tf on t where this form
     // pays a map-side-combined aggregate (vocab-sized, Heaps-law
     // sublinear) plus a join that AQE turns into a broadcast at
-    // bench scale; tf's exchange is computed once and REUSED for
-    // both consumers (same subtree). Deliberately NOT a broadcast
-    // hint: vocab grows with the corpus, AQE decides by size.
+    // bench scale. Deliberately NOT a broadcast hint: vocab grows
+    // with the corpus, AQE decides by size.
     val df = tf.groupBy($"t").agg(count(lit(1)).as("df"))
     // top term per doc via ONE min-of-struct aggregate instead of a
     // rank window: min(struct(-score, t, …)) is exactly "score DESC,
@@ -326,12 +370,10 @@ object TextAnalysis {
   // most grams are repeats are loop/boilerplate artifacts that
   // poison training corpora.
   //
-  // One pass builds all three gram granularities (token, bigram,
-  // trigram) from a single posexplode + window-lead scan, stacked
-  // into (kind, gram) rows; then gram-level counts → per-doc
-  // moments in two hash aggregates. Shuffle keys are (doc_id, kind,
-  // gram) then doc_id — fully distributed, no hot keys (grams are
-  // per-doc here, never corpus-global).
+  // All three gram granularities (token, bigram, trigram) are built
+  // row-locally from the token array and reduced to per-doc moments
+  // in the same projection — zero shuffles before the output sort
+  // (grams are per-doc signals, never corpus-global).
   //
   // Thresholds calibrated on the corpus distribution: dup_token_frac
   // p50 = 0.54 / p90 = 0.68, top_bigram_frac p50 = 0.03 / p90 = 0.07,
@@ -342,31 +384,28 @@ object TextAnalysis {
 
   private def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // all three gram granularities built row-locally from the token
-    // array (see bigramArr) and exploded as ONE (kind, gram) stream —
-    // the r6 form's posexplode + lead-window paid a full exchange AND
-    // sort of the token stream before any counting; this pays none
-    def kg(k: Int, g: org.apache.spark.sql.Column) = struct(lit(k).as("kind"), g.as("gram"))
-    val toks = tokens($"text")
-    val uni = transform(toks, t => kg(1, t))
-    val bi = transform(bigramArr(toks), g => kg(2, g))
-    val tri = transform(
-      filter(
-        zip_with(bigramArr(toks), slice(toks, lit(3), size(toks)),
-          (ab, c) => when(c.isNotNull, concat_ws(" ", ab, c))),
-        _.isNotNull),
-      g => kg(3, g))
-    val grams = Tables(spark, dir).documents
-      .select($"doc_id", explode(concat(uni, bi, tri)).as("kg"))
-      .select($"doc_id", $"kg.kind".as("kind"), $"kg.gram".as("gram"))
-    def kcol(k: Int, c: org.apache.spark.sql.Column) =
-      sum(when($"kind" === k, c).otherwise(0L))
-    val stats = grams
-      .groupBy($"doc_id", $"kind", $"gram").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg(kcol(1, $"c").as("n_tok"), kcol(1, lit(1L)).as("d_tok"),
-        kcol(2, $"c").as("n_2"), max(when($"kind" === 2, $"c")).as("top_2"),
-        kcol(3, $"c").as("n_3"), kcol(3, lit(1L)).as("d_3"))
+    // fully ROW-LOCAL: every signal is a per-doc array statistic —
+    // distinct fractions via array_distinct, the top-bigram count as
+    // a max-run fold over the sorted bigram array — so the operator
+    // is one narrow projection over the scan plus the output sort.
+    // The r6 form exploded a 3×-token (kind, gram) stream through two
+    // hash-aggregate exchanges; per-doc stats never needed cross-row
+    // context, so that shuffle bought nothing at any scale.
+    val stats = Tables(spark, dir).documents
+      .withColumn("toks", tokens($"text"))
+      .withColumn("bi", bigramArr($"toks"))
+      .withColumn("tri",
+        filter(
+          zip_with($"bi", slice($"toks", lit(3), size($"toks")),
+            (ab, c) => when(c.isNotNull, concat_ws(" ", ab, c))),
+          _.isNotNull))
+      .select($"doc_id",
+        size($"toks").cast(LongType).as("n_tok"),
+        size(array_distinct($"toks")).cast(LongType).as("d_tok"),
+        size($"bi").cast(LongType).as("n_2"),
+        expr(maxRunSql("bi")).cast(LongType).as("top_2"),
+        size($"tri").cast(LongType).as("n_3"),
+        size(array_distinct($"tri")).cast(LongType).as("d_3"))
     stats.select($"doc_id", $"n_tok",
         (lit(1.0) - $"d_tok".cast(DoubleType) / $"n_tok".cast(DoubleType))
           .as("dup_token_frac"),
@@ -438,13 +477,15 @@ object TextAnalysis {
 
   private def lmScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tok = Tables(spark, dir).documents
-      .select($"doc_id", explode(tokens($"text")).as("t"))
-    val dc = tok.groupBy($"doc_id", $"t").agg(count(lit(1)).as("k"))
-    // vocab counts derived FROM dc (Σk per term), not from a second
-    // explode of the corpus: the raw token stream is scanned once,
-    // dc's exchange is reused for both the join probe side and this
-    // rollup (identical subtree → ReuseExchange), and the rollup's
+    // per-doc term counts built ROW-LOCALLY (run-length fold over the
+    // sorted token array): what reaches the first exchange is already
+    // the (doc, term, k) count stream — the raw token stream never
+    // shuffles and never passes through a hash aggregate
+    val dc = withTfEntries(
+        Tables(spark, dir).documents.withColumn("toks", tokens($"text")), "toks")
+      .select($"doc_id", explode($"_tf_entries").as("e"))
+      .select($"doc_id", $"e.t".as("t"), $"e.c".as("k"))
+    // vocab counts derived FROM dc (Σk per term): the rollup's
     // partial aggregation ships vocab-sized partials only
     val vc = dc.groupBy($"t").agg(sum($"k").as("c"))
     val tot = vc.agg(sum($"c").as("n"))
@@ -487,24 +528,34 @@ object TextAnalysis {
   // bit-length — no floating logs), summed per doc and shipped as a
   // floor milli-bit average.
   //
-  // Scale shape: map-side-combining groupBy (doc, token), then the
-  // per-doc total via a doc-partitioned window — the window's
-  // hashpartitioning(doc_id) exchange is REUSED by the final per-doc
-  // aggregate (same key), so the whole op is two exchanges over
-  // counts, never over the raw token stream.
+  // Scale shape: fully ROW-LOCAL — self-entropy only needs the doc's
+  // own token multiset, so the per-term surprisal sum is one
+  // run-length fold over the sorted token array inside the scan
+  // projection; nothing is exploded and nothing shuffles before the
+  // output sort.
+
+  /** Σ over runs of `run · (bitlen(n div run) − 1)` — the per-doc
+    * integer surprisal sum — as one fold over the sorted array; `n`
+    * is the doc token-count column name.
+    */
+  private def entropySumSql(arr: String, n: String): String = {
+    val close = s"s.run * CAST(length(bin($n div s.run)) - 1 AS BIGINT)"
+    s"""aggregate(array_sort($arr),
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'acc', 0L),
+       |  (s, x) -> IF(x <=> s.prev,
+       |    named_struct('prev', x, 'run', s.run + 1L, 'acc', s.acc),
+       |    named_struct('prev', x, 'run', 1L,
+       |      'acc', s.acc + IF(s.prev IS NULL, 0L, $close))),
+       |  s -> s.acc + IF(s.prev IS NULL, 0L, $close))""".stripMargin
+  }
 
   private def textEntropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"doc_id")
     Tables(spark, dir).documents
-      .select($"doc_id", explode(tokens($"text")).as("t"))
-      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("c"))
-      .withColumn("n", sum($"c").over(w))
-      .withColumn("surp", (length(bin(expr("n div c"))) - 1).cast("long"))
-      .groupBy($"doc_id")
-      .agg(max($"n").as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        sum($"c" * $"surp").as("hsum"))
+      .withColumn("toks", tokens($"text"))
+      .withColumn("n_tokens", size($"toks").cast(LongType))
+      .withColumn("n_distinct", size(array_distinct($"toks")).cast(LongType))
+      .withColumn("hsum", expr(entropySumSql("toks", "n_tokens")).cast(LongType))
       .select($"doc_id", $"n_tokens", $"n_distinct", $"hsum",
         expr("(1000 * hsum) div n_tokens").as("entropy_milli"))
       .resultOrder($"doc_id")

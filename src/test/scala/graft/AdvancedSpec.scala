@@ -68,6 +68,22 @@ class AdvancedSpec extends AnyFunSuite {
     }
   }
 
+  test("q20 HLL estimate stays in the ±5% band around q27's oracle-checked exact count") {
+    // q20 is the single rows-only inventory entry (sketch internals
+    // are engine-specific, so no cross-engine hash) — this pins its
+    // VALUES to the same column's exact distinct count, which IS
+    // oracle-checked through q27_kmv_sketch
+    val exact = q("q27_kmv_sketch").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = q("q20_sketches").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((status, apx) <- approx) {
+      val rel = math.abs(apx - exact(status)).toDouble / exact(status)
+      assert(rel <= 0.05, s"$status HLL estimate off by $rel (>5% of exact)")
+    }
+  }
+
   test("ann_ivf results are a subset of per-cluster exact ranking") {
     // every returned neighbor must share the probed cluster and carry
     // the same cosine the brute-force path computes

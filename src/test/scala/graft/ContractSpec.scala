@@ -29,4 +29,40 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
       == Set("q20_sketches"))
   }
+
+  // -- pipeline input-manifest precheck (run_pipeline.py:37-60) --
+
+  test("pipeline precheck passes on a complete input drop") {
+    assert(Pipeline.missingInputs(TestSpark.sf).isEmpty)
+  }
+
+  test("pipeline precheck reports the COMPLETE missing-file list") {
+    val missing = Pipeline.missingInputs("/nonexistent-drop")
+    assert(missing.size == Pipeline.requiredInputs.size)
+    // every report line names the file, its role, and the failure
+    Pipeline.requiredInputs.foreach { case (f, desc) =>
+      assert(missing.exists(m => m.contains(f) && m.contains(desc) &&
+        m.endsWith("missing")), s"no report for $f")
+    }
+  }
+
+  test("pipeline precheck flags a truncated (zero-byte) input") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-precheck").toString
+    try {
+      Pipeline.requiredInputs.foreach { case (f, _) =>
+        Files.createFile(Paths.get(dir, f))
+      }
+      // all present but empty: every file is flagged as truncated
+      val flagged = Pipeline.missingInputs(dir)
+      assert(flagged.size == Pipeline.requiredInputs.size)
+      assert(flagged.forall(_.endsWith("empty file")))
+      // one real byte clears that file's flag
+      Files.write(Paths.get(dir, Pipeline.requiredInputs.head._1), Array[Byte](1))
+      assert(Pipeline.missingInputs(dir).size == Pipeline.requiredInputs.size - 1)
+    } finally {
+      Files.list(Paths.get(dir)).forEach(p => Files.deleteIfExists(p))
+      Files.deleteIfExists(Paths.get(dir))
+    }
+  }
 }

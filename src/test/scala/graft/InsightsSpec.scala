@@ -90,4 +90,59 @@ class InsightsSpec extends AnyFunSuite {
     // tables actually carry rows, not just headers
     assert(md.linesIterator.count(_.startsWith("| ")) > 40)
   }
+
+  // -- parameterized dashboard (reference app.py:165-180 filters) --
+
+  test("dashboard params filter the operators and reach the parquet scan") {
+    val params = TradeParams(Some(1996), Some(1998), Some(Set("export")), None)
+    val dir = params(sf)
+    // round-trip: the fragment encoding is lossless
+    assert(TradeParams.parseDir(dir) == (sf, params))
+    // filter semantics through an oracle-checked operator
+    val rows = SparkEntry.queries("kpi_trade_long")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(0) >= 1996 && r.getInt(0) <= 1998))
+    assert(rows.map(_.getString(2)).toSet == Set("export"))
+    // the year range and flow land as PUSHED predicates on the scan —
+    // a filtered dashboard rerun reads less data, not the same scan
+    // post-filtered
+    // (o_orderdate is timestamp-typed and the scan's metadata string
+    // is length-truncated, so assert the range via the pushed-filter
+    // prefix plus the full Filter node text)
+    val p = SparkEntry.queries("kpi_trade_long")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,1996-01-01"), p)
+    assert(p.contains("<= 1998-12-31"), p)
+    assert(p.contains("= F)"), p)
+  }
+
+  test("dashboard category multiselect prunes the part dimension scan") {
+    val cats = Tables(spark, sf).part.select($"p_type").distinct()
+      .orderBy($"p_type").limit(2).collect().map(_.getString(0)).toSeq
+    val dir = TradeParams(categories = Some(cats))(sf)
+    val got = SparkEntry.queries("kpi_prod_monthly")(spark, dir)
+      .select($"category").distinct().collect().map(_.getString(0)).toSet
+    assert(got == cats.toSet)
+    // pushdown asserts run on the UNCHECKPOINTED grain derivation
+    // (the served form reduces to a checkpoint scan)
+    val p = graft.operators.Kpi.catMonthlyPlan(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains(s"In(p_type, [${cats.sorted.mkString(",")}])"), p)
+  }
+
+  test("filtered dashboard bundle renders every section") {
+    val md = graft.Dashboard.render(spark, sf,
+      TradeParams(Some(1996), Some(1998), None, None))
+    assert(md.contains("Filtros: años 1996–1998"), md.linesIterator.take(3).mkString("\n"))
+    for (h <- Seq("Análisis por País", "Análisis por Categorías",
+        "Conclusiones Accionables", "Estadísticas Rápidas"))
+      assert(md.contains(h), s"filtered dashboard missing section: $h")
+    // the filter actually bites: no year outside the range appears in
+    // the time-series tables
+    assert(!md.linesIterator.exists(l => l.startsWith("| 1995 ") || l.startsWith("| 1999 ")))
+    // and the latest-year exec tile (hardcoded 2001 in the reference
+    // analog) degrades to the empty-widget row instead of crashing
+    assert(md.contains("sin datos bajo el filtro"))
+  }
 }

@@ -77,4 +77,59 @@ class WarehouseSpec extends AnyFunSuite {
     assert(runs.filter(col("prev_type").isNotNull &&
       col("prev_type") === col("event_type")).count() == 0)
   }
+
+  // -- persistent catalog (reference etl.py:84-92 trade.duckdb) --
+
+  test("published catalog serves model tables by name, survives a fresh catalog, and attach is metadata-only") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cat-test").toString
+    val expected = SparkEntry.queries("kpi_trade_long")(spark, sf)
+      .collect().map(_.toSeq)
+    try {
+      // ETL side: publish once
+      TradeCatalog.publish(spark, sf, root)
+      // a NEW session (fresh session state over the same store) reads
+      // the models by NAME — the app.py load_data() contract
+      val s2 = spark.newSession()
+      assert(s2.table(s"${TradeCatalog.db}.trade").collect()
+        .map(_.toSeq).sortBy(_.mkString(","))
+        .sameElements(expected.sortBy(_.mkString(","))))
+      assert(s2.table(s"${TradeCatalog.db}.kpi_prod_monthly").count() > 0)
+
+      // fresh-JVM simulation: drop every catalog ENTRY (external
+      // tables — the warehouse files must survive the drop) …
+      TradeCatalog.models.foreach { case (t, _) =>
+        spark.sql(s"DROP TABLE ${TradeCatalog.db}.`$t`")
+      }
+      val dataFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      val nParquet = try dataFiles.filter(_.toString.endsWith(".parquet")).count()
+        finally dataFiles.close()
+      assert(nParquet > 0, "external table data must survive DROP TABLE")
+
+      // … then attach re-opens the store WITHOUT re-running ETL:
+      // metadata-only registration, byte-identical reads
+      val mtimes = TradeCatalog.models.map { case (t, _) =>
+        t -> java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(root, t)).toMillis
+      }.toMap
+      val attached = TradeCatalog.attach(spark, root)
+      assert(attached.toSet == TradeCatalog.models.map(_._1).toSet)
+      assert(spark.table(s"${TradeCatalog.db}.trade").collect()
+        .map(_.toSeq).sortBy(_.mkString(","))
+        .sameElements(expected.sortBy(_.mkString(","))))
+      TradeCatalog.models.foreach { case (t, _) =>
+        assert(java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(root, t)).toMillis == mtimes(t),
+          s"attach must not rewrite $t")
+      }
+    } finally {
+      TradeCatalog.models.foreach { case (t, _) =>
+        spark.sql(s"DROP TABLE IF EXISTS ${TradeCatalog.db}.`$t`")
+      }
+      spark.sql(s"DROP DATABASE IF EXISTS ${TradeCatalog.db}")
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
 }
