@@ -47,7 +47,9 @@ object GraftExtensions {
     "dot_product" -> arity("dot_product", 2)(exprs => DotProduct(exprs(0), exprs(1))),
     "sum_squares" -> arity("sum_squares", 1)(exprs => SumSquares(exprs.head)),
     "byte_sum" -> arity("byte_sum", 1)(exprs => ByteSum(exprs.head)),
-    "byte_energy" -> arity("byte_energy", 1)(exprs => ByteEnergy(exprs.head))
+    "byte_energy" -> arity("byte_energy", 1)(exprs => ByteEnergy(exprs.head)),
+    "term_counts" -> arity("term_counts", 1)(exprs =>
+      graft.functions.TermCounts(exprs.head))
   )
 
   /** Register on an already-running session. */

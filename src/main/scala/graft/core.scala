@@ -42,8 +42,24 @@ object GraftSession {
       // sizing.
       .config("spark.ui.enabled", "false")
 
+  /** Dev A/B hook: SPARK_GRAFT_CONF="k=v;k=v" lands as session confs
+    * LAST (overriding the defaults above) so config experiments — AQE
+    * on/off, shuffle compression, partition counts — are one env var
+    * instead of a recompile. Unset in production/driver runs: the
+    * defaults are the tuned configuration.
+    */
+  private def withOverrides(b: SparkSession.Builder): SparkSession.Builder = {
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k, v)
+      }
+    b
+  }
+
   def local(cpus: String): SparkSession = {
-    val s = builder(cpus).getOrCreate()
+    val s = withOverrides(builder(cpus)).getOrCreate()
     // WindowExec warns "No Partition Defined ... all the data to a
     // single partition" on EVERY unpartitioned window. All such sites
     // in this engine run over bounded aggregates (year×month series,

@@ -207,31 +207,15 @@ object TextAnalysis {
        |  s -> s.best)""".stripMargin
 
   /** Run-length term counts `array<struct<t,c>>` over a token-array
-    * column, built ROW-LOCALLY from the sorted array: run starts are
-    * the positions where the sorted value changes, run lengths the
-    * distance to the next start. O(n log n) per document, zero
-    * exchange — what reaches a downstream explode is already the
-    * per-(doc, term) count stream, never raw tokens. Intermediate
-    * `_tf_*` columns must be dropped by the caller's final select.
+    * column, built ROW-LOCALLY: one pass of the native TermCounts
+    * kernel (sort + run-length inside the codegen'd scan projection),
+    * so what reaches a downstream explode is already the per-(doc,
+    * term) count stream, never raw tokens. See TermCounts.scala for
+    * why this must NOT be the array_sort/filter/zip_with combinator
+    * form (project collapsing re-sorts per element — O(n² log n)).
     */
-  private def withTfEntries(df: DataFrame, toksCol: String): DataFrame =
-    df.withColumn("_tf_sorted", array_sort(col(toksCol)))
-      .withColumn("_tf_starts", expr(
-        """CASE WHEN size(_tf_sorted) = 0 THEN CAST(array() AS ARRAY<INT>)
-          |ELSE filter(sequence(1, size(_tf_sorted)),
-          |  i -> i = 1 OR element_at(_tf_sorted, i) != element_at(_tf_sorted, i - 1))
-          |END""".stripMargin))
-      .withColumn("_tf_entries", expr(
-        // ends = starts shifted left, closed by n+1; zip_with pads the
-        // SHORTER side with nulls, so the empty case is guarded
-        """CASE WHEN size(_tf_starts) = 0
-          |  THEN CAST(array() AS ARRAY<STRUCT<t: STRING, c: BIGINT>>)
-          |ELSE zip_with(_tf_starts,
-          |  concat(slice(_tf_starts, 2, size(_tf_starts) - 1),
-          |         array(size(_tf_sorted) + 1)),
-          |  (s, e) -> named_struct('t', element_at(_tf_sorted, s),
-          |                         'c', CAST(e - s AS BIGINT)))
-          |END""".stripMargin))
+  private def tfEntries(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.TermCounts.term_counts(toks)
 
   private def topBigrams(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -268,9 +252,8 @@ object TextAnalysis {
     // tf built ROW-LOCALLY (run-length fold over the sorted token
     // array): the raw token stream never shuffles — the first
     // exchange already carries (doc, term, tf) rows
-    val tf = withTfEntries(
-        Tables(spark, dir).documents.withColumn("toks", tokens($"text")), "toks")
-      .select($"doc_id", explode($"_tf_entries").as("e"))
+    val tf = Tables(spark, dir).documents
+      .select($"doc_id", explode(tfEntries(tokens($"text"))).as("e"))
       .select($"doc_id", $"e.t".as("t"), $"e.c".as("tf"))
     // df = rows per term in tf, as an aggregate JOINED back — not a
     // count window over t: WindowExec must sort its partition input,
@@ -481,9 +464,8 @@ object TextAnalysis {
     // sorted token array): what reaches the first exchange is already
     // the (doc, term, k) count stream — the raw token stream never
     // shuffles and never passes through a hash aggregate
-    val dc = withTfEntries(
-        Tables(spark, dir).documents.withColumn("toks", tokens($"text")), "toks")
-      .select($"doc_id", explode($"_tf_entries").as("e"))
+    val dc = Tables(spark, dir).documents
+      .select($"doc_id", explode(tfEntries(tokens($"text"))).as("e"))
       .select($"doc_id", $"e.t".as("t"), $"e.c".as("k"))
     // vocab counts derived FROM dc (Σk per term): the rollup's
     // partial aggregation ships vocab-sized partials only
