@@ -93,13 +93,34 @@ object Similarity {
     val q = v.filter(queryFilter($"vec_id"))
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"), $"nrm".as("q_n"))
     val nQ = queryCount(spark, dir, q)
-    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
-    v.join(boundedProbeSide(q, nQ), $"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id",
-        (dot($"q_e", $"embedding") / ($"q_n" * $"nrm")).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 5)
-      .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), $"cosine")
+    topKRanked(
+      v.join(boundedProbeSide(q, nQ), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (dot($"q_e", $"embedding") / ($"q_n" * $"nrm")).as("cosine")),
+      "cosine", descending = true)
+  }
+
+  /** Group-wise top-5 neighbors per query with a rank column, via the
+    * TopKPerKey operator: the partial pass caps each (partition,
+    * query) at 5 candidates BEFORE the shuffle — the exchange carries
+    * ≤ 5·queries·partitions rows, never the full query×candidate
+    * score stream through a window sort. The rank column is then a
+    * window over ≤ 5 rows per query on the already-clustered output
+    * (partitioning is preserved, so no second exchange). Ties break
+    * on vec_id — the same cross-engine total order the window form
+    * used. Input: (q_id, vec_id, <scoreCol>).
+    */
+  private def topKRanked(scored: DataFrame, scoreCol: String,
+      descending: Boolean, k: Int = 5): DataFrame = {
+    import scored.sparkSession.implicits._
+    import graft.plans.TopKPerKey
+    val top = TopKPerKey(scored, Seq("q_id"),
+      Seq(if (descending) TopKPerKey.desc(scoreCol) else TopKPerKey.asc(scoreCol),
+        TopKPerKey.asc("vec_id")), k)
+    val sort = if (descending) col(scoreCol).desc else col(scoreCol).asc
+    val w = Window.partitionBy($"q_id").orderBy(sort, $"vec_id")
+    top.withColumn("rk", row_number().over(w))
+      .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), col(scoreCol))
   }
 
   private def annBrute(spark: SparkSession, dir: String): DataFrame =
@@ -180,13 +201,11 @@ object Similarity {
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"),
         $"nrm".as("q_n"), $"bucket".as("q_bucket"))
     val nQ = queryCount(spark, dir, q)
-    val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
-    v.join(probeSide(q, nQ), $"bucket" === $"q_bucket" && $"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id",
-        (dot($"q_e", $"embedding") / ($"q_n" * $"nrm")).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 5)
-      .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), $"cosine")
+    topKRanked(
+      v.join(probeSide(q, nQ), $"bucket" === $"q_bucket" && $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (dot($"q_e", $"embedding") / ($"q_n" * $"nrm")).as("cosine")),
+      "cosine", descending = true)
   }
 
   private def annLsh(spark: SparkSession, dir: String): DataFrame =
@@ -314,14 +333,12 @@ object Similarity {
     val probed = ivfProbed(spark, dir).filter($"c_rk" <= nprobe)
       .select($"q_id", $"q_e", $"q_n", $"c_label")
     // search only the probed clusters; probed = queries × nprobe rows
-    val wN = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id")
-    v.join(probeSide(probed, nQ * nprobe),
-        $"label" === $"c_label" && $"vec_id" =!= $"q_id")
-      .select($"q_id", $"vec_id",
-        (dot($"q_e", $"embedding") / ($"q_n" * $"nrm")).as("cosine"))
-      .withColumn("rk", row_number().over(wN))
-      .filter($"rk" <= 5)
-      .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), $"cosine")
+    topKRanked(
+      v.join(probeSide(probed, nQ * nprobe),
+          $"label" === $"c_label" && $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id",
+          (dot($"q_e", $"embedding") / ($"q_n" * $"nrm")).as("cosine")),
+      "cosine", descending = true)
       .resultOrder($"q_id", $"rk")
   }
 
@@ -383,11 +400,17 @@ object Similarity {
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
     val seeds = v.filter($"vec_id" % 50 === 0 && $"vec_id" < 400)
       .select($"vec_id".as("seed_id"), $"embedding".as("s_e"), $"nrm".as("s_n"))
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"seed_id")
-    val assigned = v.crossJoin(broadcast(seeds))
-      .withColumn("cos", dot($"embedding", $"s_e") / ($"nrm" * $"s_n"))
-      .withColumn("rk", row_number().over(wAssign))
-      .filter($"rk" === 1)
+    // nearest-seed assignment is group-wise top-1: the TopKPerKey
+    // operator caps each (partition, vec) at one candidate BEFORE the
+    // shuffle, so the exchange carries ≤ one row per vector instead
+    // of the full vec×seed cross product through a window sort
+    val assigned = graft.plans.TopKPerKey(
+      v.crossJoin(broadcast(seeds))
+        .withColumn("cos", dot($"embedding", $"s_e") / ($"nrm" * $"s_n"))
+        .select($"vec_id", $"seed_id", $"cos"),
+      Seq("vec_id"),
+      Seq(graft.plans.TopKPerKey.desc("cos"), graft.plans.TopKPerKey.asc("seed_id")),
+      1)
     assigned.groupBy($"seed_id".as("cluster_id"))
       .agg(
         count(lit(1)).as("n_members"),
@@ -503,13 +526,18 @@ object Similarity {
       .select($"vec_id", $"embedding", $"nrm", $"bucket")
     val b = v.select($"vec_id".as("b_id"), $"embedding".as("b_e"),
       $"nrm".as("b_n"), $"bucket".as("b_bucket"))
-    val w = Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"b_id")
-    v.join(b.hint("shuffle_hash"),
+    // top-3 per vector via TopKPerKey (partial heap before the
+    // shuffle — see topKRanked): at corpus scale the exchange carries
+    // ≤ 3·n rows instead of the full bucket-pair score stream
+    val scored = v.join(b.hint("shuffle_hash"),
         $"bucket" === $"b_bucket" && $"vec_id" =!= $"b_id")
       .select($"vec_id", $"b_id",
         (dot($"embedding", $"b_e") / ($"nrm" * $"b_n")).as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 3)
+    val top = graft.plans.TopKPerKey(scored, Seq("vec_id"),
+      Seq(graft.plans.TopKPerKey.desc("cosine"),
+        graft.plans.TopKPerKey.asc("b_id")), 3)
+    val w = Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"b_id")
+    top.withColumn("rk", row_number().over(w))
       .select($"vec_id", $"rk", $"b_id".as("neighbor_id"), $"cosine")
   }
 
@@ -633,26 +661,44 @@ object Similarity {
     * and (src, dst) edge set — private[graft] so the spec can drive
     * it on a handmade graph against a sequential recompute.
     */
-  private[graft] def pagerankRanks(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  /** Graph-INDEX preparation: the degree-weighted edge list
+    * partitioned by src, the node set partitioned by id, and the node
+    * count — artifacts the unrolled plan would otherwise re-derive in
+    * every iteration (5× the deg aggregation + 5× the edges⋈deg join,
+    * 6× the count). Both big frames are HASH-PARTITIONED ON THEIR
+    * JOIN KEY and checkpointed, so inside [[pagerankIter]] every join
+    * is co-partitioned: rank carries hash(id) out of each update
+    * (alias-aware partitioning propagation through the renames), so
+    * the edges⋈rank join and the nodes⋈contrib update both plan with
+    * ZERO additional exchange — each iteration pays exactly one
+    * shuffle, the dst contribution reduction.
+    */
+  private[graft] def prepPagerank(nodes: DataFrame, edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     import nodes.sparkSession.implicits._
-    // the degree-weighted edge list and the corpus count are
-    // graph-INDEX artifacts that the unrolled plan would otherwise
-    // re-derive in every iteration (5× the deg aggregation + 5× the
-    // edges⋈deg join, 6× the count): pre-join out-degrees onto the
-    // edges ONCE, partitioned by src and checkpointed — each unrolled
-    // iteration is then ONE join (rank shuffled to the edge
-    // partitioning) + the dst reduction
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val edgesW = edges.join(deg, "src")
       .repartition($"src").localCheckpoint()
+    val nodesP = nodes.repartition($"id").localCheckpoint()
     val nRow = nodes.agg(count(lit(1)).as("n_nodes")).localCheckpoint()
-    var rank = nodes.crossJoin(broadcast(nRow))
+    (nodesP, edgesW, nRow)
+  }
+
+  private[graft] def pagerankRanks(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val (nodesP, edgesW, nRow) = prepPagerank(nodes, edges)
+    pagerankIter(nodesP, edgesW, nRow)
+  }
+
+  private def pagerankIter(nodesP: DataFrame, edgesW: DataFrame,
+      nRow: DataFrame): DataFrame = {
+    import nodesP.sparkSession.implicits._
+    var rank = nodesP.crossJoin(broadcast(nRow))
       .select($"id", expr(s"${prScale}L div n_nodes").as("r"))
     for (_ <- 1 to prIters) {
       val contrib = edgesW.join(rank.withColumnRenamed("id", "src"), "src")
         .select($"dst", expr("r div deg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("contrib"))
-      rank = nodes.join(contrib, $"id" === $"dst", "left")
+      rank = nodesP.join(contrib, $"id" === $"dst", "left")
         .crossJoin(broadcast(nRow))
         .select($"id", expr(
           s"((${prScale}L div $prDampDen) * $prBaseNum) div n_nodes" +
@@ -661,12 +707,28 @@ object Similarity {
     rank
   }
 
+  /** The prepared graph frames per (session, corpus) — index-build
+    * artifacts like lshIndex/ivfCentroids, cached (and clearAll-
+    * registered, so PlanSpec still asserts the full derivation) so
+    * steady-state reruns skip the three materialization jobs.
+    */
+  private val prNodesCache = new graft.PlanCache()
+  private val prEdgesCache = new graft.PlanCache()
+  private val prCountCache = new graft.PlanCache()
+
   private def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val nodes = Tables(spark, dir).embeddings.select($"vec_id".as("id"))
-    val edges = knnEdges(spark, dir)
+    def nodes = Tables(spark, dir).embeddings.select($"vec_id".as("id"))
+    def edges = knnEdges(spark, dir)
       .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
-    pagerankRanks(nodes, edges)
+    val nodesP = prNodesCache.getOrBuild(spark, dir)(
+      nodes.repartition($"id").localCheckpoint())
+    val edgesW = prEdgesCache.getOrBuild(spark, dir)(
+      edges.join(edges.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
+        .repartition($"src").localCheckpoint())
+    val nRow = prCountCache.getOrBuild(spark, dir)(
+      nodes.agg(count(lit(1)).as("n_nodes")).localCheckpoint())
+    pagerankIter(nodesP, edgesW, nRow)
       .select($"id".as("vec_id"), $"r".as("pr"))
       .resultOrder($"vec_id")
   }
@@ -895,12 +957,10 @@ object Similarity {
     val codes = pqCodes(spark, dir)
     val qmaps = pqQueryMaps(dists)
     val nQ = queryCount(spark, dir, qv.filter(queryFilter($"vec_id")))
-    val w = Window.partitionBy($"q_id").orderBy($"adc_dist", $"vec_id")
-    codes.join(boundedProbeSide(qmaps, nQ), $"q_id" =!= $"vec_id")
-      .withColumn("adc_dist", adcDist)
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 5)
-      .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), $"adc_dist")
+    topKRanked(
+      codes.join(boundedProbeSide(qmaps, nQ), $"q_id" =!= $"vec_id")
+        .select($"q_id", $"vec_id", adcDist.as("adc_dist")),
+      "adc_dist", descending = false)
       .resultOrder($"q_id", $"rk")
   }
 
@@ -973,13 +1033,11 @@ object Similarity {
     // each probe row carries its query's ADC table; the scoring join
     // below is equi on the cluster key, ADC only within probed clusters
     val probes = probed.join(pqQueryMaps(dists), "q_id")
-    val w = Window.partitionBy($"q_id").orderBy($"adc_dist", $"vec_id")
-    labeled.join(probeSide(probes, nQ * ivfPqNprobe),
-        $"label" === $"c_label" && $"vec_id" =!= $"q_id")
-      .withColumn("adc_dist", adcDist)
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 5)
-      .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), $"adc_dist")
+    topKRanked(
+      labeled.join(probeSide(probes, nQ * ivfPqNprobe),
+          $"label" === $"c_label" && $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id", adcDist.as("adc_dist")),
+      "adc_dist", descending = false)
       .resultOrder($"q_id", $"rk")
   }
 
