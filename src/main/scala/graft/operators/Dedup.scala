@@ -678,22 +678,23 @@ object Dedup {
     // PlanSpec asserts the no-broadcast property.
     val candIds = cand.select(explode(array($"a_id", $"b_id")).as("doc_id"))
       .distinct()
+    // the per-doc size rides the candidate postings (the sizes join
+    // keys on doc_id like the semi-join, so it REUSES the same hash
+    // partitioning — no extra exchange on the posting side) and flows
+    // through the shingle join as an 8-byte column; the old tail
+    // joined sizes twice onto the verified pairs instead, two more
+    // shuffle stages for the same arithmetic
     val postingC = posting.join(candIds.hint("shuffle_hash"),
       Seq("doc_id"), "left_semi")
-    val common = postingC.select($"doc_id".as("a_id"), $"shingle")
-      .join(postingC.select($"doc_id".as("b_id"), $"shingle".as("b_shingle")),
+      .join(docShingleSizes(spark, dir).hint("shuffle_hash"), "doc_id")
+    val common = postingC.select($"doc_id".as("a_id"), $"shingle", $"n_sh".as("a_n"))
+      .join(postingC.select($"doc_id".as("b_id"), $"shingle".as("b_shingle"),
+        $"n_sh".as("b_n")),
         $"shingle" === $"b_shingle" && $"a_id" < $"b_id")
       .groupBy($"a_id", $"b_id")
-      .agg(count(lit(1)).as("n_common"))
-    // sizes come from the cached per-doc aggregate (one row per doc;
-    // the join below keys on the candidate ids, so only candidate
-    // rows flow into the verification)
-    val sizes = docShingleSizes(spark, dir)
+      .agg(count(lit(1)).as("n_common"),
+        min($"a_n").as("a_n"), min($"b_n").as("b_n")) // constant per pair
     cand.join(common.hint("shuffle_hash"), Seq("a_id", "b_id"))
-      .join(sizes.select($"doc_id".as("a_id"), $"n_sh".as("a_n"))
-        .hint("shuffle_hash"), "a_id")
-      .join(sizes.select($"doc_id".as("b_id"), $"n_sh".as("b_n"))
-        .hint("shuffle_hash"), "b_id")
       .withColumn("jaccard", $"n_common".cast(DoubleType) /
         ($"a_n" + $"b_n" - $"n_common").cast(DoubleType))
       .filter($"jaccard" >= minJaccard)

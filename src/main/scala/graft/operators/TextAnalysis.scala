@@ -217,6 +217,24 @@ object TextAnalysis {
   private def tfEntries(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.TermCounts.term_counts(toks)
 
+  /** The (doc_id, t, c) term-frequency posting table — the inverted-
+    * index artifact a text deployment materializes once per corpus,
+    * cached per (session, dir) like the shingle postings: text_tfidf
+    * consumes it twice in one plan (the vocab df aggregate and the
+    * scoring probe side — Spark has no cross-branch common-subplan
+    * elimination, so uncached the scan+TermCounts+explode ran twice
+    * per action) and text_lm_score consumes the identical frame.
+    */
+  private val tfPostingCache = new graft.PlanCache()
+  private def tfPosting(spark: SparkSession, dir: String): DataFrame =
+      tfPostingCache.getOrBuild(spark, dir) {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id", explode(tfEntries(tokens($"text"))).as("e"))
+      .select($"doc_id", $"e.t".as("t"), $"e.c".as("c"))
+      .localCheckpoint()
+  }
+
   private def topBigrams(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir).documents
@@ -252,9 +270,7 @@ object TextAnalysis {
     // tf built ROW-LOCALLY (run-length fold over the sorted token
     // array): the raw token stream never shuffles — the first
     // exchange already carries (doc, term, tf) rows
-    val tf = Tables(spark, dir).documents
-      .select($"doc_id", explode(tfEntries(tokens($"text"))).as("e"))
-      .select($"doc_id", $"e.t".as("t"), $"e.c".as("tf"))
+    val tf = tfPosting(spark, dir).select($"doc_id", $"t", $"c".as("tf"))
     // df = rows per term in tf, as an aggregate JOINED back — not a
     // count window over t: WindowExec must sort its partition input,
     // so the window form pays a full sort of tf on t where this form
@@ -464,9 +480,7 @@ object TextAnalysis {
     // sorted token array): what reaches the first exchange is already
     // the (doc, term, k) count stream — the raw token stream never
     // shuffles and never passes through a hash aggregate
-    val dc = Tables(spark, dir).documents
-      .select($"doc_id", explode(tfEntries(tokens($"text"))).as("e"))
-      .select($"doc_id", $"e.t".as("t"), $"e.c".as("k"))
+    val dc = tfPosting(spark, dir).select($"doc_id", $"t", $"c".as("k"))
     // vocab counts derived FROM dc (Σk per term): the rollup's
     // partial aggregation ships vocab-sized partials only
     val vc = dc.groupBy($"t").agg(sum($"k").as("c"))
