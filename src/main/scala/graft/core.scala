@@ -40,6 +40,13 @@ object GraftSession {
       // fewer tasks. Keep the default (parallelism-first) locally;
       // flip it on a real cluster where executor count ≫ partition
       // sizing.
+      // NOTE (measured, r7): retested with SMALL advisory sizes (4m,
+      // 16m) to rule out the 64m-over-coalescing confound — still
+      // 12-14% slower than the defaults (66.6/67.6 vs 59.1 s at
+      // matched ~0.29 s/stage host floors), and AQE fully OFF is ~20%
+      // slower (75.8 vs 63.4). The defaults are the measured optimum
+      // for this suite; SPARK_GRAFT_CONF exists for re-running these
+      // A/Bs in one env var.
       .config("spark.ui.enabled", "false")
 
   /** Dev A/B hook: SPARK_GRAFT_CONF="k=v;k=v" lands as session confs

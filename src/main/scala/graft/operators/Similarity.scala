@@ -692,13 +692,20 @@ object Similarity {
   private def pagerankIter(nodesP: DataFrame, edgesW: DataFrame,
       nRow: DataFrame): DataFrame = {
     import nodesP.sparkSession.implicits._
+    // SHUFFLE_HASH on the rank/contrib sides: both joins are already
+    // co-partitioned (hash(id) ≡ hash(src/dst) via alias propagation),
+    // so the hint's only effect is picking hash join over sort-merge —
+    // the stats-less checkpointed inputs otherwise get TWO sorts per
+    // join, 3× per iteration; the hash build is the rank table, O(n)
+    // per partition, the same memory the SMJ sort buffer held
     var rank = nodesP.crossJoin(broadcast(nRow))
       .select($"id", expr(s"${prScale}L div n_nodes").as("r"))
     for (_ <- 1 to prIters) {
-      val contrib = edgesW.join(rank.withColumnRenamed("id", "src"), "src")
+      val contrib = edgesW
+        .join(rank.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
         .select($"dst", expr("r div deg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("contrib"))
-      rank = nodesP.join(contrib, $"id" === $"dst", "left")
+      rank = nodesP.join(contrib.hint("shuffle_hash"), $"id" === $"dst", "left")
         .crossJoin(broadcast(nRow))
         .select($"id", expr(
           s"((${prScale}L div $prDampDen) * $prBaseNum) div n_nodes" +

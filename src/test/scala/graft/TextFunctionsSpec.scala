@@ -58,6 +58,54 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(hof == exploded)
   }
 
+  test("term_counts equals a sequential multiset recompute and compiles under codegen") {
+    // the kernel's contract: ascending binary term order, exact
+    // multiplicities, empty-in → empty-out, SQL-registered; with
+    // fallback disabled a janino failure throws instead of silently
+    // running interpreted (the kernel sits in corpus-scan hot paths)
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = Tables(spark, sf).documents.limit(100)
+        .select($"doc_id",
+          graft.functions.TermCounts.term_counts(
+            TextFunctions.tokens($"text")).as("tc"))
+        .selectExpr("doc_id", "tc")
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1)
+            .map(e => e.getString(0) -> e.getLong(1)))
+        .toMap
+      val want = Tables(spark, sf).documents.limit(100)
+        .select("doc_id", "text").collect()
+        .map { r =>
+          val counts = r.getString(1).split(" ", -1)
+            .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+            .sortBy(_._1)
+          r.getLong(0) -> counts
+        }.toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (id, entries) =>
+        assert(entries == want(id), s"doc $id term counts diverge")
+        assert(entries == entries.sortBy(_._1), s"doc $id not term-sorted")
+      }
+      // SQL surface: registered by GraftExtensions like the other kernels
+      val viaSql = spark.sql(
+        "SELECT term_counts(array('b','a','b')) AS tc").first()
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(e => e.getString(0) -> e.getLong(1))
+      assert(viaSql == Seq("a" -> 1L, "b" -> 2L))
+      assert(spark.sql(
+        "SELECT size(term_counts(CAST(array() AS ARRAY<STRING>))) AS n")
+        .first().getInt(0) == 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("token_set_count equals the HOF filter count and compiles under codegen") {
     // the native kernel must reproduce the MULTISET count (every
     // occurrence — array_intersect-style distinct counting would be a
