@@ -52,6 +52,19 @@ object GraftExtensions {
       graft.functions.TermCounts(exprs.head))
   )
 
+  // install()'s functionExists idempotency check consults the SESSION
+  // registry, which is pre-populated with every Spark built-in — a
+  // kernel named like a built-in would silently never register and
+  // SQL would run the built-in with different semantics. Fail at
+  // class-load instead of at first wrong query.
+  {
+    val builtin = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+    val clashes = functions.map(_._1)
+      .filter(n => builtin.functionExists(FunctionIdentifier(n)))
+    require(clashes.isEmpty,
+      s"graft kernel name(s) collide with Spark built-ins: ${clashes.mkString(",")}")
+  }
+
   /** Register on an already-running session. */
   def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {

@@ -65,17 +65,27 @@ object TradeCatalog {
     require(Files.isDirectory(rootPath),
       s"no warehouse at $root — run publish (the ETL) first")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    val dirs = Files.list(rootPath)
-    try {
-      import scala.jdk.CollectionConverters._
-      dirs.iterator().asScala
-        .filter(p => Files.isDirectory(p) && !p.getFileName.toString.startsWith("."))
-        .map { p =>
-          val table = p.getFileName.toString
-          spark.sql(s"CREATE TABLE IF NOT EXISTS $db.`$table` " +
-            s"USING parquet LOCATION '${p.toAbsolutePath}'")
-          table
-        }.toSeq.sorted
-    } finally dirs.close()
+    // only the KNOWN model tables are attached (a crashed publish can
+    // leave partial/staging directories under the shared tmp root —
+    // registering arbitrary subdirectories would serve truncated data
+    // with no error), and a pre-existing catalog entry pointing at a
+    // DIFFERENT location is re-pointed rather than silently winning
+    // over the requested root (CREATE TABLE IF NOT EXISTS would
+    // no-op and leave reads on the stale warehouse).
+    models.map(_._1).filter(t => Files.isDirectory(rootPath.resolve(t)))
+      .map { table =>
+        val loc = rootPath.resolve(table).toAbsolutePath.toString
+        val existing = spark.catalog.tableExists(s"$db.$table")
+        val samePath = existing &&
+          spark.sql(s"DESCRIBE TABLE EXTENDED $db.`$table`")
+            .filter("col_name = 'Location'")
+            .collect().headOption.exists(_.getString(1).endsWith(loc))
+        if (existing && !samePath) spark.sql(s"DROP TABLE $db.`$table`")
+        if (!existing || !samePath) {
+          spark.sql(s"CREATE TABLE $db.`$table` " +
+            s"USING parquet LOCATION '$loc'")
+        }
+        table
+      }.sorted
   }
 }

@@ -113,6 +113,13 @@ final case class TradeParams(
     yearTo: Option[Int] = None,
     flows: Option[Set[String]] = None,      // subset of {export, import}
     categories: Option[Seq[String]] = None) {
+  // fail fast on an unknown flow name: flowFilter would otherwise
+  // reduce to lit(false) and every dashboard panel would silently
+  // render empty ("sin datos") on a CLI typo like `Export`
+  flows.foreach(f => require(f.nonEmpty && f.subsetOf(TradeParams.knownFlows),
+    s"unknown flow(s) ${f.diff(TradeParams.knownFlows).mkString(",")} — " +
+      s"expected a non-empty subset of ${TradeParams.knownFlows.mkString(",")}"))
+
   def isEmpty: Boolean =
     yearFrom.isEmpty && yearTo.isEmpty && flows.isEmpty && categories.isEmpty
 
@@ -130,8 +137,11 @@ final case class TradeParams(
     }
 
   private def dateRange(c: Column): Column = {
+    // upper bound is EXCLUSIVE next-year-start: the filtered columns
+    // are timestamps, and `<= yyyy-12-31` (midnight) would drop a
+    // non-midnight Dec 31 row that year(col) still assigns to yearTo
     val lo = yearFrom.map(y => c >= to_date(lit(f"$y%04d-01-01")))
-    val hi = yearTo.map(y => c <= to_date(lit(f"$y%04d-12-31")))
+    val hi = yearTo.map(y => c < to_date(lit(f"${y + 1}%04d-01-01")))
     (lo ++ hi).reduceOption(_ && _).getOrElse(lit(true))
   }
   private def flowFilter(c: Column, exportVal: String, importVal: Option[String]): Column =
@@ -154,6 +164,9 @@ final case class TradeParams(
 }
 
 object TradeParams {
+  /** The flow vocabulary the reference UI's checkboxes expose. */
+  val knownFlows: Set[String] = Set("export", "import")
+
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
   /** Split a possibly-decorated dir into (filesystem path, params). */

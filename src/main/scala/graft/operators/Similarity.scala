@@ -673,16 +673,23 @@ object Similarity {
     * ZERO additional exchange — each iteration pays exactly one
     * shuffle, the dst contribution reduction.
     */
-  private[graft] def prepPagerank(nodes: DataFrame, edges: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
+  private def prepNodes(nodes: DataFrame): DataFrame = {
     import nodes.sparkSession.implicits._
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    val edgesW = edges.join(deg, "src")
-      .repartition($"src").localCheckpoint()
-    val nodesP = nodes.repartition($"id").localCheckpoint()
-    val nRow = nodes.agg(count(lit(1)).as("n_nodes")).localCheckpoint()
-    (nodesP, edgesW, nRow)
+    nodes.repartition($"id").localCheckpoint()
   }
+  private def prepEdges(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    edges.join(edges.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
+      .repartition($"src").localCheckpoint()
+  }
+  private def prepCount(nodes: DataFrame): DataFrame = {
+    import nodes.sparkSession.implicits._
+    nodes.agg(count(lit(1)).as("n_nodes")).localCheckpoint()
+  }
+
+  private[graft] def prepPagerank(nodes: DataFrame, edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) =
+    (prepNodes(nodes), prepEdges(edges), prepCount(nodes))
 
   private[graft] def pagerankRanks(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val (nodesP, edgesW, nRow) = prepPagerank(nodes, edges)
@@ -728,13 +735,11 @@ object Similarity {
     def nodes = Tables(spark, dir).embeddings.select($"vec_id".as("id"))
     def edges = knnEdges(spark, dir)
       .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
-    val nodesP = prNodesCache.getOrBuild(spark, dir)(
-      nodes.repartition($"id").localCheckpoint())
-    val edgesW = prEdgesCache.getOrBuild(spark, dir)(
-      edges.join(edges.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
-        .repartition($"src").localCheckpoint())
-    val nRow = prCountCache.getOrBuild(spark, dir)(
-      nodes.agg(count(lit(1)).as("n_nodes")).localCheckpoint())
+    // the same three builders pagerankRanks (the spec path) runs —
+    // one source of truth for the derivation, cached per corpus here
+    val nodesP = prNodesCache.getOrBuild(spark, dir)(prepNodes(nodes))
+    val edgesW = prEdgesCache.getOrBuild(spark, dir)(prepEdges(edges))
+    val nRow = prCountCache.getOrBuild(spark, dir)(prepCount(nodes))
     pagerankIter(nodesP, edgesW, nRow)
       .select($"id".as("vec_id"), $"r".as("pr"))
       .resultOrder($"vec_id")
@@ -1035,6 +1040,11 @@ object Similarity {
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"), $"nrm".as("q_n"))
     val nQ = queryCount(spark, dir, q)
     // probe routing shared with ann_ivf/_multiprobe (see ivfProbed)
+    require(ivfPqNprobe <= ivfProbeMax,
+      s"ivfPqNprobe $ivfPqNprobe > cached ivfProbeMax $ivfProbeMax — " +
+        "the probe routing cache only holds ivfProbeMax ranks; raising " +
+        "nprobe without raising ivfProbeMax would silently truncate " +
+        "the routing (the SQL twin computes the full ranking)")
     val probed = ivfProbed(spark, dir).filter($"c_rk" <= ivfPqNprobe)
       .select($"q_id", $"c_label")
     // each probe row carries its query's ADC table; the scoring join

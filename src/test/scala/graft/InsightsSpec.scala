@@ -113,8 +113,26 @@ class InsightsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
     assert(p.contains("GreaterThanOrEqual(o_orderdate,1996-01-01"), p)
-    assert(p.contains("<= 1998-12-31"), p)
+    // exclusive next-year-start bound (see TradeParams.dateRange: a
+    // closed `<= 1998-12-31` midnight bound would drop non-midnight
+    // Dec 31 timestamps that year() still assigns to 1998)
+    assert(p.contains("< 1999-01-01"), p)
     assert(p.contains("= F)"), p)
+  }
+
+  test("unknown or empty flow sets fail fast instead of filtering to zero rows") {
+    // flowFilter would otherwise reduce to lit(false) on a CLI typo
+    // and every panel would silently render empty
+    intercept[IllegalArgumentException] {
+      TradeParams(flows = Some(Set("Export"))) // capitalized typo
+    }
+    intercept[IllegalArgumentException] {
+      TradeParams(flows = Some(Set.empty[String]))
+    }
+    intercept[IllegalArgumentException] {
+      TradeParams.parseDir("/x#flow=exprot")
+    }
+    assert(!TradeParams(flows = Some(Set("export"))).isEmpty)
   }
 
   test("dashboard category multiselect prunes the part dimension scan") {

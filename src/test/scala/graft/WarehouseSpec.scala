@@ -121,6 +121,29 @@ class WarehouseSpec extends AnyFunSuite {
           java.nio.file.Paths.get(root, t)).toMillis == mtimes(t),
           s"attach must not rewrite $t")
       }
+
+      // attach against a SECOND warehouse root must re-point the
+      // existing catalog entries at the new location, not silently
+      // no-op onto the stale one (the CREATE TABLE IF NOT EXISTS trap)
+      val root2 = java.nio.file.Files.createTempDirectory("graft-cat-test2").toString
+      try {
+        TradeCatalog.publish(spark, sf, root2)
+        TradeCatalog.attach(spark, root)           // back to root ONE
+        val loc = spark.sql(
+          s"DESCRIBE TABLE EXTENDED ${TradeCatalog.db}.trade")
+          .filter("col_name = 'Location'").collect().head.getString(1)
+        assert(loc.contains(root) && !loc.contains(root2),
+          s"attach(root) left the entry on $loc")
+        // a crashed-publish leftover dir must NOT be registered
+        java.nio.file.Files.createDirectory(
+          java.nio.file.Paths.get(root, "_partial_junk"))
+        assert(!TradeCatalog.attach(spark, root).contains("_partial_junk"))
+      } finally {
+        val walk2 = java.nio.file.Files.walk(java.nio.file.Paths.get(root2))
+        try walk2.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk2.close()
+      }
     } finally {
       TradeCatalog.models.foreach { case (t, _) =>
         spark.sql(s"DROP TABLE IF EXISTS ${TradeCatalog.db}.`$t`")
