@@ -35,6 +35,40 @@ class PropertySpec extends AnyFunSuite {
     }, 20)
   }
 
+  test("TermCounts equals the multiset model on arbitrary token arrays") {
+    // the model: group by token, count, sort by key via UTF-8 BYTE
+    // order (what UTF8String.compareTo and Spark's string sort use —
+    // NOT String.compareTo, which orders by UTF-16 code unit and
+    // diverges on supplementary-plane characters)
+    def byteLt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    // tokens deliberately include the empty string, repeats, and
+    // non-ASCII (Latin-1 + CJK + an astral emoji) — the classes the
+    // corpus never exercises
+    val tokGen = Gen.oneOf(
+      Gen.const(""), Gen.const("a"), Gen.const("b"),
+      Gen.stringOfN(2, Gen.alphaNumChar),
+      Gen.oneOf("é", "ü", "字", "语", "😀"))
+    check(Prop.forAll(Gen.listOf(tokGen)) { toks =>
+      val want = toks.groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortWith((p, q) => byteLt(p._1, q._1))
+      val got = Seq(Tuple1(toks)).toDF("toks")
+        .select(graft.functions.TermCounts.term_counts($"toks").as("tc"))
+        .first().getSeq[org.apache.spark.sql.Row](0)
+        .map(e => e.getString(0) -> e.getLong(1))
+      got == want
+    }, 30)
+  }
+
   test("canonicalUrl is idempotent and form-insensitive on generated URLs") {
     // a canonicalizer that is not a projection (canon ∘ canon ≠
     // canon) silently splits groups when crawl records are
