@@ -107,20 +107,21 @@ object Similarity {
     * score stream through a window sort. The rank column is then a
     * window over ≤ 5 rows per query on the already-clustered output
     * (partitioning is preserved, so no second exchange). Ties break
-    * on vec_id — the same cross-engine total order the window form
-    * used. Input: (q_id, vec_id, <scoreCol>).
+    * on the neighbor id — the same cross-engine total order the
+    * window form used. Input: (keyCol, nbrCol, <scoreCol>); output:
+    * (keyCol, rk, neighbor_id, scoreCol).
     */
   private def topKRanked(scored: DataFrame, scoreCol: String,
-      descending: Boolean, k: Int = 5): DataFrame = {
-    import scored.sparkSession.implicits._
+      descending: Boolean, k: Int = 5,
+      keyCol: String = "q_id", nbrCol: String = "vec_id"): DataFrame = {
     import graft.plans.TopKPerKey
-    val top = TopKPerKey(scored, Seq("q_id"),
+    val top = TopKPerKey(scored, Seq(keyCol),
       Seq(if (descending) TopKPerKey.desc(scoreCol) else TopKPerKey.asc(scoreCol),
-        TopKPerKey.asc("vec_id")), k)
+        TopKPerKey.asc(nbrCol)), k)
     val sort = if (descending) col(scoreCol).desc else col(scoreCol).asc
-    val w = Window.partitionBy($"q_id").orderBy(sort, $"vec_id")
+    val w = Window.partitionBy(col(keyCol)).orderBy(sort, col(nbrCol))
     top.withColumn("rk", row_number().over(w))
-      .select($"q_id", $"rk", $"vec_id".as("neighbor_id"), col(scoreCol))
+      .select(col(keyCol), col("rk"), col(nbrCol).as("neighbor_id"), col(scoreCol))
   }
 
   private def annBrute(spark: SparkSession, dir: String): DataFrame =
@@ -529,16 +530,12 @@ object Similarity {
     // top-3 per vector via TopKPerKey (partial heap before the
     // shuffle — see topKRanked): at corpus scale the exchange carries
     // ≤ 3·n rows instead of the full bucket-pair score stream
-    val scored = v.join(b.hint("shuffle_hash"),
-        $"bucket" === $"b_bucket" && $"vec_id" =!= $"b_id")
-      .select($"vec_id", $"b_id",
-        (dot($"embedding", $"b_e") / ($"nrm" * $"b_n")).as("cosine"))
-    val top = graft.plans.TopKPerKey(scored, Seq("vec_id"),
-      Seq(graft.plans.TopKPerKey.desc("cosine"),
-        graft.plans.TopKPerKey.asc("b_id")), 3)
-    val w = Window.partitionBy($"vec_id").orderBy($"cosine".desc, $"b_id")
-    top.withColumn("rk", row_number().over(w))
-      .select($"vec_id", $"rk", $"b_id".as("neighbor_id"), $"cosine")
+    topKRanked(
+      v.join(b.hint("shuffle_hash"),
+          $"bucket" === $"b_bucket" && $"vec_id" =!= $"b_id")
+        .select($"vec_id", $"b_id",
+          (dot($"embedding", $"b_e") / ($"nrm" * $"b_n")).as("cosine")),
+      "cosine", descending = true, k = 3, keyCol = "vec_id", nbrCol = "b_id")
   }
 
   private def annKnnGraph(spark: SparkSession, dir: String): DataFrame = {

@@ -206,17 +206,6 @@ object TextAnalysis {
        |    'best', GREATEST(s.best, IF(x <=> s.prev, s.run + 1L, 1L))),
        |  s -> s.best)""".stripMargin
 
-  /** Run-length term counts `array<struct<t,c>>` over a token-array
-    * column, built ROW-LOCALLY: one pass of the native TermCounts
-    * kernel (sort + run-length inside the codegen'd scan projection),
-    * so what reaches a downstream explode is already the per-(doc,
-    * term) count stream, never raw tokens. See TermCounts.scala for
-    * why this must NOT be the array_sort/filter/zip_with combinator
-    * form (project collapsing re-sorts per element — O(n² log n)).
-    */
-  private def tfEntries(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    graft.functions.TermCounts.term_counts(toks)
-
   /** The (doc_id, t, c) term-frequency posting table — the inverted-
     * index artifact a text deployment materializes once per corpus,
     * cached per (session, dir) like the shingle postings: text_tfidf
@@ -230,7 +219,8 @@ object TextAnalysis {
       tfPostingCache.getOrBuild(spark, dir) {
     import spark.implicits._
     Tables(spark, dir).documents
-      .select($"doc_id", explode(tfEntries(tokens($"text"))).as("e"))
+      .select($"doc_id",
+        explode(graft.functions.TermCounts.term_counts(tokens($"text"))).as("e"))
       .select($"doc_id", $"e.t".as("t"), $"e.c".as("c"))
       .localCheckpoint()
   }

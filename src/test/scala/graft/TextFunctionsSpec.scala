@@ -70,7 +70,6 @@ class TextFunctionsSpec extends AnyFunSuite {
         .select($"doc_id",
           graft.functions.TermCounts.term_counts(
             TextFunctions.tokens($"text")).as("tc"))
-        .selectExpr("doc_id", "tc")
         .collect()
         .map(r => r.getLong(0) ->
           r.getSeq[org.apache.spark.sql.Row](1)
