@@ -53,6 +53,7 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val orderExprs = order
     val limit = k
+    val isPartial = partial
     val childOutput = child.output
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -61,7 +62,8 @@ case class TopKPerKeyExec(
       // under `order`; kept as a sorted buffer since k is small
       val heaps = collection.mutable.HashMap
         .empty[UnsafeRow, collection.mutable.ArrayBuffer[UnsafeRow]]
-      iter.foreach { row =>
+
+      def add(row: InternalRow): Unit = {
         val key = keyProj(row).copy()
         val buf = heaps.getOrElseUpdate(key,
           collection.mutable.ArrayBuffer.empty[UnsafeRow])
@@ -80,12 +82,54 @@ case class TopKPerKeyExec(
           if (i < 0) buf += r else buf.insert(i, r)
         }
       }
-      heaps.iterator.flatMap(_._2.iterator)
+
+      if (isPartial) {
+        // BOUNDED partial state: the map holds one heap per distinct
+        // key seen in this partition — on a corpus-keyed input (e.g.
+        // the kNN-graph build, key = every vector) that is O(keys)
+        // memory with no spill path. Same discipline as Spark's
+        // partial hash aggregation under memory pressure: past the
+        // key cap, FLUSH the accumulated heaps downstream and reset.
+        // Correctness is unaffected (the final pass does the exact
+        // per-key top-k on clustered input); a flush only means less
+        // pre-shuffle reduction for the flushed stretch.
+        val maxKeys = TopKPerKeyExec.partialFlushKeys
+        new Iterator[InternalRow] {
+          private var drain: Iterator[InternalRow] = Iterator.empty
+          private def refill(): Unit = {
+            while (drain.isEmpty && iter.hasNext) {
+              add(iter.next())
+              if (heaps.size >= maxKeys || !iter.hasNext) {
+                val out = heaps.values.flatMap(_.iterator).toArray
+                heaps.clear()
+                drain = out.iterator
+              }
+            }
+          }
+          override def hasNext: Boolean = { refill(); drain.hasNext }
+          override def next(): InternalRow = { refill(); drain.next() }
+        }
+      } else {
+        // final pass: input is clustered on the keys and already
+        // reduced to ≤ k·partitions rows per key by the partials
+        iter.foreach(add)
+        heaps.iterator.flatMap(_._2.iterator)
+      }
     }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** Distinct-key cap on a partial instance's in-memory state before
+    * it flushes heaps downstream and resets (spill-free bounded
+    * memory). Var so the spec can exercise the flush path with a tiny
+    * cap; production value covers any realistic per-partition key
+    * count at ≤ k rows each.
+    */
+  @volatile private[graft] var partialFlushKeys: Int = 1 << 20
 }
 
 /** Plans TopKPerKey as partial → (shuffle to clustered) → final. */

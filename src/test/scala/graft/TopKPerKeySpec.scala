@@ -33,6 +33,27 @@ class TopKPerKeySpec extends AnyFunSuite {
       "missing clustering exchange")
   }
 
+  test("partial flush under a tiny key cap changes nothing but memory") {
+    // corpus-keyed inputs (kNN graph: key = every vector) would grow
+    // the partial pass's heap map without bound; past the key cap it
+    // flushes downstream and resets — the final pass still computes
+    // the exact per-key top-k, a flush only reduces pre-shuffle
+    // reduction. Force the flush path with a cap far below the
+    // distinct key count (orders has ~thousands of o_orderkey keys).
+    val keyed = Tables(spark, sf).orders
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+    def run() = TopKPerKey(keyed, Seq("o_orderkey"),
+        Seq(TopKPerKey.desc("o_totalprice"), TopKPerKey.asc("o_orderpriority")), 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val unflushed = run()
+    val prev = graft.plans.TopKPerKeyExec.partialFlushKeys
+    graft.plans.TopKPerKeyExec.partialFlushKeys = 7
+    try {
+      assert(run() == unflushed, "flush path changed the result set")
+    } finally graft.plans.TopKPerKeyExec.partialFlushKeys = prev
+    assert(unflushed.size == keyed.select($"o_orderkey").distinct().count())
+  }
+
   test("handles groups smaller than k and k=1") {
     val one = TopKPerKey(base, Seq("o_orderpriority"),
       Seq(TopKPerKey.desc("o_totalprice")), 1)
