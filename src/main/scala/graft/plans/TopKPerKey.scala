@@ -97,13 +97,13 @@ case class TopKPerKeyExec(
         new Iterator[InternalRow] {
           private var drain: Iterator[InternalRow] = Iterator.empty
           private def refill(): Unit = {
-            while (drain.isEmpty && iter.hasNext) {
-              add(iter.next())
-              if (heaps.size >= maxKeys || !iter.hasNext) {
-                val out = heaps.values.flatMap(_.iterator).toArray
-                heaps.clear()
-                drain = out.iterator
-              }
+            if (drain.hasNext) return
+            // accumulate until the key cap or end of input, then
+            // flush the heaps as the next drain batch
+            while (iter.hasNext && heaps.size < maxKeys) add(iter.next())
+            if (heaps.nonEmpty) {
+              drain = heaps.values.flatMap(_.iterator).toArray.iterator
+              heaps.clear()
             }
           }
           override def hasNext: Boolean = { refill(); drain.hasNext }
