@@ -18,6 +18,27 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
   }
 
+  test("ANN top-k rankings plan as TopKPerKey, not a window over the score stream") {
+    // the exchange must carry <= k*queries*partitions rows (partial
+    // heap BEFORE the shuffle); a regression back to a row_number
+    // window would shuffle and fully sort every scored candidate.
+    // Two exec nodes = partial + final; the rank window that remains
+    // runs over <= k already-clustered rows per key.
+    Seq("ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq",
+        "ann_kmeans_step").foreach { q =>
+      val p = plan(q)
+      val n = "TopKPerKey \\[".r.findAllIn(p).size
+      assert(n >= 2, s"$q: expected partial+final TopKPerKey nodes, found $n:\n" +
+        p.linesIterator.take(30).mkString("\n"))
+    }
+    // ann_knn_graph serves the checkpointed edge index; the guard
+    // runs against the UNCHECKPOINTED derivation
+    PlanCache.clearAll()
+    val knn = graft.operators.Similarity.knnEdgesPlan(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(knn).size >= 2, knn)
+  }
+
   test("q2 pushes its filters into the parquet scan") {
     val p = plan("q2_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), IsNotNull(o_totalprice), EqualTo(o_orderstatus,F), GreaterThan(o_total"))
