@@ -20,6 +20,17 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * shuffle volume is ≤ k·keys·partitions regardless of fact size,
   * and nothing is globally sorted. At 100 TB that is the difference
   * between shuffling the table and shuffling a bounded digest.
+  *
+  * Deliberately NOT auto-applied as an optimizer rule rewriting
+  * `Filter(rn <= k, Window(row_number, ...))`: when the window
+  * ordering is not a total order, row_number breaks ties by the
+  * arbitrary-but-fixed partition iteration order, while the partial
+  * heap would keep an arbitrary k-subset of the tied rows — the
+  * rewrite could change which tied rows survive, silently flipping
+  * results that an oracle compare (or a user) depends on. Callers
+  * opt in through this API with a tiebreaker column in `order`
+  * (every ANN site orders by (score, id) — total), which is the same
+  * contract DataFrames require anywhere determinism matters.
   */
 case class TopKPerKey(
     keys: Seq[Expression],
