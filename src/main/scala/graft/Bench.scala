@@ -20,14 +20,15 @@ object Bench {
     // sink consumes every column of every row.
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    // Pass 1 warms JIT, codegen caches, and parquet footers; passes
-    // 2..3 are measurements and the reported figure is the per-query
-    // MIN of the two. Steady-state timings are what a long-lived
-    // cluster sees; the min discards one-off host stalls (GC pause,
-    // competing process, page-cache miss) that previously painted a
-    // 5 s band across whichever queries happened to run during the
-    // stall — min-of-k is the standard noise-robust point estimate
-    // for a deterministic workload.
+    // One warmup pass (JIT, codegen caches, parquet footers), then
+    // nPasses measured passes (SPARK_GRAFT_PASSES, default 3); the
+    // reported figure is the per-query MIN of the measured passes.
+    // Steady-state timings are what a long-lived cluster sees; the
+    // min discards one-off host stalls (GC pause, competing process,
+    // page-cache miss) that previously painted a 5 s band across
+    // whichever queries happened to run during the stall — min-of-k
+    // is the standard noise-robust point estimate for a deterministic
+    // workload.
     SparkEntry.queries.foreach { case (name, fn) =>
       try run(fn) catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
@@ -47,7 +48,10 @@ object Bench {
     // pass paints a multi-second band across whichever queries ran
     // during the stall; a third pass measurably tightens the total
     // for ~2 min of wall time
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
+    val passesRaw = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3")
+    require(passesRaw.matches("\\d+"),
+      s"SPARK_GRAFT_PASSES must be a positive integer, got '$passesRaw'")
+    val nPasses = passesRaw.toInt.max(1)
     val passes = (1 to nPasses).map { _ =>
       SparkEntry.queries.map { case (name, fn) => name -> measure(fn, name) }
     }

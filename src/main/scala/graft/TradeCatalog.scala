@@ -54,6 +54,23 @@ object TradeCatalog {
     }
   }
 
+  /** Canonical form of a catalog location for equality comparison:
+    * URI-decode (DESCRIBE reports `file:/...` with escaped chars),
+    * fall back to the raw string for non-URI input, and strip any
+    * trailing slashes.
+    */
+  private[graft] def normalizePath(location: String): String = {
+    val path =
+      try {
+        val u = new java.net.URI(location)
+        if (u.getPath != null && u.getPath.nonEmpty) u.getPath else location
+      } catch { case _: java.net.URISyntaxException => location }
+    path.reverse.dropWhile(_ == '/').reverse match {
+      case "" => "/"
+      case p => p
+    }
+  }
+
   /** Session-side open: register every table directory found under
     * `root` in this session's catalog. Metadata-only — no scan, no
     * ETL — so a fresh session is queryable in milliseconds, the same
@@ -76,10 +93,19 @@ object TradeCatalog {
       .map { table =>
         val loc = rootPath.resolve(table).toAbsolutePath.toString
         val existing = spark.catalog.tableExists(s"$db.$table")
+        // 'same location' must be PATH EQUALITY after normalization,
+        // not a suffix test: endsWith would accept any stored root
+        // whose path merely ends with the requested one (stale reads),
+        // and reject a URI-escaped location (e.g. spaces) that is in
+        // fact current (needless DROP/CREATE every attach). The stored
+        // value is a URI (file:/...); parse it, take the decoded path,
+        // strip trailing slashes, and compare equal.
         val samePath = existing &&
           spark.sql(s"DESCRIBE TABLE EXTENDED $db.`$table`")
             .filter("col_name = 'Location'")
-            .collect().headOption.exists(_.getString(1).endsWith(loc))
+            .collect().headOption.exists { r =>
+              normalizePath(r.getString(1)) == normalizePath(loc)
+            }
         if (existing && !samePath) spark.sql(s"DROP TABLE $db.`$table`")
         if (!existing || !samePath) {
           spark.sql(s"CREATE TABLE $db.`$table` " +

@@ -52,6 +52,7 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
+    flushKeys: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -103,15 +104,26 @@ case class TopKPerKeyExec(
         // key cap, FLUSH the accumulated heaps downstream and reset.
         // Correctness is unaffected (the final pass does the exact
         // per-key top-k on clustered input); a flush only means less
-        // pre-shuffle reduction for the flushed stretch.
-        val maxKeys = TopKPerKeyExec.partialFlushKeys
+        // pre-shuffle reduction for the flushed stretch. While AT the
+        // cap, rows whose key is already resident keep folding into
+        // their heap (no memory growth) — only a genuinely NEW key
+        // triggers the flush, so key-clustered input doesn't forfeit
+        // reduction every maxKeys distinct keys.
+        val maxKeys = flushKeys
         new Iterator[InternalRow] {
           private var drain: Iterator[InternalRow] = Iterator.empty
+          // the row that arrived with a new key while at the cap; it
+          // opens the next accumulation batch after the flush drains
+          private var pending: InternalRow = null
           private def refill(): Unit = {
             if (drain.hasNext) return
-            // accumulate until the key cap or end of input, then
-            // flush the heaps as the next drain batch
-            while (iter.hasNext && heaps.size < maxKeys) add(iter.next())
+            if (pending != null) { add(pending); pending = null }
+            var atCap = false
+            while (!atCap && iter.hasNext) {
+              val row = iter.next()
+              if (heaps.size < maxKeys || heaps.contains(keyProj(row))) add(row)
+              else { pending = row.asInstanceOf[UnsafeRow].copy(); atCap = true }
+            }
             if (heaps.nonEmpty) {
               drain = heaps.values.flatMap(_.iterator).toArray.iterator
               heaps.clear()
@@ -134,21 +146,28 @@ case class TopKPerKeyExec(
 }
 
 object TopKPerKeyExec {
-  /** Distinct-key cap on a partial instance's in-memory state before
-    * it flushes heaps downstream and resets (spill-free bounded
-    * memory). Var so the spec can exercise the flush path with a tiny
-    * cap; production value covers any realistic per-partition key
-    * count at ≤ k rows each.
+  /** Session conf for the distinct-key cap on a partial instance's
+    * in-memory state before it flushes heaps downstream and resets
+    * (spill-free bounded memory). Read at PLANNING time and baked
+    * into the exec node — no process-global mutable state, so a spec
+    * exercising the flush path with a tiny cap can't leak it into a
+    * concurrently planned query on another session. The default
+    * covers any realistic per-partition key count at ≤ k rows each.
     */
-  @volatile private[graft] var partialFlushKeys: Int = 1 << 20
+  private[graft] val flushKeysConf = "spark.graft.topk.partialFlushKeys"
+  private[graft] val flushKeysDefault: Int = 1 << 20
 }
 
 /** Plans TopKPerKey as partial → (shuffle to clustered) → final. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
-      val partial = TopKPerKeyExec(keys, order, k, partial = true, planLater(child))
-      TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil
+      val flushKeys = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(TopKPerKeyExec.flushKeysConf,
+          TopKPerKeyExec.flushKeysDefault.toString).toInt
+      val partial =
+        TopKPerKeyExec(keys, order, k, partial = true, flushKeys, planLater(child))
+      TopKPerKeyExec(keys, order, k, partial = false, flushKeys, partial) :: Nil
     case _ => Nil
   }
 }
@@ -171,9 +190,14 @@ object TopKPerKey {
       k: Int): DataFrame = {
     require(k > 0, s"top-k needs k > 0, got $k")
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    // synchronized check-then-act: concurrent first users of two
+    // queries on one session would otherwise both append (a duplicate
+    // strategy is benign but noisy in plan dumps)
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+      }
     }
     val plan = df.queryExecution.analyzed
     def attr(n: String): Attribute = plan.output.find(_.name == n)

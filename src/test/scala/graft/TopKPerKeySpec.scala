@@ -46,11 +46,13 @@ class TopKPerKeySpec extends AnyFunSuite {
         Seq(TopKPerKey.desc("o_totalprice"), TopKPerKey.asc("o_orderpriority")), 1)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val unflushed = run()
-    val prev = graft.plans.TopKPerKeyExec.partialFlushKeys
-    graft.plans.TopKPerKeyExec.partialFlushKeys = 7
+    // the cap is a session conf read at planning time (baked into the
+    // exec node), so setting it here affects only plans built while it
+    // is set — no process-global state to leak into other suites
+    spark.conf.set(graft.plans.TopKPerKeyExec.flushKeysConf, 7)
     try {
       assert(run() == unflushed, "flush path changed the result set")
-    } finally graft.plans.TopKPerKeyExec.partialFlushKeys = prev
+    } finally spark.conf.unset(graft.plans.TopKPerKeyExec.flushKeysConf)
     assert(unflushed.size == keyed.select($"o_orderkey").distinct().count())
   }
 
