@@ -98,6 +98,16 @@ object Dashboard {
       case None => md ++= "- sin datos bajo el filtro\n\n"
     }
 
+    // the reference's lead st.metric tiles (app.py:201-216): latest
+    // YTD per flow with the prior-year same-period pct delta. The
+    // frame is ordered (yr, mon); the last row IS the current tile.
+    q("kpi_ytd_delta").collect().lastOption.foreach { y =>
+      md ++= s"- 🟢 Exportaciones YTD ${i(y, 0)}-${i(y, 1)}: " +
+        s"${d(y, 2, "%.0f")} USD (${d(y, 4, "%+.1f")}% vs año anterior)\n"
+      md ++= s"- 🔴 Importaciones YTD: ${d(y, 5, "%.0f")} USD " +
+        s"(${d(y, 7, "%+.1f")}% vs año anterior)\n\n"
+    }
+
     md ++= "### Serie Temporal (últimos 12 meses, MA12)\n"
     md ++= "| yr | mon | export (USD) | MA12 |\n| --- | --- | --- | --- |\n"
     q("kpi_trend").collect().takeRight(12).foreach { r =>

@@ -416,6 +416,53 @@ object Kpi {
        |FROM base ORDER BY yr, mon""".stripMargin
   }
 
+  // ---- kpi_ytd_delta: YTD vs prior-year same period (app.py:201-216) ----
+  // The reference's LEAD metric tiles: current-year YTD per flow with
+  // a pct delta vs the prior year, rendered as the st.metric delta
+  // (app.py:210 `export_change = (export_ytd / export_prev - 1) *
+  // 100`). Generalized to every (yr, mon): the YTD cumulative
+  // (kpi_ytd's window) plus a one-year lag on the SAME calendar month
+  // — partition by mon, order by yr — so the frame carries the
+  // prior-year SAME-PERIOD comparison for ANY chosen "current" month,
+  // which is the apples-to-apples form of the reference tile (its
+  // full-prior-year denominator coincides with same-period at
+  // December, the only month its complete-year corpus serves).
+
+  private def ytdDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wy = Window.partitionBy($"yr").orderBy($"mon")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy($"mon").orderBy($"yr")
+    baseMonthly(spark, dir)
+      .withColumn("export_ytd", dSumOver($"export_usd", wy))
+      .withColumn("import_ytd", dSumOver($"import_usd", wy))
+      .withColumn("export_prev_ytd", lag($"export_ytd", 1).over(wPrev))
+      .withColumn("import_prev_ytd", lag($"import_ytd", 1).over(wPrev))
+      .select($"yr", $"mon", $"export_ytd", $"export_prev_ytd",
+        (($"export_ytd" / $"export_prev_ytd" - 1.0) * 100.0).as("export_ytd_delta"),
+        $"import_ytd", $"import_prev_ytd",
+        (($"import_ytd" / $"import_prev_ytd" - 1.0) * 100.0).as("import_ytd_delta"))
+      .resultOrder($"yr", $"mon")
+  }
+
+  private val ytdDeltaSql = {
+    val over = "(PARTITION BY yr ORDER BY mon ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    val prev = "OVER (PARTITION BY mon ORDER BY yr)"
+    s"""WITH $baseSql,
+       |y AS (
+       |  SELECT yr, mon,
+       |    (${dSumOverSql("export_usd", over)}) AS export_ytd,
+       |    (${dSumOverSql("import_usd", over)}) AS import_ytd
+       |  FROM base)
+       |SELECT yr, mon, export_ytd,
+       |  LAG(export_ytd, 1) $prev AS export_prev_ytd,
+       |  ((export_ytd / LAG(export_ytd, 1) $prev - 1.0) * 100.0) AS export_ytd_delta,
+       |  import_ytd,
+       |  LAG(import_ytd, 1) $prev AS import_prev_ytd,
+       |  ((import_ytd / LAG(import_ytd, 1) $prev - 1.0) * 100.0) AS import_ytd_delta
+       |FROM y ORDER BY yr, mon""".stripMargin
+  }
+
   // ---- kpi_seasonality: month-of-year profile (eda.py:93, app.py:313) ----
 
   // ---- kpi_month_stats: per-calendar-month mean±std bands ----
@@ -1201,6 +1248,7 @@ object Kpi {
     Q("kpi_prod_monthly", prodMonthly, Some(prodMonthlySql)),
     Q("kpi_outliers", outliers, Some(outliersSql)),
     Q("kpi_ytd", ytd, Some(ytdSql)),
+    Q("kpi_ytd_delta", ytdDelta, Some(ytdDeltaSql)),
     Q("kpi_seasonality", seasonality, Some(seasonalitySql)),
     Q("kpi_month_stats", monthStats, Some(monthStatsSql)),
     Q("kpi_volatility", volatility, Some(volatilitySql)),

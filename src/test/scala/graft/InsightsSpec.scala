@@ -87,6 +87,12 @@ class InsightsSpec extends AnyFunSuite {
         "Tendencia OLS y Proyección",
         "Conclusiones Accionables", "Estadísticas Rápidas"))
       assert(md.contains(h), s"dashboard missing section: $h")
+    // the reference's lead metric tiles (app.py:201-216): YTD per
+    // flow WITH the prior-year delta rendered next to the value
+    assert(md.contains("Exportaciones YTD"), "missing YTD export tile")
+    assert("""Exportaciones YTD \d{4}-\d{1,2}: [\d.]+ USD \([+-][\d.]+% vs año anterior\)""".r
+      .findFirstIn(md).isDefined, "YTD tile lacks the prior-year delta")
+    assert(md.contains("Importaciones YTD"), "missing YTD import tile")
     // tables actually carry rows, not just headers
     assert(md.linesIterator.count(_.startsWith("| ")) > 40)
   }
