@@ -39,9 +39,67 @@ object TradeCatalog {
     "kpi_monthly" -> "kpi_mom_yoy",
     "kpi_prod_monthly" -> "kpi_prod_monthly")
 
+  /** The reference's reusable SQL model layer
+    * (observatorio/models/metrics.sql:6,33,56,73): named views over
+    * the published tables, so a SQL user of the warehouse can
+    * `SELECT * FROM graft_trade.metrics_windowed` the way
+    * `duckdb trade.duckdb` serves the reference's views
+    * (run_pipeline.py:134). Each view mirrors the algebra of the
+    * oracle-checked operator it names (WarehouseSpec hash-compares
+    * metrics_windowed against the kpi_mom_yoy result), reading the
+    * long `trade` fact (yr, mon, flow, usd):
+    *
+    *  - base_monthly — long→wide pivot. One trade row per (yr, mon,
+    *    flow), so SUM(CASE …) selects the single already-exact
+    *    decimal-summed value: bit-identical to kpi_base_monthly.
+    *  - metrics_windowed — MoM/YoY lags over base_monthly
+    *    (kpi_mom_yoy's expressions verbatim).
+    *  - quarterly_summary / annual_performance — rollups re-summed in
+    *    DECIMAL(18,6), recovering the operator's exact decimal sums
+    *    (monthly values round-trip double→decimal exactly within the
+    *    ≤15-significant-digit regime the corpus magnitudes occupy).
+    */
+  val views: Seq[(String, String)] = Seq(
+    "base_monthly" ->
+      s"""SELECT yr, mon,
+         |  SUM(CASE WHEN flow = 'export' THEN usd END) AS export_usd,
+         |  SUM(CASE WHEN flow = 'import' THEN usd END) AS import_usd
+         |FROM $db.trade GROUP BY yr, mon""".stripMargin,
+    "metrics_windowed" ->
+      s"""SELECT yr, mon, export_usd,
+         |  ((export_usd / LAG(export_usd, 1) OVER (ORDER BY yr, mon) - 1.0) * 100.0) AS export_mom,
+         |  ((export_usd / LAG(export_usd, 12) OVER (ORDER BY yr, mon) - 1.0) * 100.0) AS export_yoy,
+         |  ((import_usd / LAG(import_usd, 1) OVER (ORDER BY yr, mon) - 1.0) * 100.0) AS import_mom,
+         |  ((import_usd / LAG(import_usd, 12) OVER (ORDER BY yr, mon) - 1.0) * 100.0) AS import_yoy
+         |FROM $db.base_monthly""".stripMargin,
+    "quarterly_summary" ->
+      s"""SELECT yr, CAST(floor((mon - 1) / 3) + 1 AS INT) AS qtr,
+         |  (CAST(SUM(CAST(export_usd AS DECIMAL(18,6))) AS DOUBLE) / 1e6) AS export_musd,
+         |  (CAST(SUM(CAST(import_usd AS DECIMAL(18,6))) AS DOUBLE) / 1e6) AS import_musd,
+         |  ((CAST(SUM(CAST(export_usd AS DECIMAL(18,6))) AS DOUBLE) / 1e6) -
+         |   (CAST(SUM(CAST(import_usd AS DECIMAL(18,6))) AS DOUBLE) / 1e6)) AS balance_musd
+         |FROM $db.base_monthly GROUP BY yr, qtr""".stripMargin,
+    "annual_performance" ->
+      s"""SELECT yr,
+         |  (exp_raw / 1e9) AS export_busd,
+         |  (imp_raw / 1e9) AS import_busd,
+         |  ((exp_raw - imp_raw) / 1e9) AS balance_busd,
+         |  ((exp_raw / LAG(exp_raw, 1) OVER (ORDER BY yr) - 1.0) * 100.0) AS export_yoy_growth
+         |FROM (
+         |  SELECT yr,
+         |    CAST(SUM(CAST(export_usd AS DECIMAL(18,6))) AS DOUBLE) AS exp_raw,
+         |    CAST(SUM(CAST(import_usd AS DECIMAL(18,6))) AS DOUBLE) AS imp_raw
+         |  FROM $db.base_monthly GROUP BY yr)""".stripMargin)
+
+  private def createViews(spark: SparkSession): Unit =
+    views.foreach { case (name, body) =>
+      spark.sql(s"CREATE OR REPLACE VIEW $db.`$name` AS $body")
+    }
+
   /** ETL-side write: materialize each model as an external parquet
-    * table under `root`. Overwrite = the reference's re-run semantics
-    * (etl.py drops and rewrites its duckdb tables each run).
+    * table under `root`, then (re)create the SQL view layer over
+    * them. Overwrite = the reference's re-run semantics (etl.py drops
+    * and rewrites its duckdb tables each run).
     */
   def publish(spark: SparkSession, sfDir: String,
       root: String = defaultRoot): Unit = {
@@ -52,6 +110,7 @@ object TradeCatalog {
         .option("path", s"$root/$table")
         .saveAsTable(s"$db.$table")
     }
+    createViews(spark)
   }
 
   /** Canonical form of a catalog location for equality comparison:
@@ -89,7 +148,8 @@ object TradeCatalog {
     // DIFFERENT location is re-pointed rather than silently winning
     // over the requested root (CREATE TABLE IF NOT EXISTS would
     // no-op and leave reads on the stale warehouse).
-    models.map(_._1).filter(t => Files.isDirectory(rootPath.resolve(t)))
+    val attached = models.map(_._1)
+      .filter(t => Files.isDirectory(rootPath.resolve(t)))
       .map { table =>
         val loc = rootPath.resolve(table).toAbsolutePath.toString
         val existing = spark.catalog.tableExists(s"$db.$table")
@@ -113,5 +173,12 @@ object TradeCatalog {
         }
         table
       }.sorted
+    // the view layer is session metadata (like the table entries): a
+    // fresh session re-opens the store fully queryable, views
+    // included — the `duckdb trade.duckdb` contract. Skipped on a
+    // warehouse missing the base fact (view creation validates its
+    // plan against the referenced tables).
+    if (attached.contains("trade")) createViews(spark)
+    attached
   }
 }

@@ -122,6 +122,26 @@ class WarehouseSpec extends AnyFunSuite {
           s"attach must not rewrite $t")
       }
 
+      // the SQL model layer (reference metrics.sql:6-80; served as
+      // `duckdb trade.duckdb` views): a FRESH session after attach()
+      // answers SELECTs on the named views, and each view reproduces
+      // its oracle-checked operator EXACTLY (bit-equal doubles)
+      val s3 = spark.newSession()
+      TradeCatalog.attach(s3, root)
+      def viewRows(view: String, order: String) = s3.sql(
+        s"SELECT * FROM ${TradeCatalog.db}.$view ORDER BY $order")
+        .collect().map(_.toSeq)
+      def opRows(op: String) =
+        SparkEntry.queries(op)(spark, sf).collect().map(_.toSeq)
+      assert(viewRows("base_monthly", "yr, mon")
+        .sameElements(opRows("kpi_base_monthly")))
+      assert(viewRows("metrics_windowed", "yr, mon")
+        .sameElements(opRows("kpi_mom_yoy")))
+      assert(viewRows("quarterly_summary", "yr, qtr")
+        .sameElements(opRows("kpi_quarterly")))
+      assert(viewRows("annual_performance", "yr")
+        .sameElements(opRows("kpi_annual")))
+
       // attach against a SECOND warehouse root must re-point the
       // existing catalog entries at the new location, not silently
       // no-op onto the stale one (the CREATE TABLE IF NOT EXISTS trap)
@@ -145,6 +165,9 @@ class WarehouseSpec extends AnyFunSuite {
         finally walk2.close()
       }
     } finally {
+      TradeCatalog.views.foreach { case (v, _) =>
+        spark.sql(s"DROP VIEW IF EXISTS ${TradeCatalog.db}.`$v`")
+      }
       TradeCatalog.models.foreach { case (t, _) =>
         spark.sql(s"DROP TABLE IF EXISTS ${TradeCatalog.db}.`$t`")
       }
