@@ -74,9 +74,27 @@ object Dashboard {
       params: TradeParams): String = {
     val dir = params(sfDir)
     def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+    // Category-tab default (app.py:446-473): when no categories are
+    // chosen, the reference's multiselect defaults to the top-10 by
+    // export and the sidebar notes "Mostrando top N categorías". Same
+    // here: derive the default from the oracle-checked ranking and
+    // apply it to the CATEGORY-dimension panels only — the country
+    // tab aggregates all categories, like the reference's tabs.
+    val defaultTopCats: Option[Seq[String]] =
+      if (params.categories.isDefined) None
+      else Some(q("kpi_ranking").collect().take(10).map(_.getString(1)).toSeq)
+    val catParams = defaultTopCats
+      .map(c => params.copy(categories = Some(c))).getOrElse(params)
+    val catDir = catParams(sfDir)
+    def qc(name: String) = SparkEntry.queries(name)(spark, catDir)
+
     val md = new StringBuilder
 
     md ++= "# Trade Observatory — dashboard bundle\n\n"
+    defaultTopCats.foreach { c =>
+      md ++= s"_Mostrando top ${c.size} categorías por exportación (por defecto)_\n\n"
+    }
     if (!params.isEmpty) {
       val yrs = (params.yearFrom, params.yearTo) match {
         case (None, None) => None
@@ -153,18 +171,18 @@ object Dashboard {
 
     md ++= "\n### Ranking de Categorías\n"
     md ++= "| rk | category | export | balance | coverage |\n| --- | --- | --- | --- | --- |\n"
-    q("kpi_ranking").collect().foreach { r =>
+    qc("kpi_ranking").collect().foreach { r =>
       md ++= s"| ${i(r, 0)} | ${r.getString(1)} | ${d(r, 2, "%.0f")} | ${d(r, 4, "%.0f")} | ${d(r, 5, "%.2f")} |\n"
     }
 
     md ++= "\n### Concentración ABC (Pareto)\n"
     md ++= "| rk | category | clase | acumulado ‰ |\n| --- | --- | --- | --- |\n"
-    q("kpi_pareto").collect().take(10).foreach { r =>
+    qc("kpi_pareto").collect().take(10).foreach { r =>
       md ++= s"| ${i(r, 0)} | ${r.getString(1)} | ${r.getString(5)} | ${r.getLong(4)} |\n"
     }
 
     md ++= "\n### Puente YoY por Categoría\n"
-    q("kpi_contrib").collect().take(5).foreach { r =>
+    qc("kpi_contrib").collect().take(5).foreach { r =>
       md ++= s"- ${r.getString(0)}: Δ ${d(r, 3, "%.0f")} (${r.getLong(4)}‰, ${r.getString(5)})\n"
     }
 
@@ -175,7 +193,7 @@ object Dashboard {
     }
 
     md ++= "\n### Cambios de Ranking\n"
-    q("kpi_rank_shift").collect().takeRight(10).foreach { r =>
+    qc("kpi_rank_shift").collect().takeRight(10).foreach { r =>
       val shift = if (r.isNullAt(5)) "nuevo" else f"${r.getInt(5)}%+d"
       md ++= s"- ${i(r, 0)} ${r.getString(2)}: rk ${i(r, 1)} ($shift)\n"
     }

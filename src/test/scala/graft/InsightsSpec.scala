@@ -97,6 +97,32 @@ class InsightsSpec extends AnyFunSuite {
     assert(md.linesIterator.count(_.startsWith("| ")) > 40)
   }
 
+  test("dashboard defaults the category tab to the top-10 by export") {
+    // reference app.py:446-473: with no manual selection the category
+    // multiselect defaults to the top-N by export and the sidebar
+    // notes "Mostrando top N categorías por exportación"
+    val md = graft.Dashboard.render(spark, sf)
+    val expected = SparkEntry.queries("kpi_ranking")(spark, sf).collect()
+      .take(10).map(_.getString(1)).toSet
+    // the test corpus may have < 10 categories; the note reports the
+    // actual selection size (min(10, #categories)), like min(50, …)
+    // bounds the reference's slider
+    assert(md.contains(
+      s"Mostrando top ${expected.size} categorías por exportación"),
+      "missing default top-N note in the bundle header")
+    val section = md.split("### Ranking de Categorías")(1).split("###")(0)
+    val got = section.linesIterator
+      .filter(l => l.startsWith("| ") && !l.startsWith("| rk") && !l.contains("---"))
+      .map(_.split("\\|")(2).trim).toSet
+    assert(got == expected,
+      s"ranking section should carry exactly the default top-10: $got vs $expected")
+    // an explicit selection disables the default (manual mode)
+    val manual = graft.Dashboard.render(spark, sf,
+      TradeParams(categories = Some(expected.toSeq.sorted.take(2))))
+    assert(!manual.contains("Mostrando top"),
+      "manual category selection must not claim the default")
+  }
+
   // -- parameterized dashboard (reference app.py:165-180 filters) --
 
   test("dashboard params filter the operators and reach the parquet scan") {
