@@ -318,21 +318,42 @@ object Advanced {
   // referenced, not copied, so a parameter change can't skew it
   private val kmvSpace = graft.functions.RollingHash.P
 
-  private def q27(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinct (status, customer-hash) posting — the deterministic
+    * corpus artifact behind the KMV sketch, cached per (session, dir)
+    * like the tf posting. DEDUP-FIRST: distinct (status, custkey)
+    * runs as a plain codegen HashAggregate whose exchange carries
+    * narrow two-column rows; the KMV partials and the exact count
+    * then run over the already-distinct pairs, so only
+    * ~statuses·partitions array buffers ever exist. The earlier
+    * countDistinct-alongside form made Spark's distinct-agg planning
+    * key the FIRST aggregate on (status, custkey) with a partial KMV
+    * per pair — an ObjectHashAggregate exchange hauling one sketch
+    * buffer per distinct customer (measured ~35% of the query). Same
+    * rows to the sketch either way: one h per distinct customer per
+    * status.
+    */
+  private val kmvPostingCache = new graft.PlanCache()
+  private[graft] def kmvPostingPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val h = graft.functions.RollingHash.rolling_hash(
       concat(lit("k|"), $"o_custkey".cast("string")))
+    Tables(spark, dir).orders
+      .select($"o_orderstatus", $"o_custkey").distinct()
+      .select($"o_orderstatus", h.as("h"))
+  }
+  private def kmvPosting(spark: SparkSession, dir: String): DataFrame =
+    kmvPostingCache.getOrBuild(spark, dir) {
+      kmvPostingPlan(spark, dir).localCheckpoint()
+    }
+
+  private def q27(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val kmv = udaf(new graft.functions.KmvAgg(kmvK),
       org.apache.spark.sql.Encoders.scalaLong)
-    // single scan: the KMV state and the exact distinct count come out
-    // of ONE groupBy (Spark's distinct-agg planning runs the sketch
-    // partial alongside the custkey dedup), instead of two full scans
-    // of orders joined back on the group key
-    Tables(spark, dir).orders
-      .select($"o_orderstatus", $"o_custkey", h.as("h"))
+    kmvPosting(spark, dir)
       .groupBy($"o_orderstatus")
       .agg(kmv($"h").as("mins"),
-        countDistinct($"o_custkey").as("exact_distinct"))
+        count(lit(1)).as("exact_distinct"))
       .select($"o_orderstatus", $"exact_distinct",
         size($"mins").cast("long").as("n_kept"), array_max($"mins").as("h_k"))
       .select($"o_orderstatus", $"exact_distinct",

@@ -21,9 +21,9 @@ class ContractSpec extends AnyFunSuite {
         sql.trim.toUpperCase.startsWith("WITH")))
   }
 
-  test("inventory size matches SURVEY status (131 ops, 130 oracles)") {
-    assert(SparkEntry.allQueries.size == 131)
-    assert(SparkEntry.oracleSql.size == 130)
+  test("inventory size matches SURVEY status (132 ops, 131 oracles)") {
+    assert(SparkEntry.allQueries.size == 132)
+    assert(SparkEntry.oracleSql.size == 131)
     // the single rows-checked survivor is the engine-specific HLL /
     // quantile sketch pair (its KMV twin q27 IS oracle-checked)
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)

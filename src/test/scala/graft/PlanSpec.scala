@@ -24,8 +24,8 @@ class PlanSpec extends AnyFunSuite {
     // window would shuffle and fully sort every scored candidate.
     // Two exec nodes = partial + final; the rank window that remains
     // runs over <= k already-clustered rows per key.
-    Seq("ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq",
-        "ann_kmeans_step").foreach { q =>
+    Seq("ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq")
+      .foreach { q =>
       val p = plan(q)
       val n = "TopKPerKey \\[".r.findAllIn(p).size
       assert(n >= 2, s"$q: expected partial+final TopKPerKey nodes, found $n:\n" +
@@ -37,6 +37,23 @@ class PlanSpec extends AnyFunSuite {
     val knn = graft.operators.Similarity.knnEdgesPlan(spark, sf)
       .queryExecution.executedPlan.toString
     assert("TopKPerKey \\[".r.findAllIn(knn).size >= 2, knn)
+  }
+
+  test("ann_kmeans_step assigns centroids row-locally: no join, no corpus exchange") {
+    // the centroid set is constant-size, so nearest-seed assignment
+    // must be a literal-seed `greatest` projection (MLlib's
+    // assignment shape): no broadcast build, no join of any kind, and
+    // the ONLY keyed exchange is the <= k·partitions-row aggregation
+    // on cluster_id. A regression to a crossJoin (or a window / top-k
+    // over the score stream) re-shuffles the whole corpus for a
+    // row-local argmax.
+    val p = plan("ann_kmeans_step")
+    assert(!p.contains("Join"), s"kmeans assignment must not join:\n$p")
+    assert(!p.contains("TopKPerKey"), "row-local argmax needs no top-k operator")
+    val keyedExchanges = "Exchange hashpartitioning\\(".r.findAllIn(p).size
+    assert(keyedExchanges == 1, s"expected one aggregation exchange, got $keyedExchanges:\n$p")
+    assert(p.contains("hashpartitioning(seed_id") || p.contains("hashpartitioning(cluster_id"),
+      s"the keyed exchange must cluster on the centroid id:\n$p")
   }
 
   test("q2 pushes its filters into the parquet scan") {
@@ -242,6 +259,17 @@ class PlanSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
       "KMV is not a partial+final ObjectHashAggregate pair")
     assert(!p.contains("Window"), "KMV fell back to the window formulation")
+    // the cached posting's DERIVATION must dedup with a plain codegen
+    // HashAggregate on the narrow pair — the sketch buffers must not
+    // ride the dedup exchange (the countDistinct-alongside shape
+    // hauled one ObjectHashAggregate buffer per distinct customer)
+    PlanCache.clearAll()
+    val d = graft.operators.Advanced.kmvPostingPlan(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(d).size >= 2,
+      s"posting dedup is not a partial+final HashAggregate pair:\n$d")
+    assert(!d.contains("ObjectHashAggregate"),
+      s"sketch buffers must not ride the dedup exchange:\n$d")
   }
 
   test("byte_sum participates in whole-stage codegen (mm_phash stays one pass)") {
