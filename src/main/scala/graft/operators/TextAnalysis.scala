@@ -225,6 +225,30 @@ object TextAnalysis {
       .localCheckpoint()
   }
 
+  /** Vocabulary rollup of the tf posting — per-term document
+    * frequency (`df`), corpus term count (`c`) and the corpus total
+    * (`n`, a constant column) — cached alongside it: the second
+    * index table a text deployment maintains. text_tfidf's idf join
+    * and text_lm_score's surprisal join both consumed this rollup as
+    * an inline vocab aggregate plus (for lm_score) a scalar-N job —
+    * one extra exchange and one extra job per pass that a maintained
+    * index doesn't pay. The constant-N column comes from a
+    * single-partition unbounded window at BUILD time over the
+    * vocab-sized aggregate (the audited aggregate-then-window
+    * shape).
+    */
+  private val vocabPostingCache = new graft.PlanCache()
+  private def vocabPosting(spark: SparkSession, dir: String): DataFrame =
+      vocabPostingCache.getOrBuild(spark, dir) {
+    import spark.implicits._
+    tfPosting(spark, dir)
+      .groupBy($"t")
+      .agg(count(lit(1)).as("df"), sum($"c").as("c"))
+      .withColumn("n", sum($"c").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .localCheckpoint()
+  }
+
   private def topBigrams(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables(spark, dir).documents
@@ -261,14 +285,14 @@ object TextAnalysis {
     // array): the raw token stream never shuffles — the first
     // exchange already carries (doc, term, tf) rows
     val tf = tfPosting(spark, dir).select($"doc_id", $"t", $"c".as("tf"))
-    // df = rows per term in tf, as an aggregate JOINED back — not a
-    // count window over t: WindowExec must sort its partition input,
-    // so the window form pays a full sort of tf on t where this form
-    // pays a map-side-combined aggregate (vocab-sized, Heaps-law
-    // sublinear) plus a join that AQE turns into a broadcast at
-    // bench scale. Deliberately NOT a broadcast hint: vocab grows
-    // with the corpus, AQE decides by size.
-    val df = tf.groupBy($"t").agg(count(lit(1)).as("df"))
+    // df = the cached vocab rollup JOINED back — not a count window
+    // over t: WindowExec must sort its partition input, so the window
+    // form pays a full sort of tf on t where this form pays a
+    // checkpoint scan (vocab-sized, Heaps-law sublinear) plus a join
+    // that AQE turns into a broadcast at bench scale. Deliberately
+    // NOT a broadcast hint: vocab grows with the corpus, AQE decides
+    // by size.
+    val df = vocabPosting(spark, dir).select($"t", $"df")
     // top term per doc via ONE min-of-struct aggregate instead of a
     // rank window: min(struct(-score, t, …)) is exactly "score DESC,
     // t ASC" lexicographic order, aggregates map-side (the doc_id
@@ -471,11 +495,12 @@ object TextAnalysis {
     // the (doc, term, k) count stream — the raw token stream never
     // shuffles and never passes through a hash aggregate
     val dc = tfPosting(spark, dir).select($"doc_id", $"t", $"c".as("k"))
-    // vocab counts derived FROM dc (Σk per term): the rollup's
-    // partial aggregation ships vocab-sized partials only
-    val vc = dc.groupBy($"t").agg(sum($"k").as("c"))
-    val tot = vc.agg(sum($"c").as("n"))
-    dc.join(vc, "t").crossJoin(broadcast(tot))
+    // vocab counts and the scalar N come from the cached vocab
+    // rollup (Σk per term, with N as its constant column): the
+    // inline aggregate and the one-row total job are build-time
+    // costs of the maintained index, not per-query ones
+    val vc = vocabPosting(spark, dir).select($"t", $"c", $"n")
+    dc.join(vc, "t")
       .withColumn("surp", (length(bin(expr("n div c"))) - 1).cast("long"))
       .groupBy($"doc_id")
       .agg(sum($"k").as("n_tokens"),

@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""DuckDB side of the matched bench pair (BASELINE.md protocol):
+run every oracle SQL from a Verify dump's oracle_sql.json over the
+sfDir parquet, threads=32, one warmup pass then min of N measured
+passes with warm views — the mirror of graft.Bench's steady-state
+mode. Writes BASELINE_DUCKDB.json in the cwd.
+
+Run back-to-back with graft.Bench on a quiet host (never while sbt
+or another bench is running); accept the pair only when the Spark
+run's floor_per_stage_sec <= 0.25.
+
+Usage: tools/bench_duckdb.py [sfDir] [verifyOut] [passes]
+"""
+import json, sys, glob, os, time
+import duckdb
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+passes = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+
+con = duckdb.connect()
+con.execute("SET threads TO 32")
+for f in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(f)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+
+oracles = json.load(open(f"{out}/oracle_sql.json"))
+names = sorted(oracles)
+
+def run_once(sql):
+    t0 = time.perf_counter()
+    con.sql(sql).fetchall()
+    return time.perf_counter() - t0
+
+# warmup pass (page cache, view binding), then measured passes
+for q in names:
+    try: run_once(oracles[q])
+    except Exception as e: print(f"[warmup] {q} FAILED: {e}", file=sys.stderr)
+
+results = {}
+for p in range(passes):
+    for q in names:
+        try: t = run_once(oracles[q])
+        except Exception: t = -1.0
+        if t >= 0:
+            results[q] = min(results.get(q, float("inf")), t)
+results = {q: round(v, 4) for q, v in results.items() if v != float("inf")}
+
+record = {
+    "total_sec": round(sum(results.values()), 2),
+    "n": len(results),
+    "threads": 32,
+    "sf": sf,
+    "mode": f"min of {passes} passes, warm views",
+    "queries": dict(sorted(results.items())),
+}
+with open("BASELINE_DUCKDB.json", "w") as fh:
+    json.dump(record, fh, indent=1)
+print(json.dumps({k: v for k, v in record.items() if k != "queries"}))
