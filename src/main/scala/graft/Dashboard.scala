@@ -81,13 +81,26 @@ object Dashboard {
     // here: derive the default from the oracle-checked ranking and
     // apply it to the CATEGORY-dimension panels only — the country
     // tab aggregates all categories, like the reference's tabs.
+    val rankedFull: Array[Row] =
+      if (params.categories.isDefined) Array.empty
+      else q("kpi_ranking").collect()
+    // nonEmpty guard: an empty ranking (filters excluding every
+    // category) must fall through to unfiltered panels, not produce
+    // categories=Some(Seq()) — which would round-trip the dir
+    // fragment as Seq("") and filter every panel to zero rows under
+    // a bogus "top 0" header
     val defaultTopCats: Option[Seq[String]] =
-      if (params.categories.isDefined) None
-      else Some(q("kpi_ranking").collect().take(10).map(_.getString(1)).toSeq)
+      Some(rankedFull.take(10).map(_.getString(1)).toSeq).filter(_.nonEmpty)
     val catParams = defaultTopCats
       .map(c => params.copy(categories = Some(c))).getOrElse(params)
     val catDir = catParams(sfDir)
     def qc(name: String) = SparkEntry.queries(name)(spark, catDir)
+    // default mode: the ranking restricted to its own top-10 re-ranks
+    // the same rows 1..10 with identical values — reuse the collected
+    // frame instead of re-running the aggregation
+    def rankingRows: Array[Row] =
+      if (defaultTopCats.isDefined) rankedFull.take(10)
+      else qc("kpi_ranking").collect()
 
     val md = new StringBuilder
 
@@ -171,7 +184,7 @@ object Dashboard {
 
     md ++= "\n### Ranking de Categorías\n"
     md ++= "| rk | category | export | balance | coverage |\n| --- | --- | --- | --- | --- |\n"
-    qc("kpi_ranking").collect().foreach { r =>
+    rankingRows.foreach { r =>
       md ++= s"| ${i(r, 0)} | ${r.getString(1)} | ${d(r, 2, "%.0f")} | ${d(r, 4, "%.0f")} | ${d(r, 5, "%.2f")} |\n"
     }
 

@@ -114,20 +114,28 @@ object TradeCatalog {
   }
 
   /** Canonical form of a catalog location for equality comparison:
-    * URI-decode (DESCRIBE reports `file:/...` with escaped chars),
-    * fall back to the raw string for non-URI input, and strip any
-    * trailing slashes.
+    * (scheme, authority, decoded path) — DESCRIBE reports a URI
+    * (`file:/...`, possibly percent-escaped), attach builds a plain
+    * local path. A missing scheme means the local filesystem, so it
+    * canonicalizes to `file` with an empty authority; comparing the
+    * path ALONE would judge `hdfs://nn/x` and `/x` the same location
+    * and leave reads on a stale remote warehouse. Trailing slashes
+    * are stripped; non-URI input falls back to the raw string as the
+    * path.
     */
-  private[graft] def normalizePath(location: String): String = {
-    val path =
+  private[graft] def normalizePath(location: String): (String, String, String) = {
+    val (scheme, auth, rawPath) =
       try {
         val u = new java.net.URI(location)
-        if (u.getPath != null && u.getPath.nonEmpty) u.getPath else location
-      } catch { case _: java.net.URISyntaxException => location }
-    path.reverse.dropWhile(_ == '/').reverse match {
+        (Option(u.getScheme).getOrElse("file"),
+          Option(u.getAuthority).getOrElse(""),
+          if (u.getPath != null && u.getPath.nonEmpty) u.getPath else location)
+      } catch { case _: java.net.URISyntaxException => ("file", "", location) }
+    val path = rawPath.reverse.dropWhile(_ == '/').reverse match {
       case "" => "/"
       case p => p
     }
+    (scheme, auth, path)
   }
 
   /** Session-side open: register every table directory found under

@@ -440,12 +440,15 @@ object Similarity {
     // seed_id asc): the same tie-total order the TopKPerKey form and
     // the oracle's row_number use. dot() is the shared codegen
     // kernel, so the arithmetic is bit-identical to the join form.
+    require(seeds.nonEmpty,
+      s"ann_kmeans_step: no seed vectors in $dir (vec_id % 50 == 0, < 400)")
     val scored = seeds.map { case (sid, vec, n) =>
       struct(
         (dot($"embedding", lit(vec)) / ($"nrm" * lit(n))).as("cos"),
         lit(-sid).as("neg_id"))
     }
-    val best = greatest(scored: _*)
+    // greatest() needs >= 2 args; a 1-seed corpus assigns trivially
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
     v.select($"vec_id",
         (-best.getField("neg_id")).as("seed_id"),
         best.getField("cos").as("cos"))

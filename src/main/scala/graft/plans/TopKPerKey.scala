@@ -162,9 +162,13 @@ object TopKPerKeyExec {
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
+      // floor at 1: a cap <= 0 would make the partial pass park every
+      // row in `pending` with nothing accumulated and silently emit
+      // zero rows — a mis-tuned conf must degrade reduction, not
+      // correctness
       val flushKeys = org.apache.spark.sql.internal.SQLConf.get
         .getConfString(TopKPerKeyExec.flushKeysConf,
-          TopKPerKeyExec.flushKeysDefault.toString).toInt
+          TopKPerKeyExec.flushKeysDefault.toString).toInt.max(1)
       val partial =
         TopKPerKeyExec(keys, order, k, partial = true, flushKeys, planLater(child))
       TopKPerKeyExec(keys, order, k, partial = false, flushKeys, partial) :: Nil

@@ -37,18 +37,24 @@ for q in names:
     try: run_once(oracles[q])
     except Exception as e: print(f"[warmup] {q} FAILED: {e}", file=sys.stderr)
 
-results = {}
+results, failed = {}, set()
 for p in range(passes):
     for q in names:
         try: t = run_once(oracles[q])
-        except Exception: t = -1.0
+        except Exception as e:
+            print(f"[pass {p}] {q} FAILED: {e}", file=sys.stderr)
+            failed.add(q);  t = -1.0
         if t >= 0:
             results[q] = min(results.get(q, float("inf")), t)
 results = {q: round(v, 4) for q, v in results.items() if v != float("inf")}
 
+# a failed query must be visible in the record, not silently shrink
+# the total — the matched Spark comparison needs identical query sets
 record = {
     "total_sec": round(sum(results.values()), 2),
     "n": len(results),
+    "n_failed": len(failed),
+    "failed": sorted(failed),
     "threads": 32,
     "sf": sf,
     "mode": f"min of {passes} passes, warm views",
