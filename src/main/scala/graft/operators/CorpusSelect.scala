@@ -134,12 +134,19 @@ object CorpusSelect {
     val posting = Dedup.shinglePosting(spark, dir)
     val evalPost = posting.filter($"doc_id" % evalMod === evalRes)
       .select($"doc_id".as("eval_id"), $"shingle")
+    // plain count, not countDistinct: the posting is distinct per
+    // (doc, shingle) by construction (dropDuplicates in
+    // shinglePosting), so each shingle reaches an (eval) group or a
+    // (train, eval) pair exactly once — unlike decontaminate's
+    // per-train-doc grouping, where the eval-side fanout genuinely
+    // duplicates shingles. countDistinct here paid a second
+    // dedup-keyed exchange per aggregate for nothing.
     val evalSize = evalPost.groupBy($"eval_id")
-      .agg(countDistinct($"shingle").as("n_eval_sh"))
+      .agg(count(lit(1)).as("n_eval_sh"))
     val trainPost = posting.filter($"doc_id" % evalMod =!= evalRes)
     trainPost.join(evalPost, "shingle")
       .groupBy($"doc_id", $"eval_id")
-      .agg(countDistinct($"shingle").as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
       .filter($"n_shared" >= minPairShingles)
       .join(evalSize, "eval_id")
       .select($"doc_id", $"eval_id", $"n_shared", $"n_eval_sh",
