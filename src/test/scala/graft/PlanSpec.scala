@@ -116,6 +116,7 @@ class PlanSpec extends AnyFunSuite {
     val builders = Seq[(String, () => org.apache.spark.sql.DataFrame)](
       "ngramPairs" -> (() => Dedup.ngramPairsPlan(spark, sf)),
       "minhashCandidates" -> (() => Dedup.minhashCandidatesPlan(spark, sf)),
+      "minhashPairs" -> (() => Dedup.minhashPairsPlan(spark, sf)),
       "simhashDocs" -> (() => Dedup.simhashDocsPlan(spark, sf)),
       "embCandidates" -> (() => Dedup.embCandidatesPlan(spark, sf)))
     for ((name, b) <- builders) {
@@ -163,9 +164,14 @@ class PlanSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val p = plan("dedup_minhash_lsh")
+      // the served query reduces to a checkpoint scan of the cached
+      // pair index — the property belongs to the UNCHECKPOINTED
+      // verification builder
+      PlanCache.clearAll()
+      val p = graft.operators.Dedup.minhashPairsPlan(spark, sf)
+        .queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastExchange"),
-        "candidate-derived frame is broadcast in dedup_minhash_lsh")
+        "candidate-derived frame is broadcast in the minhash verification")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
