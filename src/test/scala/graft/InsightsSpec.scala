@@ -123,6 +123,21 @@ class InsightsSpec extends AnyFunSuite {
       "manual category selection must not claim the default")
   }
 
+  test("dashboard with a filter excluding all data degrades to empty widgets") {
+    // reference tests/test_insights.py:34 build_insights(empty df)
+    // must return a "Sin datos" message, never raise — same contract
+    // here: a year range beyond the corpus renders every section as
+    // an empty widget with no exception and no bogus default header
+    val md = graft.Dashboard.render(spark, sf,
+      TradeParams(Some(2050), Some(2051), None, None))
+    assert(md.contains("sin datos bajo el filtro"))
+    assert(!md.contains("Mostrando top"),
+      "empty ranking must not claim a top-N default")
+    for (h <- Seq("Análisis por País", "Análisis por Categorías",
+        "Conclusiones Accionables"))
+      assert(md.contains(h), s"empty-data dashboard missing section: $h")
+  }
+
   // -- parameterized dashboard (reference app.py:165-180 filters) --
 
   test("dashboard params filter the operators and reach the parquet scan") {
