@@ -49,9 +49,12 @@ object Bench {
     // during the stall; a third pass measurably tightens the total
     // for ~2 min of wall time
     val passesRaw = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3")
-    require(passesRaw.matches("\\d+"),
-      s"SPARK_GRAFT_PASSES must be a positive integer, got '$passesRaw'")
-    val nPasses = passesRaw.toInt.max(1)
+    // [1-9]: "0" must be rejected (the message promises a POSITIVE
+    // integer, silently clamping 0→1 would belie it); ≤3 digits keeps
+    // toInt overflow-free
+    require(passesRaw.matches("[1-9]\\d{0,2}"),
+      s"SPARK_GRAFT_PASSES must be a positive integer (1-999), got '$passesRaw'")
+    val nPasses = passesRaw.toInt
     val passes = (1 to nPasses).map { _ =>
       SparkEntry.queries.map { case (name, fn) => name -> measure(fn, name) }
     }

@@ -67,17 +67,14 @@ object GraftExtensions {
 
   /** Register on an already-running session. */
   def install(spark: SparkSession): Unit = {
-    // synchronized check-then-act: concurrent first installs on one
-    // session (test harness + an operator's lazy TopKPerKey.apply)
-    // would otherwise both append a duplicate
+    // the strategy install's synchronized check-then-append lives in
+    // ONE place (TopKStrategy.installOn), shared with the lazy
+    // TopKPerKey.apply path
+    TopKStrategy.installOn(spark)
+    // live sessions have no optimizer-injection hook; the experimental
+    // extraOptimizations batch runs after the standard batches, where
+    // the rule matches the lowered Distinct(semi/anti join) shapes
     spark.experimental.synchronized {
-      if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
-        spark.experimental.extraStrategies =
-          spark.experimental.extraStrategies :+ TopKStrategy
-      }
-      // live sessions have no optimizer-injection hook; the experimental
-      // extraOptimizations batch runs after the standard batches, where
-      // the rule matches the lowered Distinct(semi/anti join) shapes
       if (!spark.experimental.extraOptimizations.contains(SetOpToFlagAggregate)) {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ SetOpToFlagAggregate

@@ -124,8 +124,14 @@ object TradeCatalog {
     * path.
     */
   private[graft] def normalizePath(location: String): (String, String, String) = {
+    // only URI-parse strings that actually carry a scheme: a PLAIN
+    // filesystem path containing '#' or '?' (legal in POSIX paths)
+    // would otherwise have its comparison path truncated at the
+    // fragment/query separator and never match its stored twin
+    val hasScheme = location.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")
     val (scheme, auth, rawPath) =
-      try {
+      if (!hasScheme) ("file", "", location)
+      else try {
         val u = new java.net.URI(location)
         (Option(u.getScheme).getOrElse("file"),
           Option(u.getAuthority).getOrElse(""),

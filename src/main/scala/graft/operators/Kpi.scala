@@ -433,11 +433,17 @@ object Kpi {
     val wy = Window.partitionBy($"yr").orderBy($"mon")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wPrev = Window.partitionBy($"mon").orderBy($"yr")
+    // STRICT prior year: a bare lag(1) over the year sequence would
+    // silently compare against the last AVAILABLE year when (yr-1,
+    // mon) is absent (sparse grids under a flow filter) — the lagged
+    // yr is checked so a gap yields NULL, never a mislabeled delta
+    def strictPrev(c: Column): Column =
+      when(lag($"yr", 1).over(wPrev) === $"yr" - 1, lag(c, 1).over(wPrev))
     baseMonthly(spark, dir)
       .withColumn("export_ytd", dSumOver($"export_usd", wy))
       .withColumn("import_ytd", dSumOver($"import_usd", wy))
-      .withColumn("export_prev_ytd", lag($"export_ytd", 1).over(wPrev))
-      .withColumn("import_prev_ytd", lag($"import_ytd", 1).over(wPrev))
+      .withColumn("export_prev_ytd", strictPrev($"export_ytd"))
+      .withColumn("import_prev_ytd", strictPrev($"import_ytd"))
       .select($"yr", $"mon", $"export_ytd", $"export_prev_ytd",
         (($"export_ytd" / $"export_prev_ytd" - 1.0) * 100.0).as("export_ytd_delta"),
         $"import_ytd", $"import_prev_ytd",
@@ -448,6 +454,8 @@ object Kpi {
   private val ytdDeltaSql = {
     val over = "(PARTITION BY yr ORDER BY mon ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     val prev = "OVER (PARTITION BY mon ORDER BY yr)"
+    def strictPrev(c: String) =
+      s"CASE WHEN LAG(yr, 1) $prev = yr - 1 THEN LAG($c, 1) $prev END"
     s"""WITH $baseSql,
        |y AS (
        |  SELECT yr, mon,
@@ -455,11 +463,11 @@ object Kpi {
        |    (${dSumOverSql("import_usd", over)}) AS import_ytd
        |  FROM base)
        |SELECT yr, mon, export_ytd,
-       |  LAG(export_ytd, 1) $prev AS export_prev_ytd,
-       |  ((export_ytd / LAG(export_ytd, 1) $prev - 1.0) * 100.0) AS export_ytd_delta,
+       |  ${strictPrev("export_ytd")} AS export_prev_ytd,
+       |  ((export_ytd / ${strictPrev("export_ytd")} - 1.0) * 100.0) AS export_ytd_delta,
        |  import_ytd,
-       |  LAG(import_ytd, 1) $prev AS import_prev_ytd,
-       |  ((import_ytd / LAG(import_ytd, 1) $prev - 1.0) * 100.0) AS import_ytd_delta
+       |  ${strictPrev("import_ytd")} AS import_prev_ytd,
+       |  ((import_ytd / ${strictPrev("import_ytd")} - 1.0) * 100.0) AS import_ytd_delta
        |FROM y ORDER BY yr, mon""".stripMargin
   }
 

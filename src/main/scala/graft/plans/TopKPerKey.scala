@@ -160,6 +160,20 @@ object TopKPerKeyExec {
 
 /** Plans TopKPerKey as partial → (shuffle to clustered) → final. */
 object TopKStrategy extends SparkStrategy {
+
+  /** Idempotent registration on a live session — the ONE copy of the
+    * synchronized check-then-append (shared by GraftExtensions.install
+    * and TopKPerKey.apply so the discipline can't drift between
+    * sites).
+    */
+  def installOn(spark: SparkSession): Unit =
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+      }
+    }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
       // floor at 1: a cap <= 0 would make the partial pass park every
@@ -194,15 +208,7 @@ object TopKPerKey {
       k: Int): DataFrame = {
     require(k > 0, s"top-k needs k > 0, got $k")
     val spark = df.sparkSession
-    // synchronized check-then-act: concurrent first users of two
-    // queries on one session would otherwise both append (a duplicate
-    // strategy is benign but noisy in plan dumps)
-    spark.experimental.synchronized {
-      if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
-        spark.experimental.extraStrategies =
-          spark.experimental.extraStrategies :+ TopKStrategy
-      }
-    }
+    TopKStrategy.installOn(spark)
     val plan = df.queryExecution.analyzed
     def attr(n: String): Attribute = plan.output.find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(

@@ -92,23 +92,30 @@ class KpiSpec extends AnyFunSuite {
     // the reference tile: export_change = (export_ytd/export_prev - 1)
     // * 100 against the SAME cumulative period one year back
     // (app.py:201-216). Cross-check every row against the kpi_ytd
-    // frame joined to itself at (yr-1, mon).
-    val ytd = q("kpi_ytd").collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
-    val rows = q("kpi_ytd_delta").collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val (yr, mon) = (r.getInt(0), r.getInt(1))
-      assert(math.abs(r.getDouble(2) - ytd((yr, mon))) < 1e-9)
-      ytd.get((yr - 1, mon)) match {
-        case Some(prev) =>
-          assert(math.abs(r.getDouble(3) - prev) < 1e-9)
-          assert(math.abs(r.getDouble(4) - (r.getDouble(2) / prev - 1.0) * 100.0) < 1e-9)
-        case None =>
-          assert(r.isNullAt(3) && r.isNullAt(4),
-            s"first year ($yr-$mon) must carry null deltas")
+    // frame joined to itself at (yr-1, mon) — on the full corpus AND
+    // on a sparse month grid (flow filter), where a bare lag over the
+    // year sequence would silently compare against the last AVAILABLE
+    // year instead of yr-1.
+    def check(dir: String): Unit = {
+      val ytd = SparkEntry.queries("kpi_ytd")(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+      val rows = SparkEntry.queries("kpi_ytd_delta")(spark, dir).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (yr, mon) = (r.getInt(0), r.getInt(1))
+        assert(math.abs(r.getDouble(2) - ytd((yr, mon))) < 1e-9)
+        ytd.get((yr - 1, mon)) match {
+          case Some(prev) =>
+            assert(math.abs(r.getDouble(3) - prev) < 1e-9)
+            assert(math.abs(r.getDouble(4) - (r.getDouble(2) / prev - 1.0) * 100.0) < 1e-9)
+          case None =>
+            assert(r.isNullAt(3) && r.isNullAt(4),
+              s"missing ($yr-$mon) prior year must carry null deltas")
+        }
       }
     }
+    check(sf)
+    check(TradeParams(flows = Some(Set("export")))(sf))
   }
 
   test("idx_base starts at 100") {

@@ -16,7 +16,9 @@ import duckdb
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-passes = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+# default matches graft.Bench's min-of-3 so neither engine gets an
+# extra chance to discard a noisy pass in the published ratio
+passes = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
 con = duckdb.connect()
 con.execute("SET threads TO 32")
@@ -37,16 +39,20 @@ for q in names:
     try: run_once(oracles[q])
     except Exception as e: print(f"[warmup] {q} FAILED: {e}", file=sys.stderr)
 
-results, failed = {}, set()
+results = {}
 for p in range(passes):
     for q in names:
         try: t = run_once(oracles[q])
         except Exception as e:
             print(f"[pass {p}] {q} FAILED: {e}", file=sys.stderr)
-            failed.add(q);  t = -1.0
+            t = -1.0
         if t >= 0:
             results[q] = min(results.get(q, float("inf")), t)
 results = {q: round(v, 4) for q, v in results.items() if v != float("inf")}
+# graft.Bench semantics: min over the SUCCESSFUL passes; a query is
+# failed only when every pass failed. A query that errors once but
+# succeeds later keeps its min-of-successes timing on both engines.
+failed = set(names) - set(results)
 
 # a failed query must be visible in the record, not silently shrink
 # the total — the matched Spark comparison needs identical query sets
