@@ -43,10 +43,23 @@ object GraftSession {
       // NOTE (measured, r7): retested with SMALL advisory sizes (4m,
       // 16m) to rule out the 64m-over-coalescing confound — still
       // 12-14% slower than the defaults (66.6/67.6 vs 59.1 s at
-      // matched ~0.29 s/stage host floors), and AQE fully OFF is ~20%
-      // slower (75.8 vs 63.4). The defaults are the measured optimum
-      // for this suite; SPARK_GRAFT_CONF exists for re-running these
-      // A/Bs in one env var.
+      // matched ~0.29 s/stage host floors). At that point AQE fully
+      // OFF was ~20% slower (75.8 vs 63.4).
+      // NOTE (measured, r8): the AQE trade INVERTED once the heavy
+      // derivations (minhash pairs, vocab/KMV postings, ANN indexes)
+      // became cached artifacts: the suite is then ~122 floor-bound
+      // queries, and AQE's per-exchange job boundary is the floor
+      // itself (0.26-0.28 s/stage with AQE vs 0.127 without; totals
+      // 55.8-60.8 vs 46.2 s on the same host windows). AQE is
+      // therefore OFF for these LOCAL single-JVM sessions, where the
+      // partition counts are already statically tuned and there is no
+      // skew/size uncertainty for AQE to re-plan around. A CLUSTER
+      // deployment should leave AQE ON (skew splits and size-based
+      // join selection matter again at 100 TB) — that path configures
+      // its own session (spark.sql.extensions=graft.GraftExtensions)
+      // and never goes through GraftSession.local; SPARK_GRAFT_CONF
+      // re-enables it here for A/Bs in one env var.
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   /** Dev A/B hook: SPARK_GRAFT_CONF="k=v;k=v" lands as session confs

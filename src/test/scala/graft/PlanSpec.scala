@@ -97,7 +97,7 @@ class PlanSpec extends AnyFunSuite {
       assert(!pm.contains("BroadcastExchange"),
         "catMonthly force-broadcasts the part dimension")
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.adaptive.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
@@ -151,7 +151,7 @@ class PlanSpec extends AnyFunSuite {
         .queryExecution.executedPlan.toString
       assert(!sp.contains("hashpartitioning"), "phash signature pass shuffles on a key")
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.adaptive.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
@@ -173,7 +173,7 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastExchange"),
         "candidate-derived frame is broadcast in the minhash verification")
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.adaptive.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
@@ -204,7 +204,7 @@ class PlanSpec extends AnyFunSuite {
       assert("ShuffledHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
         "drop-list anti-join is not the shuffled-hash form")
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.adaptive.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
@@ -234,7 +234,7 @@ class PlanSpec extends AnyFunSuite {
           s"$q degenerates to an all-pairs join")
       }
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.adaptive.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
@@ -296,7 +296,7 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Join"), "mm_phash must not join")
       assert(!p.contains("hashpartitioning"),
         "mm_phash must not shuffle on a key")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   test("llm_quality_classify reduces codegen'd integer partials per doc") {
@@ -311,7 +311,7 @@ class PlanSpec extends AnyFunSuite {
       assert(hashLine.contains("*("), s"weight hash not codegen'd: $hashLine")
       assert(p.contains("hashpartitioning(doc_id"),
         "per-doc reduction must shuffle on doc_id")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   test("graph_pagerank reduces contributions per node, never all-pairs") {
@@ -327,7 +327,7 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("hashpartitioning(dst"),
         "contribution reduction must shuffle on dst")
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.adaptive.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
@@ -342,7 +342,7 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastExchange"),
         "corpus-proportional posting side is broadcast")
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.adaptive.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
@@ -359,7 +359,7 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("hashpartitioning(chunk_hash"),
         "first-occurrence window must partition by chunk_hash")
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.adaptive.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
@@ -370,7 +370,7 @@ class PlanSpec extends AnyFunSuite {
       val p = plan("llm_shard_shuffle")
       assert(p.contains("hashpartitioning(shard"),
         "position window must partition by shard")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   test("bounded-probe contract fails loudly past the bound (non-equi ANN joins)") {
@@ -407,7 +407,7 @@ class PlanSpec extends AnyFunSuite {
         "ann_ivfpq degenerates to an all-pairs scoring join")
       assert(p.contains("BroadcastHashJoin [label"),
         "scoring join must be an equi hash join on the cluster key")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   test("llm_bloom probes row-locally: literal filter, no joins") {
@@ -424,7 +424,7 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Join"), "bloom probe must not join")
       assert(p.contains("hashpartitioning(doc_id"),
         "per-doc reduction must shuffle on doc_id")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   test("text_quality/text_langid stopword counts run inside codegen") {
@@ -440,7 +440,7 @@ class PlanSpec extends AnyFunSuite {
         val line = p.linesIterator.find(_.toLowerCase.contains("tokensetcount")).get
         assert(line.contains("*("), s"$q scoring not codegen'd: $line")
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   test("contamination joins never force-broadcast the eval posting") {
@@ -458,7 +458,7 @@ class PlanSpec extends AnyFunSuite {
         assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       }
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.adaptive.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
@@ -473,7 +473,7 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Join"), "dedup_url must not join")
       assert(p.contains("hashpartitioning(canonical_url"),
         "dedup aggregate must shuffle on canonical_url")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   test("llm_split assigns splits with zero keyed shuffle") {
@@ -486,7 +486,7 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Join"), "llm_split must not join")
       assert(!p.contains("hashpartitioning"),
         "llm_split must not shuffle on a key")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   test("graph_triangles closes wedges via vertex equi-joins, never all-pairs") {
@@ -503,7 +503,7 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("hashpartitioning(b"),
         "wedge join must shuffle on the shared vertex key")
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.adaptive.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
@@ -521,7 +521,7 @@ class PlanSpec extends AnyFunSuite {
         "mm_audio_window must not shuffle on a key")
       val line = p.linesIterator.find(_.toLowerCase.contains("byteenergy")).get
       assert(line.contains("*("), s"feature loops not codegen'd: $line")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   test("rolling_hash participates in whole-stage codegen") {
@@ -536,6 +536,6 @@ class PlanSpec extends AnyFunSuite {
       // not fall back to interpreted eval
       val projLine = p.linesIterator.find(_.toLowerCase.contains("rollinghash")).get
       assert(projLine.contains("*("), s"projection not codegen'd: $projLine")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 }

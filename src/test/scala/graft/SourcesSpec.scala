@@ -168,7 +168,7 @@ class SourcesSpec extends AnyFunSuite {
       assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
       assert(j.count() > 0)
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.adaptive.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
