@@ -826,12 +826,29 @@ object Similarity {
   // via truncating div (non-negative operands → trunc ≡ floor ≡
   // DuckDB's //).
 
-  private def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+  /** Undirected distinct edge set of the kNN graph — a graph-index
+    * artifact like the pagerank prep frames, cached per (session,
+    * corpus): the triangle census consumes it FIVE times in one plan
+    * (degrees, edge count, all three legs of the wedge closure), and
+    * Spark has no cross-branch common-subplan elimination, so the
+    * uncached form re-ran the distinct (scan + exchange + dedup
+    * aggregate) per consumer.
+    */
+  private val ueCache = new graft.PlanCache()
+  private[graft] def undirectedEdgesPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ue = knnEdges(spark, dir)
+    knnEdges(spark, dir)
       .select(least($"vec_id", $"neighbor_id").as("a"),
         greatest($"vec_id", $"neighbor_id").as("b"))
       .distinct()
+  }
+  private def undirectedEdges(spark: SparkSession, dir: String): DataFrame =
+    ueCache.getOrBuild(spark, dir)(
+      undirectedEdgesPlan(spark, dir).localCheckpoint())
+
+  private def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ue = undirectedEdges(spark, dir)
     val deg = ue.select($"a".as("id")).unionAll(ue.select($"b".as("id")))
       .groupBy($"id").agg(count(lit(1)).as("d"))
     val degStats = deg.agg(
@@ -840,9 +857,13 @@ object Similarity {
     val edgeStats = ue.agg(count(lit(1)).as("n_edges"))
     val e2 = ue.select($"a".as("b2"), $"b".as("c2"))
     val e3 = ue.select($"a".as("a3"), $"b".as("c3"))
+    // SHUFFLE_HASH like the pagerank iterations: the stats-less
+    // checkpointed sides would otherwise plan sort-merge (two sorts
+    // per join); fan-out is degree-bounded (≤ 2k per vertex), so the
+    // hash build is the same memory the SMJ sort buffer held
     val triStats = ue
-      .join(e2, $"b" === $"b2")
-      .join(e3, $"a" === $"a3" && $"c2" === $"c3")
+      .join(e2.hint("shuffle_hash"), $"b" === $"b2")
+      .join(e3.hint("shuffle_hash"), $"a" === $"a3" && $"c2" === $"c3")
       .agg(count(lit(1)).as("n_triangles"))
     degStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(triStats))
       .select($"n_vertices", $"n_edges", $"n_wedges", $"n_triangles",
