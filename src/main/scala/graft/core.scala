@@ -60,6 +60,26 @@ object GraftSession {
       // and never goes through GraftSession.local; SPARK_GRAFT_CONF
       // re-enables it here for A/Bs in one env var.
       .config("spark.sql.adaptive.enabled", "false")
+      // NOTE (measured, r9): the static planner re-shuffles a
+      // SinglePartition child of a distribution-requiring operator
+      // once the ESTIMATED size crosses this bound (default 128m).
+      // The estimator multiplies join children sizes, so an unrolled
+      // iterative plan (pagerank's five edges⋈rank⋈nodes rounds, the
+      // triangle wedge closure) over-estimates exponentially in
+      // depth: a 5-row probe graph estimated >128m by iteration 4 and
+      // the 500-node test graph crossed 1 TERABYTE by iteration 2 —
+      // the growth is unbounded (sizeInBytes is BigInt), so ANY
+      // finite trip-wire eventually re-shuffles a measured-tiny frame
+      // to 32 partitions (the r8 graph regression: pagerank
+      // 1.04→1.90 s). The only SinglePartition frames that feed
+      // distribution-requiring operators here are the measured-bound
+      // graph-index frames (Similarity.graphParts caps their TRUE
+      // size at ~6 MB), so the trip-wire is disabled for LOCAL
+      // sessions — the measured partition sizing IS the guard;
+      // cluster sessions keep the default, and their graph frames
+      // never plan SinglePartition because graphParts grows the
+      // partition count with the measured row count.
+      .config("spark.sql.maxSinglePartitionBytes", Long.MaxValue.toString)
       .config("spark.ui.enabled", "false")
 
   /** Dev A/B hook: SPARK_GRAFT_CONF="k=v;k=v" lands as session confs
@@ -437,6 +457,115 @@ private[graft] object PlanCache {
     */
   def clearAll(): Unit =
     instances.synchronized { instances.foreach(_.clear()) }
+}
+
+/** Bounded LRU for small per-(session, corpus) scalars and models
+  * (measured row counts, k-means seed arrays) — the non-DataFrame
+  * sibling of [[PlanCache]], same discipline: keyed eviction of the
+  * eldest entry instead of wholesale clears (which dropped hot
+  * entries for live sessions and held stopped-session keys until the
+  * next overflow), build outside the monitor so no caller blocks on
+  * another's cluster job (a racing duplicate build is benign — the
+  * cached values are deterministic).
+  */
+private[graft] final class LruCache[K, V <: AnyRef](bound: Int = 8) {
+  private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true)
+  def getOrBuild(k: K)(build: => V): V = {
+    m.synchronized { val hit = m.get(k); if (hit != null) return hit }
+    val built = build
+    m.synchronized {
+      val prior = m.get(k)
+      if (prior != null) prior
+      else {
+        m.put(k, built)
+        while (m.size() > bound) m.remove(m.keySet().iterator().next())
+        built
+      }
+    }
+  }
+}
+
+/** Session-conf parsing with errors that name the offending conf —
+  * a bare `.toInt` inside query planning surfaces a tuning typo as an
+  * uncontextualized NumberFormatException mid-plan.
+  */
+private[graft] object Confs {
+  def nonNegativeLong(spark: SparkSession, key: String, default: Long): Long = {
+    val raw = spark.conf.get(key, default.toString)
+    val v =
+      try raw.trim.toLong
+      catch { case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$key must be a non-negative integer, got '$raw'") }
+    if (v < 0) throw new IllegalArgumentException(
+      s"$key must be a non-negative integer, got '$raw'")
+    v
+  }
+  def positiveLong(spark: SparkSession, key: String, default: Long): Long = {
+    val v = nonNegativeLong(spark, key, default)
+    if (v == 0) throw new IllegalArgumentException(
+      s"$key must be a positive integer, got '0'")
+    v
+  }
+}
+
+/** localCheckpoint with MEASURED statistics.
+  *
+  * `Dataset.localCheckpoint` copies the ORIGIN plan's estimated
+  * statistics onto the checkpoint's LogicalRDD — and for an index
+  * artifact derived through joins (the kNN edge set, the pagerank
+  * prep frames) that estimate is the join-size PRODUCT, off by six
+  * orders of magnitude and growing without bound as artifacts derive
+  * from artifacts (measured: the sf0.001 undirected edge set —
+  * ~8 KB on disk — carried a 24 GB estimate, and one join later the
+  * estimate passed Long.MaxValue). The static planner consults these
+  * stats for its keep-single-partition preference (see the
+  * maxSinglePartitionBytes note in GraftSession), so garbage stats
+  * silently re-shuffled measured-tiny graph frames. This helper
+  * replaces the copied estimate with the MEASURED row count × the
+  * schema's per-row default size — the checkpoint is already
+  * materialized, so the count is a scan of local blocks (or free
+  * when the caller knows the cardinality). The same honest-stats
+  * discipline AQE gets from runtime shuffle statistics, obtained
+  * statically.
+  */
+private[graft] object MeasuredCkpt {
+  import org.apache.spark.sql.catalyst.plans.logical.Statistics
+  import org.apache.spark.sql.execution.LogicalRDD
+
+  def apply(df: DataFrame, knownRows: Long = -1L): DataFrame = {
+    val lc = df.localCheckpoint()
+    lc.queryExecution.optimizedPlan match {
+      case lr: LogicalRDD =>
+        val n = if (knownRows >= 0L) knownRows else lc.count()
+        val rowBytes = lc.schema.fields.map(_.dataType.defaultSize.toLong).sum + 8L
+        val stats = Statistics(
+          sizeInBytes = (BigInt(n) * rowBytes).max(1), rowCount = Some(BigInt(n)))
+        val session = lc.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        org.apache.spark.sql.GraftSqlBridge.ofRows(session,
+          lr.copy()(session, Some(stats), None))
+      case _ => lc // non-LogicalRDD checkpoint (unexpected): keep as-is
+    }
+  }
+}
+
+/** Measured-bound join-side handling — the static-planner analog of
+  * AQE's runtime size-based join selection, driven by a MEASURED row
+  * count instead of a size estimate (checkpointed index artifacts are
+  * stats-less, and the estimator's join-size products are garbage at
+  * depth — see the maxSinglePartitionBytes note in GraftSession).
+  * Under the bound the side is broadcast; past it the join falls back
+  * to a shuffled hash join — never an OOM, never an unconditional
+  * broadcast of an SF-proportional frame. The bound is conf-threaded
+  * so plan guards can pin either path (0 = never broadcast).
+  */
+private[graft] object Joins {
+  val maxBuildRowsConf = "spark.graft.join.maxBuildRows"
+  val defaultMaxBuildRows: Long = 1L << 20 // ~tens of MB for narrow build rows
+  def sizedBuild(df: DataFrame, measuredRows: Long): DataFrame = {
+    val bound = Confs.nonNegativeLong(df.sparkSession, maxBuildRowsConf, defaultMaxBuildRows)
+    if (measuredRows <= bound) org.apache.spark.sql.functions.broadcast(df)
+    else df.hint("shuffle_hash")
+  }
 }
 
 /** Final presentation order for RESULT frames, without a range

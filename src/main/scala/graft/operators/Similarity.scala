@@ -64,26 +64,19 @@ object Similarity {
         "must run through the pruned variants (ann_lsh / ann_ivf / " +
         "ann_ivfpq) or as a batch similarity join (ann_knn_graph).")
 
-  /** Cached count of the deterministic query set (every 50th vector,
-    * identical for all three ANN variants): the probeSide contract
-    * check costs one column-pruned count job per (session, corpus),
-    * not one per invocation.
+  /** Measured row counts per (session, corpus, tag) — one count job
+    * each, LRU-bounded (graft.LruCache). "queries" backs the
+    * probeSide contract check; "nodes"/"knn_edges" back the graph
+    * partition sizing (graphParts). Counts are data properties, so a
+    * racing duplicate build is benign.
     */
-  private val queryCountCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
-  private def queryCount(spark: SparkSession, dir: String, q: => DataFrame): Long = {
-    val key = (spark, dir)
-    val hit = queryCountCache.get(key)
-    if (hit != null) hit.longValue()
-    else {
-      val n = q.count()
-      // longs only, but keys retain sessions — bound like the frame
-      // caches (a clear just means one re-count)
-      if (queryCountCache.size > 8) queryCountCache.clear()
-      queryCountCache.putIfAbsent(key, n)
-      n
-    }
-  }
+  private val countCache = new graft.LruCache[(SparkSession, String, String), java.lang.Long](16)
+  private def measuredCount(spark: SparkSession, dir: String, tag: String)(
+      df: => DataFrame): Long =
+    countCache.getOrBuild((spark, dir, tag))(Long.box(df.count())).longValue()
+
+  private def queryCount(spark: SparkSession, dir: String, q: => DataFrame): Long =
+    measuredCount(spark, dir, "queries")(q)
 
   // ---- ann_bruteforce: exact cosine top-5 per query ----
 
@@ -410,25 +403,18 @@ object Similarity {
     * driver read of a deterministic projection, memoized like
     * queryCount. (vec_id, embedding as double, norm), sorted by id.
     */
-  private val kmeansSeedCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), Array[(Long, Array[Double], Double)]]()
-  private def kmeansSeeds(spark: SparkSession, dir: String): Array[(Long, Array[Double], Double)] = {
-    val key = (spark, dir)
-    val hit = kmeansSeedCache.get(key)
-    if (hit != null) hit
-    else {
-      import spark.implicits._
-      val rows = Tables(spark, dir).embeddings
-        .filter($"vec_id" % 50 === 0 && $"vec_id" < 400)
-        .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
-        .collect()
-        .map(r => (r.getLong(0),
-          r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
-        .sortBy(_._1)
-      if (kmeansSeedCache.size > 8) kmeansSeedCache.clear()
-      kmeansSeedCache.putIfAbsent(key, rows)
-      rows
-    }
+  private val kmeansSeedCache = new graft.LruCache[
+    (SparkSession, String), Array[(Long, Array[Double], Double)]](8)
+  private def kmeansSeeds(spark: SparkSession, dir: String): Array[(Long, Array[Double], Double)] =
+      kmeansSeedCache.getOrBuild((spark, dir)) {
+    import spark.implicits._
+    Tables(spark, dir).embeddings
+      .filter($"vec_id" % 50 === 0 && $"vec_id" < 400)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
+      .sortBy(_._1)
   }
 
   private def annKmeansStep(spark: SparkSession, dir: String): DataFrame = {
@@ -558,7 +544,11 @@ object Similarity {
   private val knnEdgeCache = new graft.PlanCache()
   private[graft] def knnEdges(spark: SparkSession, dir: String): DataFrame =
     knnEdgeCache.getOrBuild(spark, dir)(
-      knnEdgesPlan(spark, dir).localCheckpoint())
+      // MeasuredCkpt, not a plain checkpoint: the copied origin
+      // estimate (a join product) is garbage-huge, and every graph
+      // artifact downstream (undirected edges, pagerank prep) would
+      // inherit it — see MeasuredCkpt's scaladoc
+      graft.MeasuredCkpt(knnEdgesPlan(spark, dir)))
 
   /** The UNCHECKPOINTED kNN-edge derivation (for plan-shape guards). */
   private[graft] def knnEdgesPlan(spark: SparkSession, dir: String): DataFrame = {
@@ -694,90 +684,179 @@ object Similarity {
   private[graft] val prDampNum = 85
   private[graft] val prDampDen = 100
 
-  /** The unrolled integer-PageRank iteration over any (id) node set
-    * and (src, dst) edge set — private[graft] so the spec can drive
-    * it on a handmade graph against a sequential recompute.
+  /** Measured-bound partition sizing for graph-index frames — the
+    * explicit size-aware planning the r8 AQE-off flip removed from
+    * the two graph plans, recovered from a MEASURED row count (paid
+    * once per (session, corpus) at index build, like the probeSide
+    * query count) instead of a runtime re-plan:
+    *
+    *   parts = clamp(ceil(maxRows / rowsPerPartition), 1, shuffle.partitions)
+    *
+    * A bench-scale graph (thousands of rows) collapses to ONE
+    * partition — SinglePartition satisfies every clustering
+    * requirement, so the whole unrolled iteration / wedge closure
+    * plans ZERO exchanges and runs as one stage. At corpus scale the
+    * count grows the partition count back to the session shuffle
+    * parallelism and the co-partitioned shuffle plan reappears
+    * unchanged — same code, measured dial. Conf-threaded
+    * (rowsPerPartition) so plan guards can pin the scale path.
     */
+  private[graft] val graphRowsPerPartConf = "spark.graft.graph.rowsPerPartition"
+  private[graft] val defaultGraphRowsPerPart = 1L << 18 // ~6 MB of (long,long,long) rows
+  private def partsFor(spark: SparkSession, maxRows: Long): Int = {
+    val perPart = graft.Confs.positiveLong(spark, graphRowsPerPartConf, defaultGraphRowsPerPart)
+    val want = (maxRows + perPart - 1) / perPart
+    math.max(1L, math.min(want, spark.sessionState.conf.numShufflePartitions.toLong)).toInt
+  }
+  private def graphParts(spark: SparkSession, dir: String): Int =
+    partsFor(spark, math.max(
+      measuredCount(spark, dir, "nodes")(
+        Tables(spark, dir).embeddings.select(col("vec_id"))),
+      measuredCount(spark, dir, "knn_edges")(knnEdges(spark, dir))))
+
   /** Graph-INDEX preparation: the degree-weighted edge list
-    * partitioned by src, the node set partitioned by id, and the node
-    * count — artifacts the unrolled plan would otherwise re-derive in
-    * every iteration (5× the deg aggregation + 5× the edges⋈deg join,
-    * 6× the count). Both big frames are HASH-PARTITIONED ON THEIR
-    * JOIN KEY and checkpointed, so inside [[pagerankIter]] every join
-    * is co-partitioned: rank carries hash(id) out of each update
-    * (alias-aware partitioning propagation through the renames), so
-    * the edges⋈rank join and the nodes⋈contrib update both plan with
-    * ZERO additional exchange — each iteration pays exactly one
-    * shuffle, the dst contribution reduction.
+    * partitioned by src and the node set partitioned by id —
+    * artifacts the unrolled plan would otherwise re-derive in every
+    * iteration (5× the deg aggregation + 5× the edges⋈deg join).
+    * Both frames are HASH-PARTITIONED ON THEIR JOIN KEY at the
+    * MEASURED partition count ([[partsFor]]) and checkpointed, so
+    * inside [[pagerankIter]] every join is co-partitioned: rank
+    * carries hash(id) out of each update (alias-aware partitioning
+    * propagation through the renames), so the edges⋈rank join and
+    * the nodes⋈contrib update both plan with ZERO additional
+    * exchange — each iteration pays exactly one shuffle, the dst
+    * contribution reduction, and at the single-partition measured
+    * bound even that reduction needs no exchange.
     */
-  private def prepNodes(nodes: DataFrame): DataFrame = {
+  private def prepNodes(nodes: DataFrame, parts: Int): DataFrame = {
     import nodes.sparkSession.implicits._
-    nodes.repartition($"id").localCheckpoint()
+    graft.MeasuredCkpt(nodes.repartition(parts, $"id"))
   }
-  private def prepEdges(edges: DataFrame): DataFrame = {
+  private def prepEdges(edges: DataFrame, parts: Int): DataFrame = {
     import edges.sparkSession.implicits._
-    edges.join(edges.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
-      .repartition($"src").localCheckpoint()
-  }
-  private def prepCount(nodes: DataFrame): DataFrame = {
-    import nodes.sparkSession.implicits._
-    nodes.agg(count(lit(1)).as("n_nodes")).localCheckpoint()
+    graft.MeasuredCkpt(
+      edges.join(edges.groupBy($"src").agg(count(lit(1)).as("deg")), "src")
+        .repartition(parts, $"src"))
   }
 
-  private[graft] def prepPagerank(nodes: DataFrame, edges: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) =
-    (prepNodes(nodes), prepEdges(edges), prepCount(nodes))
-
+  /** The unrolled integer-PageRank iteration over any prepared
+    * (id)-node / (src, dst, deg)-edge pair — private[graft] via
+    * [[pagerankRanks]] so the spec can drive it on a handmade graph
+    * against a sequential recompute.
+    */
   private[graft] def pagerankRanks(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val (nodesP, edgesW, nRow) = prepPagerank(nodes, edges)
-    pagerankIter(nodesP, edgesW, nRow)
+    val n = nodes.count()
+    val parts = partsFor(nodes.sparkSession, math.max(n, edges.count()))
+    pagerankIter(prepNodes(nodes, parts), prepEdges(edges, parts), n)
   }
 
   private def pagerankIter(nodesP: DataFrame, edgesW: DataFrame,
-      nRow: DataFrame): DataFrame = {
+      nNodes: Long): DataFrame = {
     import nodesP.sparkSession.implicits._
+    require(nNodes > 0, "pagerank over an empty node set")
+    // The node count is a measured scalar (one cached count job), so
+    // the per-iteration base mass folds to a LITERAL — Scala Long
+    // division over non-negative operands is the same truncating div
+    // the SQL twin's // computes, and dropping the old broadcast
+    // count-row removes a crossJoin per iteration.
+    //
     // SHUFFLE_HASH on the rank/contrib sides: both joins are already
-    // co-partitioned (hash(id) ≡ hash(src/dst) via alias propagation),
-    // so the hint's only effect is picking hash join over sort-merge —
-    // the stats-less checkpointed inputs otherwise get TWO sorts per
-    // join, 3× per iteration; the hash build is the rank table, O(n)
-    // per partition, the same memory the SMJ sort buffer held
-    var rank = nodesP.crossJoin(broadcast(nRow))
-      .select($"id", expr(s"${prScale}L div n_nodes").as("r"))
+    // co-partitioned (hash(id) ≡ hash(src/dst) via alias propagation,
+    // or SinglePartition at the measured bound), so the hint's only
+    // effect is picking hash join over sort-merge — the stats-less
+    // checkpointed inputs otherwise get TWO sorts per join, 3× per
+    // iteration; the hash build is the rank table, O(n) per
+    // partition, the same memory the SMJ sort buffer held.
+    //
+    // The edges⋈rank join is LEFT OUTER although every edge src has a
+    // rank row (edges are node-to-node by construction): an INNER
+    // join advertises a PartitioningCollection of both sides, which
+    // the exchange-compatibility check refuses to match against a
+    // SinglePartition sibling (measured: it re-shuffles both sides of
+    // every downstream join) — a left join keeps the streamed edge
+    // side's plain partitioning, on both the single-partition and the
+    // co-partitioned path.
+    var rank = nodesP.select($"id", lit(prScale / nNodes).as("r"))
+    val base = ((prScale / prDampDen) * prBaseNum) / nNodes
     for (_ <- 1 to prIters) {
-      val contrib = edgesW
-        .join(rank.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
-        .select($"dst", expr("r div deg").as("c"))
-        .groupBy($"dst").agg(sum($"c").as("contrib"))
-      rank = nodesP.join(contrib.hint("shuffle_hash"), $"id" === $"dst", "left")
-        .crossJoin(broadcast(nRow))
-        .select($"id", expr(
-          s"((${prScale}L div $prDampDen) * $prBaseNum) div n_nodes" +
-            s" + ($prDampNum * coalesce(contrib, 0L)) div $prDampDen").as("r"))
+      rank = pagerankUpdate(nodesP, edgesW, rank, base)
+      // Per-iteration lineage truncation — the iterative-algorithm
+      // standard (GraphX/Pregel materialize each round for the same
+      // reason) — via MeasuredCkpt: a PLAIN checkpoint copies the
+      // origin's estimated size, and the estimator's join-size
+      // product grows exponentially in unrolled depth (BigInt, so it
+      // outruns ANY maxSinglePartitionBytes setting — the bench
+      // corpus crossed Long.MaxValue by iteration 2), so the static
+      // planner re-shuffled the measured-single-partition iterations
+      // off that garbage estimate. Rank has exactly nNodes rows (one
+      // per node, by the left join), so the measured stats are free —
+      // the only added work is the one-task-per-partition checkpoint
+      // job itself, and partitioning is preserved, so the
+      // co-partitioned (or single-partition) join shape carries into
+      // the next round.
+      rank = graft.MeasuredCkpt(rank, knownRows = nNodes)
     }
     rank
+  }
+
+  /** ONE iteration's UNCHECKPOINTED update plan: contributions
+    * reduced per destination, then the damped rank refresh — shared
+    * by the executed loop and the plan-shape guard (the loop
+    * truncates lineage per round, so an executed query's final plan
+    * reduces to a checkpoint scan and a guard run against it would
+    * pass vacuously — PlanSpec asserts on THIS builder instead).
+    */
+  private[graft] def pagerankUpdate(nodesP: DataFrame, edgesW: DataFrame,
+      rank: DataFrame, base: Long): DataFrame = {
+    import nodesP.sparkSession.implicits._
+    val contrib = edgesW
+      .join(rank.withColumnRenamed("id", "src").hint("shuffle_hash"), Seq("src"), "left")
+      .select($"dst", expr("r div deg").as("c"))
+      .groupBy($"dst").agg(sum($"c").as("contrib"))
+    nodesP.join(contrib.hint("shuffle_hash"), $"id" === $"dst", "left")
+      .select($"id", (lit(base) +
+        expr(s"($prDampNum * coalesce(contrib, 0L)) div $prDampDen")).as("r"))
+  }
+
+  /** One uncheckpointed iteration over the REAL corpus graph at the
+    * CURRENT session conf — the plan-shape guards' entry point (the
+    * conf pin on [[graphRowsPerPartConf]] selects the scale or the
+    * measured-bound path).
+    */
+  private[graft] def pagerankIterPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def nodes = Tables(spark, dir).embeddings.select($"vec_id".as("id"))
+    def edges = knnEdges(spark, dir)
+      .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+    val n = measuredCount(spark, dir, "nodes")(nodes)
+    val parts = graphParts(spark, dir)
+    val nodesP = prNodesCache.getOrBuild(spark, dir)(prepNodes(nodes, parts))
+    val edgesW = prEdgesCache.getOrBuild(spark, dir)(prepEdges(edges, parts))
+    val rank0 = nodesP.select($"id", lit(prScale / n).as("r"))
+    pagerankUpdate(nodesP, edgesW, rank0,
+      ((prScale / prDampDen) * prBaseNum) / n)
   }
 
   /** The prepared graph frames per (session, corpus) — index-build
     * artifacts like lshIndex/ivfCentroids, cached (and clearAll-
     * registered, so PlanSpec still asserts the full derivation) so
-    * steady-state reruns skip the three materialization jobs.
+    * steady-state reruns skip the materialization jobs.
     */
   private val prNodesCache = new graft.PlanCache()
   private val prEdgesCache = new graft.PlanCache()
-  private val prCountCache = new graft.PlanCache()
 
   private def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def nodes = Tables(spark, dir).embeddings.select($"vec_id".as("id"))
     def edges = knnEdges(spark, dir)
       .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
-    // the same three builders pagerankRanks (the spec path) runs —
-    // one source of truth for the derivation, cached per corpus here
-    val nodesP = prNodesCache.getOrBuild(spark, dir)(prepNodes(nodes))
-    val edgesW = prEdgesCache.getOrBuild(spark, dir)(prepEdges(edges))
-    val nRow = prCountCache.getOrBuild(spark, dir)(prepCount(nodes))
-    pagerankIter(nodesP, edgesW, nRow)
+    // the same builders pagerankRanks (the spec path) runs — one
+    // source of truth for the derivation, cached per corpus here
+    val n = measuredCount(spark, dir, "nodes")(nodes)
+    val parts = graphParts(spark, dir)
+    val nodesP = prNodesCache.getOrBuild(spark, dir)(prepNodes(nodes, parts))
+    val edgesW = prEdgesCache.getOrBuild(spark, dir)(prepEdges(edges, parts))
+    pagerankIter(nodesP, edgesW, n)
       .select($"id".as("vec_id"), $"r".as("pr"))
       .resultOrder($"vec_id")
   }
@@ -842,30 +921,56 @@ object Similarity {
         greatest($"vec_id", $"neighbor_id").as("b"))
       .distinct()
   }
-  private def undirectedEdges(spark: SparkSession, dir: String): DataFrame =
-    ueCache.getOrBuild(spark, dir)(
-      undirectedEdgesPlan(spark, dir).localCheckpoint())
+  private[graft] def undirectedEdges(spark: SparkSession, dir: String): DataFrame =
+    ueCache.getOrBuild(spark, dir) {
+      import spark.implicits._
+      // measured partition sizing, like the pagerank prep frames: a
+      // bench-scale edge set collapses to one partition and the whole
+      // census below plans zero exchanges; at corpus scale the wedge
+      // joins shuffle on their vertex keys as before
+      graft.MeasuredCkpt(undirectedEdgesPlan(spark, dir)
+        .repartition(graphParts(spark, dir), $"a"))
+    }
 
   private def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ue = undirectedEdges(spark, dir)
-    val deg = ue.select($"a".as("id")).unionAll(ue.select($"b".as("id")))
+    // explode, not unionAll: a union of the two endpoint projections
+    // concatenates partitions (UnknownPartitioning), forcing a keyed
+    // exchange before the degree aggregate even at the measured
+    // single-partition bound — the generator is a narrow op that
+    // keeps the edge frame's partitioning. n_edges = Σd/2 exactly
+    // (each edge contributes two endpoints), one less pass over the
+    // edge set than a separate count branch.
+    val deg = ue.select(explode(array($"a", $"b")).as("id"))
       .groupBy($"id").agg(count(lit(1)).as("d"))
     val degStats = deg.agg(
       count(lit(1)).as("n_vertices"),
+      expr("sum(d) div 2").as("n_edges"),
       sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-    val edgeStats = ue.agg(count(lit(1)).as("n_edges"))
     val e2 = ue.select($"a".as("b2"), $"b".as("c2"))
     val e3 = ue.select($"a".as("a3"), $"b".as("c3"))
     // SHUFFLE_HASH like the pagerank iterations: the stats-less
     // checkpointed sides would otherwise plan sort-merge (two sorts
     // per join); fan-out is degree-bounded (≤ 2k per vertex), so the
-    // hash build is the same memory the SMJ sort buffer held
+    // hash build is the same memory the SMJ sort buffer held.
+    // The wedge join is LEFT OUTER for the same reason as pagerank's
+    // edges⋈rank join: an inner join's PartitioningCollection output
+    // fails the exchange-compatibility check against a
+    // SinglePartition sibling and re-shuffles the closing join —
+    // left keeps the streamed side's plain partitioning, and the
+    // unmatched wedge stubs (null c2) are dropped by the closing
+    // join, so the census is unchanged. The closing c2-key is
+    // NULL-SAFE (<=>, still a hashable equi-key): a plain === is
+    // null-intolerant, and EliminateOuterJoin would use it to fold
+    // the wedge join back to inner — reintroducing the collection
+    // partitioning. c3 is never null, so <=> matches exactly the
+    // pairs === matched and the stub rows (null c2) match nothing.
     val triStats = ue
-      .join(e2.hint("shuffle_hash"), $"b" === $"b2")
-      .join(e3.hint("shuffle_hash"), $"a" === $"a3" && $"c2" === $"c3")
+      .join(e2.hint("shuffle_hash"), $"b" === $"b2", "left")
+      .join(e3.hint("shuffle_hash"), $"a" === $"a3" && $"c2" <=> $"c3")
       .agg(count(lit(1)).as("n_triangles"))
-    degStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(triStats))
+    degStats.crossJoin(broadcast(triStats))
       .select($"n_vertices", $"n_edges", $"n_wedges", $"n_triangles",
         expr("(3000 * n_triangles) div greatest(n_wedges, 1L)")
           .as("global_cc_milli"))
@@ -1192,12 +1297,20 @@ object Similarity {
     import spark.implicits._
     // cached ground truth (see bruteTruth); the approx side is the
     // system under test and runs live — its presentation sort is
-    // dropped (core form) because the overlap join doesn't need order
+    // dropped (core form) because the overlap join doesn't need order.
+    // The approx side is BOUNDED by the top-k contract (≤ k rows per
+    // probe query), so the overlap join probeSides it like every ANN
+    // scoring join — under the measured query bound it broadcasts
+    // (the static planner would otherwise sort-merge two stats-less
+    // frames: the r8 AQE-off regression on this query), past it the
+    // evaluation falls back to a shuffled hash join.
     val truth = bruteTruth(spark, dir)
+    val nQ = queryCount(spark, dir,
+      lshIndex(spark, dir).filter(queryFilter($"vec_id")).select($"vec_id"))
     val approx = annLshCore(spark, dir)
       .select($"q_id".as("a_q"), $"neighbor_id".as("a_n"))
     truth
-      .join(approx, $"q_id" === $"a_q" && $"neighbor_id" === $"a_n", "left")
+      .join(probeSide(approx, nQ), $"q_id" === $"a_q" && $"neighbor_id" === $"a_n", "left")
       .agg(
         countDistinct($"q_id").as("n_queries"),
         count(lit(1)).as("n_truth_pairs"),

@@ -97,7 +97,7 @@ class PlanSpec extends AnyFunSuite {
       assert(!pm.contains("BroadcastExchange"),
         "catMonthly force-broadcasts the part dimension")
     } finally {
-      spark.conf.unset("spark.sql.adaptive.enabled")
+      restoreAqeDefault()
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
@@ -151,7 +151,7 @@ class PlanSpec extends AnyFunSuite {
         .queryExecution.executedPlan.toString
       assert(!sp.contains("hashpartitioning"), "phash signature pass shuffles on a key")
     } finally {
-      spark.conf.unset("spark.sql.adaptive.enabled")
+      restoreAqeDefault()
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
@@ -173,7 +173,7 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastExchange"),
         "candidate-derived frame is broadcast in the minhash verification")
     } finally {
-      spark.conf.unset("spark.sql.adaptive.enabled")
+      restoreAqeDefault()
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
@@ -204,7 +204,7 @@ class PlanSpec extends AnyFunSuite {
       assert("ShuffledHashJoin .*LeftAnti".r.findFirstIn(p).isDefined,
         "drop-list anti-join is not the shuffled-hash form")
     } finally {
-      spark.conf.unset("spark.sql.adaptive.enabled")
+      restoreAqeDefault()
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
@@ -234,7 +234,7 @@ class PlanSpec extends AnyFunSuite {
           s"$q degenerates to an all-pairs join")
       }
     } finally {
-      spark.conf.unset("spark.sql.adaptive.enabled")
+      restoreAqeDefault()
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
@@ -296,7 +296,7 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Join"), "mm_phash must not join")
       assert(!p.contains("hashpartitioning"),
         "mm_phash must not shuffle on a key")
-    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    } finally restoreAqeDefault()
   }
 
   test("llm_quality_classify reduces codegen'd integer partials per doc") {
@@ -311,25 +311,55 @@ class PlanSpec extends AnyFunSuite {
       assert(hashLine.contains("*("), s"weight hash not codegen'd: $hashLine")
       assert(p.contains("hashpartitioning(doc_id"),
         "per-doc reduction must shuffle on doc_id")
-    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    } finally restoreAqeDefault()
   }
 
   test("graph_pagerank reduces contributions per node, never all-pairs") {
-    // each unrolled iteration must aggregate contributions keyed on
-    // the destination node (a hash exchange on dst); the only
-    // cross-join allowed is the single-row corpus-count broadcast
+    // SCALE path — rowsPerPartition pinned to 1 row, so the measured
+    // counts drive the prep frames to the full session partition
+    // count: each unrolled iteration must aggregate contributions
+    // keyed on the destination node (a hash exchange on dst), and
+    // nothing may degenerate to an all-pairs join
+    // the executed loop truncates lineage per round (MeasuredCkpt),
+    // so the final query plan reduces to a checkpoint scan — assert
+    // on the UNCHECKPOINTED single-iteration builder instead
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(graft.operators.Similarity.graphRowsPerPartConf, "1")
     try {
-      val p = plan("graph_pagerank")
+      PlanCache.clearAll()
+      val p = graft.operators.Similarity.pagerankIterPlan(spark, sf)
+        .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
         "pagerank degenerates to an all-pairs join")
       assert(p.contains("hashpartitioning(dst"),
         "contribution reduction must shuffle on dst")
     } finally {
-      spark.conf.unset("spark.sql.adaptive.enabled")
+      restoreAqeDefault()
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset(graft.operators.Similarity.graphRowsPerPartConf)
     }
+  }
+
+  test("graph_pagerank at the measured bound plans zero keyed exchanges") {
+    // MEASURED-BOUND path (default rowsPerPartition): the test-scale
+    // graph collapses to one partition, where every iteration join
+    // and the contribution reduction are trivially co-located — the
+    // whole five-iteration plan must contain NO hash exchange (the
+    // one remaining exchange is resultOrder's single-partition merge)
+    // and still no all-pairs join. This is the r8 regression guard:
+    // the static planner re-shuffled these iterations from a garbage
+    // exponential size estimate (see maxSinglePartitionBytes note in
+    // GraftSession and MeasuredCkpt's scaladoc). Asserted on the
+    // UNCHECKPOINTED single-iteration builder — the executed loop's
+    // final plan is just a checkpoint scan.
+    PlanCache.clearAll()
+    val p = graft.operators.Similarity.pagerankIterPlan(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "pagerank degenerates to an all-pairs join")
+    assert(!p.contains("Exchange hashpartitioning("),
+      s"measured-bound pagerank re-shuffles a single-partition frame:\n$p")
   }
 
   test("dedup_incremental never broadcasts the corpus posting") {
@@ -342,7 +372,7 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastExchange"),
         "corpus-proportional posting side is broadcast")
     } finally {
-      spark.conf.unset("spark.sql.adaptive.enabled")
+      restoreAqeDefault()
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
@@ -359,7 +389,7 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("hashpartitioning(chunk_hash"),
         "first-occurrence window must partition by chunk_hash")
     } finally {
-      spark.conf.unset("spark.sql.adaptive.enabled")
+      restoreAqeDefault()
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
@@ -370,7 +400,7 @@ class PlanSpec extends AnyFunSuite {
       val p = plan("llm_shard_shuffle")
       assert(p.contains("hashpartitioning(shard"),
         "position window must partition by shard")
-    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    } finally restoreAqeDefault()
   }
 
   test("bounded-probe contract fails loudly past the bound (non-equi ANN joins)") {
@@ -407,7 +437,7 @@ class PlanSpec extends AnyFunSuite {
         "ann_ivfpq degenerates to an all-pairs scoring join")
       assert(p.contains("BroadcastHashJoin [label"),
         "scoring join must be an equi hash join on the cluster key")
-    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    } finally restoreAqeDefault()
   }
 
   test("llm_bloom probes row-locally: literal filter, no joins") {
@@ -424,7 +454,7 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Join"), "bloom probe must not join")
       assert(p.contains("hashpartitioning(doc_id"),
         "per-doc reduction must shuffle on doc_id")
-    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    } finally restoreAqeDefault()
   }
 
   test("text_quality/text_langid stopword counts run inside codegen") {
@@ -440,7 +470,7 @@ class PlanSpec extends AnyFunSuite {
         val line = p.linesIterator.find(_.toLowerCase.contains("tokensetcount")).get
         assert(line.contains("*("), s"$q scoring not codegen'd: $line")
       }
-    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    } finally restoreAqeDefault()
   }
 
   test("contamination joins never force-broadcast the eval posting") {
@@ -458,7 +488,7 @@ class PlanSpec extends AnyFunSuite {
         assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
       }
     } finally {
-      spark.conf.unset("spark.sql.adaptive.enabled")
+      restoreAqeDefault()
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
@@ -473,7 +503,7 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Join"), "dedup_url must not join")
       assert(p.contains("hashpartitioning(canonical_url"),
         "dedup aggregate must shuffle on canonical_url")
-    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    } finally restoreAqeDefault()
   }
 
   test("llm_split assigns splits with zero keyed shuffle") {
@@ -486,16 +516,18 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Join"), "llm_split must not join")
       assert(!p.contains("hashpartitioning"),
         "llm_split must not shuffle on a key")
-    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    } finally restoreAqeDefault()
   }
 
   test("graph_triangles closes wedges via vertex equi-joins, never all-pairs") {
-    // triangle census = two shuffled equi-joins on vertex keys over
-    // the a<b ordered edge set; a cartesian over edges is the O(E²)
-    // shape degree-bounded motif counting exists to avoid. The final
-    // crossJoins are exempt: 1-row stat frames, explicitly broadcast.
+    // SCALE path (rowsPerPartition pinned to 1 row): triangle census
+    // = two shuffled equi-joins on vertex keys over the a<b ordered
+    // edge set; a cartesian over edges is the O(E²) shape
+    // degree-bounded motif counting exists to avoid. The final
+    // crossJoin is exempt: a 1-row stat frame, explicitly broadcast.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(graft.operators.Similarity.graphRowsPerPartConf, "1")
     try {
       val p = plan("graph_triangles")
       assert(!p.contains("CartesianProduct"),
@@ -503,9 +535,24 @@ class PlanSpec extends AnyFunSuite {
       assert(p.contains("hashpartitioning(b"),
         "wedge join must shuffle on the shared vertex key")
     } finally {
-      spark.conf.unset("spark.sql.adaptive.enabled")
+      restoreAqeDefault()
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset(graft.operators.Similarity.graphRowsPerPartConf)
     }
+  }
+
+  test("graph_triangles at the measured bound plans zero keyed exchanges") {
+    // MEASURED-BOUND path (default rowsPerPartition): the census —
+    // degree aggregate, both wedge-closure joins, all three stat
+    // aggregates — must run co-located on the single-partition edge
+    // set, with no hash exchange anywhere (the r8 regression guard,
+    // same mechanism as pagerank's) and still no all-pairs join. The
+    // 1-row triStats broadcast is the only broadcast.
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"),
+      "triangle closure degenerates to an all-pairs edge join")
+    assert(!p.contains("Exchange hashpartitioning("),
+      s"measured-bound triangle census re-shuffles a single-partition frame:\n$p")
   }
 
   test("mm_audio_window frames inside codegen with no keyed shuffle") {
@@ -521,7 +568,7 @@ class PlanSpec extends AnyFunSuite {
         "mm_audio_window must not shuffle on a key")
       val line = p.linesIterator.find(_.toLowerCase.contains("byteenergy")).get
       assert(line.contains("*("), s"feature loops not codegen'd: $line")
-    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    } finally restoreAqeDefault()
   }
 
   test("rolling_hash participates in whole-stage codegen") {
@@ -536,6 +583,6 @@ class PlanSpec extends AnyFunSuite {
       // not fall back to interpreted eval
       val projLine = p.linesIterator.find(_.toLowerCase.contains("rollinghash")).get
       assert(projLine.contains("*("), s"projection not codegen'd: $projLine")
-    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+    } finally restoreAqeDefault()
   }
 }

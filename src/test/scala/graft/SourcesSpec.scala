@@ -168,7 +168,7 @@ class SourcesSpec extends AnyFunSuite {
       assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
       assert(j.count() > 0)
     } finally {
-      spark.conf.unset("spark.sql.adaptive.enabled")
+      restoreAqeDefault()
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
