@@ -41,6 +41,26 @@ object Dashboard {
   private def i(r: Row, idx: Int): String =
     if (r.isNullAt(idx)) "—" else r.getInt(idx).toString
 
+  /** format_currency analog (app.py:97-105): auto-scaled $B / $M
+    * with grouped integers below and an N/A fallback — the rendering
+    * the reference's st.metric tiles run every value through.
+    * Deterministic: Locale.ROOT pins '.' decimals and ',' grouping
+    * regardless of host locale (the reference's f-strings are
+    * locale-independent the same way).
+    */
+  private[graft] def fmtUsd(v: Double): String =
+    if (v.isNaN) "N/A"
+    else if (math.abs(v) >= 1e9)
+      String.format(java.util.Locale.ROOT, "$%.1fB", Double.box(v / 1e9))
+    else if (math.abs(v) >= 1e6)
+      String.format(java.util.Locale.ROOT, "$%.0fM", Double.box(v / 1e6))
+    else String.format(java.util.Locale.ROOT, "$%,.0f", Double.box(v))
+
+  /** Null-safe tile rendering through [[fmtUsd]] (null → N/A, like
+    * the reference's pd.isna branch). */
+  private def usd(r: Row, idx: Int): String =
+    if (r.isNullAt(idx)) "N/A" else fmtUsd(r.getDouble(idx))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("target/reports")
@@ -77,36 +97,51 @@ object Dashboard {
 
     // Category-tab default (app.py:446-473): when no categories are
     // chosen, the reference's multiselect defaults to the top-10 by
-    // export and the sidebar notes "Mostrando top N categorías". Same
-    // here: derive the default from the oracle-checked ranking and
-    // apply it to the CATEGORY-dimension panels only — the country
-    // tab aggregates all categories, like the reference's tabs.
-    val rankedFull: Array[Row] =
-      if (params.categories.isDefined) Array.empty
-      else q("kpi_ranking").collect()
-    // nonEmpty guard: an empty ranking (filters excluding every
-    // category) must fall through to unfiltered panels, not produce
-    // categories=Some(Seq()) — which would round-trip the dir
-    // fragment as Seq("") and filter every panel to zero rows under
-    // a bogus "top 0" header
+    // export in the LATEST year — app.py:447 last_year_data =
+    // df[df.year == df.year.max()], then a client-side pandas
+    // groupby('category')['exp'].sum() over the warehouse table.
+    // Same basis here: the oracle-checked per-category monthly model
+    // collected (calendar-bounded frame), reduced driver-side to the
+    // max-year export totals — the exact client-side reduction the
+    // reference runs. Applied to the CATEGORY-dimension panels only;
+    // the country tab aggregates all categories, like the
+    // reference's tabs.
     val defaultTopCats: Option[Seq[String]] =
-      Some(rankedFull.take(10).map(_.getString(1)).toSeq).filter(_.nonEmpty)
+      if (params.categories.isDefined) None
+      else {
+        // columns: category(0), yr(1), mon(2), exp(3), ...
+        val pm = q("kpi_prod_monthly").collect()
+        // None (not Some(Seq())) when the filter excludes every row:
+        // categories=Some(Seq()) would round-trip the dir fragment as
+        // Seq("") and filter every panel to zero rows under a bogus
+        // "top 0" header
+        if (pm.isEmpty) None
+        else {
+          val lastYr = pm.iterator.map(_.getInt(1)).max
+          val top = pm.iterator
+            .filter(_.getInt(1) == lastYr)
+            .toSeq.groupBy(_.getString(0))
+            .view.mapValues(_.iterator
+              .map(r => if (r.isNullAt(3)) 0.0 else r.getDouble(3)).sum)
+            .toSeq
+            // pandas sort_values is stable; the category tiebreak here
+            // makes the selection deterministic under equal exports
+            .sortBy { case (cat, e) => (-e, cat) }
+            .take(10).map(_._1)
+          Some(top).filter(_.nonEmpty)
+        }
+      }
     val catParams = defaultTopCats
       .map(c => params.copy(categories = Some(c))).getOrElse(params)
     val catDir = catParams(sfDir)
     def qc(name: String) = SparkEntry.queries(name)(spark, catDir)
-    // default mode: the ranking restricted to its own top-10 re-ranks
-    // the same rows 1..10 with identical values — reuse the collected
-    // frame instead of re-running the aggregation
-    def rankingRows: Array[Row] =
-      if (defaultTopCats.isDefined) rankedFull.take(10)
-      else qc("kpi_ranking").collect()
+    def rankingRows: Array[Row] = qc("kpi_ranking").collect()
 
     val md = new StringBuilder
 
     md ++= "# Trade Observatory — dashboard bundle\n\n"
     defaultTopCats.foreach { c =>
-      md ++= s"_Mostrando top ${c.size} categorías por exportación (por defecto)_\n\n"
+      md ++= s"_Mostrando top ${c.size} categorías por exportación del último año (por defecto)_\n\n"
     }
     if (!params.isEmpty) {
       val yrs = (params.yearFrom, params.yearTo) match {
@@ -122,10 +157,10 @@ object Dashboard {
     md ++= "## Análisis por País\n\n### Métricas Clave\n"
     q("kpi_exec_summary").collect().headOption match {
       case Some(ex) =>
-        md ++= s"- Exportaciones ${ex.getInt(0)}: ${d(ex, 1, "%.0f")} USD\n"
-        md ++= s"- Importaciones ${ex.getInt(0)}: ${d(ex, 2, "%.0f")} USD\n"
-        md ++= s"- Balance: ${d(ex, 3, "%.0f")} USD\n"
-        md ++= s"- Categoría líder: ${ex.getString(4)} (${d(ex, 5, "%.0f")} USD)\n\n"
+        md ++= s"- Exportaciones ${ex.getInt(0)}: ${usd(ex, 1)}\n"
+        md ++= s"- Importaciones ${ex.getInt(0)}: ${usd(ex, 2)}\n"
+        md ++= s"- Balance: ${usd(ex, 3)}\n"
+        md ++= s"- Categoría líder: ${ex.getString(4)} (${usd(ex, 5)})\n\n"
       case None => md ++= "- sin datos bajo el filtro\n\n"
     }
 
@@ -134,8 +169,8 @@ object Dashboard {
     // frame is ordered (yr, mon); the last row IS the current tile.
     q("kpi_ytd_delta").collect().lastOption.foreach { y =>
       md ++= s"- 🟢 Exportaciones YTD ${i(y, 0)}-${i(y, 1)}: " +
-        s"${d(y, 2, "%.0f")} USD (${d(y, 4, "%+.1f")}% vs año anterior)\n"
-      md ++= s"- 🔴 Importaciones YTD: ${d(y, 5, "%.0f")} USD " +
+        s"${usd(y, 2)} (${d(y, 4, "%+.1f")}% vs año anterior)\n"
+      md ++= s"- 🔴 Importaciones YTD: ${usd(y, 5)} " +
         s"(${d(y, 7, "%+.1f")}% vs año anterior)\n\n"
     }
 

@@ -490,8 +490,7 @@ private[graft] final class LruCache[K, V <: AnyRef](bound: Int = 8) {
   * uncontextualized NumberFormatException mid-plan.
   */
 private[graft] object Confs {
-  def nonNegativeLong(spark: SparkSession, key: String, default: Long): Long = {
-    val raw = spark.conf.get(key, default.toString)
+  private def parseNonNegative(key: String, raw: String): Long = {
     val v =
       try raw.trim.toLong
       catch { case _: NumberFormatException => throw new IllegalArgumentException(
@@ -500,11 +499,21 @@ private[graft] object Confs {
       s"$key must be a non-negative integer, got '$raw'")
     v
   }
+  def nonNegativeLong(spark: SparkSession, key: String, default: Long): Long =
+    parseNonNegative(key, spark.conf.get(key, default.toString))
   def positiveLong(spark: SparkSession, key: String, default: Long): Long = {
     val v = nonNegativeLong(spark, key, default)
     if (v == 0) throw new IllegalArgumentException(
       s"$key must be a positive integer, got '0'")
     v
+  }
+  /** Raw-string variant for sites that read SQLConf directly (custom
+    * strategies plan against SQLConf.get, not a SparkSession). */
+  def positiveInt(key: String, raw: String): Int = {
+    val v = parseNonNegative(key, raw)
+    if (v == 0 || v > Int.MaxValue) throw new IllegalArgumentException(
+      s"$key must be a positive 32-bit integer, got '$raw'")
+    v.toInt
   }
 }
 

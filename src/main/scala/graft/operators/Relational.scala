@@ -12,15 +12,22 @@ import org.apache.spark.sql.functions._
   * aggregation, joins, ranking, pivot-by-CASE, set ops. Here each
   * shape is a declarative DataFrame plan so Catalyst handles
   * pushdown, pruning and join strategy. Join strategy for the
-  * customer/part dimensions is deliberately LEFT TO AQE: those
-  * tables grow linearly with scale factor (TPC-H: 150k·SF /
-  * 200k·SF rows), so an unconditional broadcast() hint — which
+  * customer/part dimensions is deliberately SIZE-BASED, never an
+  * unconditional broadcast() hint: those tables grow linearly with
+  * scale factor (TPC-H: 150k·SF / 200k·SF rows), so a hint — which
   * overrides Spark's size check — would OOM at the 100 TB target.
-  * AQE's runtime size-based selection broadcasts them exactly while
-  * they fit under the threshold and falls back to a shuffled join
-  * beyond it. Only frames whose size is bounded by CONSTRUCTION
-  * (single-row aggregates, fixed 25-row nation/5-row region) carry
-  * an explicit hint anywhere in this package.
+  * WHICH planner makes the size call depends on the session
+  * (core.scala:48-82): local single-JVM sessions run AQE OFF (its
+  * per-exchange job boundary is the measured scheduling floor on a
+  * floor-bound suite), so the STATIC planner selects the join from
+  * parquet file-size statistics — PlanSpec asserts it still picks
+  * broadcast for the dims at bench SF; cluster deployments keep AQE
+  * ON and get runtime shuffle-size selection plus skew splits. The
+  * exceptions carrying an explicit hint are frames whose size is
+  * bounded by CONSTRUCTION (single-row aggregates, fixed 25-row
+  * nation/5-row region) and the MEASURED-bound q4 dims artifact
+  * below (Joins.sizedBuild: broadcast under a row bound, shuffled
+  * hash join past it).
   */
 object Relational {
 
@@ -77,8 +84,10 @@ object Relational {
 
   /** q3: 3-way join + agg + top-k. Reference: README.md:136-141
     * (top-5 export months). customer is the selective side, but it
-    * scales with SF — no hint; AQE broadcasts it while small and
-    * shuffles it once it isn't.
+    * scales with SF — no hint; the planner's size-based selection
+    * (static file-size stats locally where AQE is off, AQE runtime
+    * stats on a cluster — see the object scaladoc) broadcasts it
+    * while small and shuffles it once it isn't.
     */
   private def q3(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -112,24 +121,55 @@ object Relational {
        |LIMIT 10""".stripMargin
 
   /** q4: 5-way star join, revenue per nation for one region.
-    * Reference: app.py joined country views. region/nation are
-    * fixed-size, but the collapsed dim side carries customer keys
-    * (SF-proportional) — strategy left to AQE; only orders⋈lineitem
-    * is forced to shuffle on the fact keys.
+    * Reference: app.py joined country views.
+    *
+    * The customer⋈nation⋈region subtree is a DIMENSION artifact —
+    * the region filter and two dim joins recompute identically on
+    * every run, 2-3 stages deep — so it is derived once per
+    * (session, dir) and cached like the graph prep frames, through
+    * MeasuredCkpt so the checkpoint carries MEASURED statistics
+    * instead of the origin plan's join-product estimate. The fact
+    * side then joins it via Joins.sizedBuild: broadcast while the
+    * measured row count is under the conf bound (~SF·customer/5
+    * rows — fits for a long way), an explicit shuffled hash join
+    * past it — never an unconditional broadcast of an
+    * SF-proportional frame, never an OOM. Only orders⋈lineitem is
+    * left to shuffle on the fact keys.
     */
-  private def q4(spark: SparkSession, dir: String): DataFrame = {
+  private val q4DimsCache = new graft.PlanCache()
+
+  /** The UNCHECKPOINTED dims derivation — carries the customer⋈
+    * nation⋈region joins the PlanSpec no-forced-broadcast guard
+    * asserts on (the cached form reduces to a checkpoint scan).
+    */
+  private[graft] def q4DimsPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val t = Tables(spark, dir)
-    val dims = t.customer
+    t.customer
       .join(t.nation, $"c_nationkey" === $"n_nationkey")
       .join(t.region.filter($"r_name" === "ASIA"),
         $"n_regionkey" === $"r_regionkey")
       .select($"c_custkey", $"n_name")
+  }
+
+  private def q4Dims(spark: SparkSession, dir: String): DataFrame =
+    q4DimsCache.getOrBuild(spark, dir)(
+      graft.MeasuredCkpt(q4DimsPlan(spark, dir)))
+
+  private def q4(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val dims = q4Dims(spark, dir)
+    // MeasuredCkpt guarantees measured stats on the artifact — its
+    // row count IS the measurement sizedBuild keys the join on
+    val dimRows = dims.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(Long.MaxValue)
     t.lineitem
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
       .join(t.orders.select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
-      .join(dims, $"o_custkey" === $"c_custkey")
+      .join(graft.Joins.sizedBuild(dims, dimRows),
+        $"o_custkey" === $"c_custkey")
       .groupBy($"n_name")
       .agg(Det.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
         .as("revenue"))

@@ -176,13 +176,15 @@ object TopKStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
-      // floor at 1: a cap <= 0 would make the partial pass park every
-      // row in `pending` with nothing accumulated and silently emit
-      // zero rows — a mis-tuned conf must degrade reduction, not
-      // correctness
-      val flushKeys = org.apache.spark.sql.internal.SQLConf.get
-        .getConfString(TopKPerKeyExec.flushKeysConf,
-          TopKPerKeyExec.flushKeysDefault.toString).toInt.max(1)
+      // fail fast with the conf NAME on a mis-tuned value: a cap <= 0
+      // would make the partial pass park every row in `pending` with
+      // nothing accumulated and silently emit zero rows, and a bare
+      // .toInt surfaced a typo as an uncontextualized
+      // NumberFormatException mid-plan
+      val flushKeys = graft.Confs.positiveInt(TopKPerKeyExec.flushKeysConf,
+        org.apache.spark.sql.internal.SQLConf.get
+          .getConfString(TopKPerKeyExec.flushKeysConf,
+            TopKPerKeyExec.flushKeysDefault.toString))
       val partial =
         TopKPerKeyExec(keys, order, k, partial = true, flushKeys, planLater(child))
       TopKPerKeyExec(keys, order, k, partial = false, flushKeys, partial) :: Nil

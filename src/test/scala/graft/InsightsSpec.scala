@@ -88,27 +88,40 @@ class InsightsSpec extends AnyFunSuite {
         "Conclusiones Accionables", "Estadísticas Rápidas"))
       assert(md.contains(h), s"dashboard missing section: $h")
     // the reference's lead metric tiles (app.py:201-216): YTD per
-    // flow WITH the prior-year delta rendered next to the value
+    // flow WITH the prior-year delta rendered next to the value, the
+    // value itself auto-scaled through the format_currency analog
     assert(md.contains("Exportaciones YTD"), "missing YTD export tile")
-    assert("""Exportaciones YTD \d{4}-\d{1,2}: [\d.]+ USD \([+-][\d.]+% vs año anterior\)""".r
-      .findFirstIn(md).isDefined, "YTD tile lacks the prior-year delta")
+    assert("""Exportaciones YTD \d{4}-\d{1,2}: \$-?[\d,.]+[BM]? \([+-][\d.]+% vs año anterior\)""".r
+      .findFirstIn(md).isDefined, "YTD tile lacks the formatted value + prior-year delta")
     assert(md.contains("Importaciones YTD"), "missing YTD import tile")
+    // key-metric tiles render through fmtUsd too (app.py format_currency)
+    assert("""- Exportaciones \d{4}: \$-?[\d,.]+[BM]?\n""".r
+      .findFirstIn(md).isDefined, "key-metric tile not formatted via fmtUsd")
     // tables actually carry rows, not just headers
     assert(md.linesIterator.count(_.startsWith("| ")) > 40)
   }
 
-  test("dashboard defaults the category tab to the top-10 by export") {
+  test("dashboard defaults the category tab to the latest year's top-10 by export") {
     // reference app.py:446-473: with no manual selection the category
-    // multiselect defaults to the top-N by export and the sidebar
-    // notes "Mostrando top N categorías por exportación"
+    // multiselect defaults to the top-N by export IN THE LATEST YEAR
+    // (app.py:447 last_year_data = df[df.year == df.year.max()]) and
+    // the sidebar notes "Mostrando top N categorías". Independent
+    // derivation of the expectation: the same reduction as a Spark
+    // aggregation over the oracle-checked monthly model.
     val md = graft.Dashboard.render(spark, sf)
-    val expected = SparkEntry.queries("kpi_ranking")(spark, sf).collect()
-      .take(10).map(_.getString(1)).toSet
+    import org.apache.spark.sql.functions.{coalesce, lit, max => smax, sum => ssum}
+    val pm = SparkEntry.queries("kpi_prod_monthly")(spark, sf)
+    val lastYr = pm.agg(smax($"yr")).head.getInt(0)
+    val expected = pm.filter($"yr" === lastYr)
+      .groupBy($"category")
+      .agg(ssum(coalesce($"exp", lit(0.0))).as("e"))
+      .orderBy($"e".desc, $"category").limit(10)
+      .collect().map(_.getString(0)).toSet
     // the test corpus may have < 10 categories; the note reports the
     // actual selection size (min(10, #categories)), like min(50, …)
     // bounds the reference's slider
     assert(md.contains(
-      s"Mostrando top ${expected.size} categorías por exportación"),
+      s"Mostrando top ${expected.size} categorías por exportación del último año"),
       "missing default top-N note in the bundle header")
     val section = md.split("### Ranking de Categorías")(1).split("###")(0)
     val got = section.linesIterator
@@ -121,6 +134,22 @@ class InsightsSpec extends AnyFunSuite {
       TradeParams(categories = Some(expected.toSeq.sorted.take(2))))
     assert(!manual.contains("Mostrando top"),
       "manual category selection must not claim the default")
+  }
+
+  test("tile currency formatting matches the reference's format_currency") {
+    // app.py:97-105: >=1e9 → $X.XB, >=1e6 → $XM, below → grouped
+    // integer dollars; NaN/null → N/A. Exact strings, so a locale or
+    // rounding drift in the tiles fails loudly.
+    import graft.Dashboard.fmtUsd
+    assert(fmtUsd(2.5e9) == "$2.5B")
+    assert(fmtUsd(-1.23e9) == "$-1.2B")
+    assert(fmtUsd(1e9) == "$1.0B")
+    assert(fmtUsd(345.6e6) == "$346M")
+    assert(fmtUsd(-2e6) == "$-2M")
+    assert(fmtUsd(999999.0) == "$999,999")
+    assert(fmtUsd(1234.0) == "$1,234")
+    assert(fmtUsd(0.0) == "$0")
+    assert(fmtUsd(Double.NaN) == "N/A")
   }
 
   test("dashboard with a filter excluding all data degrades to empty widgets") {

@@ -66,13 +66,71 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double>"))
   }
 
-  test("q4 joins dimensions via broadcast when they are small") {
-    // no hint in the code — this asserts Spark's SIZE-BASED selection
-    // still picks a broadcast join at test scale, so dropping the
-    // explicit hints cost nothing where a broadcast is right
+  test("q4 dims artifact is measured-bound: broadcast under the bound, shuffled past it") {
+    // the cached customer⋈nation⋈region artifact joins the fact side
+    // through Joins.sizedBuild, keyed on the checkpoint's MEASURED
+    // row count — pin BOTH paths so neither can silently regress to
+    // an unconditional broadcast (OOM at 100 TB) or an accidental
+    // shuffle (two extra exchanges at bench scale)
     val p = plan("q4_multijoin")
-    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"measured-tiny dims must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
+    // bound 0 = never broadcast: the dims join must fall back to an
+    // explicit shuffled hash join, not a nested loop or cartesian
+    spark.conf.set(graft.Joins.maxBuildRowsConf, "0")
+    try {
+      val p0 = plan("q4_multijoin")
+      // the dims join is the one on (o_custkey, c_custkey); the
+      // orders⋈lineitem join may still auto-broadcast at test scale
+      // from the planner's own file-size stats — that is size-based
+      // selection, not a hint, and scales out on its own
+      assert(p0.contains("ShuffledHashJoin [o_custkey"),
+        s"past the bound the dims join must shuffle:\n$p0")
+      assert(!p0.contains("BroadcastHashJoin [o_custkey"),
+        s"past the bound the dims side may not broadcast:\n$p0")
+      assert(!p0.contains("CartesianProduct"))
+    } finally spark.conf.unset(graft.Joins.maxBuildRowsConf)
+  }
+
+  test("SinglePartition under a clustering requirement stays confined to audited graph plans") {
+    // core.scala disables the spark.sql.maxSinglePartitionBytes
+    // trip-wire for LOCAL sessions (any finite bound eventually
+    // re-shuffles a measured-tiny graph frame, because the
+    // estimator's join-product stats grow without bound — see the
+    // GraftSession note). The safety argument is that the ONLY plans
+    // that accept a SinglePartition child where a HASH distribution
+    // is required are the measured-bound graph-index frames
+    // (Similarity.graphParts caps their TRUE size). This sweep pins
+    // that inventory over the SERVED (cached-artifact) plans of every
+    // query: a new operator acquiring the shape fails here and must
+    // be audited — either its frame is measured-bound too (extend the
+    // allowlist with the audit note) or it is a genuine scale hazard.
+    import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, SinglePartition}
+    // the measured-bound graph family: pagerank/triangles iterate
+    // over graphParts-sized frames (Similarity.scala) whose TRUE size
+    // is measured at index build — the only plans designed to collapse
+    // to SinglePartition at bench scale (observed inventory at this
+    // sf: graph_triangles; pagerank's collapse shows up only via its
+    // zero-keyed-exchange guard because its iteration body hides the
+    // requirement behind the checkpointed rank frames)
+    val audited = Set("graph_pagerank", "graph_triangles")
+    val offenders = scala.collection.mutable.SortedMap.empty[String, Seq[String]]
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = fn(spark, sf).queryExecution.executedPlan
+      val hits = p.collect {
+        case node if node.requiredChildDistribution.zip(node.children).exists {
+          case (_: ClusteredDistribution, c) => c.outputPartitioning == SinglePartition
+          case _ => false
+        } => node.nodeName
+      }
+      if (hits.nonEmpty) offenders(name) = hits
+    }
+    info(s"SinglePartition-under-clustering inventory: ${offenders.keys.mkString(", ")}")
+    val unaudited = offenders.view.filterKeys(!audited(_)).toMap
+    assert(unaudited.isEmpty,
+      s"unaudited SinglePartition-under-clustering plans: $unaudited — " +
+        "audit the frame's size bound before adding it to the allowlist")
   }
 
   test("no forced broadcast of SF-proportional customer/part frames") {
@@ -84,12 +142,21 @@ class PlanSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      for (q <- Seq("q3_join_agg_topk", "q4_multijoin",
+      for (q <- Seq("q3_join_agg_topk",
                     "kpi_ranking", "kpi_rank_shift", "kpi_exec_summary")) {
         val p = plan(q)
         assert(!p.contains("BroadcastExchange"),
           s"$q force-broadcasts an SF-proportional frame")
       }
+      // q4's served form carries the MEASURED-bound sizedBuild hint
+      // (guarded by its own both-paths test above) — the unconditional-
+      // hint sweep runs on its UNCHECKPOINTED dims derivation, which
+      // carries the raw customer⋈nation⋈region joins
+      PlanCache.clearAll()
+      val q4d = graft.operators.Relational.q4DimsPlan(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!q4d.contains("BroadcastExchange"),
+        "q4 dims derivation force-broadcasts an SF-proportional frame")
       // kpi_prod_monthly's part join lives in the cached catMonthly
       // grain — assert on its UNCHECKPOINTED builder plan
       val pm = graft.operators.Kpi.catMonthlyPlan(spark, sf)

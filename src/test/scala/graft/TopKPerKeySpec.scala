@@ -56,6 +56,25 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(unflushed.size == keyed.select($"o_orderkey").distinct().count())
   }
 
+  test("a mis-tuned flush-key conf fails planning with the conf name") {
+    // a typo'd or non-positive cap must surface as a NAMED error at
+    // planning time, not an uncontextualized NumberFormatException
+    // (zero would otherwise park every row in `pending` and silently
+    // emit nothing)
+    def planWith(v: String): Unit = {
+      spark.conf.set(graft.plans.TopKPerKeyExec.flushKeysConf, v)
+      try TopKPerKey(base, Seq("o_orderpriority"),
+          Seq(TopKPerKey.desc("o_totalprice")), 1)
+        .queryExecution.executedPlan
+      finally spark.conf.unset(graft.plans.TopKPerKeyExec.flushKeysConf)
+    }
+    for (bad <- Seq("banana", "0", "-3")) {
+      val e = intercept[IllegalArgumentException](planWith(bad))
+      assert(e.getMessage.contains(graft.plans.TopKPerKeyExec.flushKeysConf),
+        s"error for '$bad' must name the conf: ${e.getMessage}")
+    }
+  }
+
   test("handles groups smaller than k and k=1") {
     val one = TopKPerKey(base, Seq("o_orderpriority"),
       Seq(TopKPerKey.desc("o_totalprice")), 1)

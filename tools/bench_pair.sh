@@ -1,0 +1,62 @@
+#!/bin/bash
+# Matched quiet-floor bench pair (BASELINE.md protocol), one command:
+#   1. wait for a quiet host (1-min loadavg below threshold),
+#   2. graft.Bench (Spark local[32], sf0.1) -> BENCH_SELF.json,
+#   3. tools/bench_duckdb.py (same oracles, threads=32)
+#      -> BASELINE_DUCKDB.json, back-to-back,
+#   4. tools/make_baseline.py -> BASELINE.md regenerated from the two
+#      artifacts (never hand-copied).
+# Exit 3 if the Spark floor_per_stage_sec exceeded 0.25 (noisy window:
+# artifacts are kept for inspection but the pair must be rerun, and
+# BASELINE.md is NOT regenerated).
+#
+# Prereqs: classes compiled (sbt compile), oracle dump current
+# (tools/run_verify.sh — rerun it after any query/oracle change; this
+# script refuses a stale-looking dump). NEVER run sbt concurrently.
+#
+# Usage: tools/bench_pair.sh [sfDir] [verifyOut] [maxWaitSec]
+set -e
+cd "$(dirname "$0")/.."
+SF=${1:-/root/testdata/sf0.1}
+OUT=${2:-/tmp/verify_out}
+MAXWAIT=${3:-900}
+LOAD_GATE=0.5
+
+[ -f "$OUT/oracle_sql.json" ] || {
+  echo "no $OUT/oracle_sql.json — run tools/run_verify.sh first" >&2; exit 1; }
+if [ -n "$(find target/scala-2.13/classes -newer "$OUT/oracle_sql.json" -name '*.class' -print -quit)" ]; then
+  echo "classes newer than oracle dump — rerun tools/run_verify.sh first" >&2
+  exit 1
+fi
+
+# quiet-host gate: an external process loads this box in bursts
+# (loadavg 6-9); launching into one wastes the whole 8-minute window
+waited=0
+while :; do
+  load=$(cut -d' ' -f1 /proc/loadavg)
+  ok=$(awk -v l="$load" -v g="$LOAD_GATE" 'BEGIN{print (l<g)?1:0}')
+  [ "$ok" = 1 ] && break
+  [ "$waited" -ge "$MAXWAIT" ] && {
+    echo "host never went quiet (loadavg $load after ${waited}s)" >&2; exit 2; }
+  sleep 15; waited=$((waited+15))
+done
+echo "host quiet (loadavg $load) — starting Spark bench"
+
+SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=32 \
+  tools/run_verify.sh "$SF" "$OUT" graft.Bench
+# keep a copy immediately: the r7/r8 lesson — a good run's per-query
+# map got overwritten by the next attempt before being saved
+cp BENCH_SELF.json "/tmp/bench_keep_$(date +%H%M%S).json"
+
+echo "Spark done — DuckDB side (back-to-back)"
+python3 tools/bench_duckdb.py "$SF" "$OUT" 3
+
+floor=$(python3 -c "import json; print(json.load(open('BENCH_SELF.json'))['floor_per_stage_sec'])")
+ok=$(awk -v f="$floor" 'BEGIN{print (f<=0.25)?1:0}')
+if [ "$ok" != 1 ]; then
+  echo "REJECT: floor_per_stage_sec $floor > 0.25 — noisy window, rerun." >&2
+  echo "(artifacts left in place; BASELINE.md NOT regenerated; restore" >&2
+  echo " the committed pair with: git checkout BENCH_SELF.json BASELINE_DUCKDB.json)" >&2
+  exit 3
+fi
+python3 tools/make_baseline.py --label "$(date +%Y-%m-%d) pair, floor $floor"
