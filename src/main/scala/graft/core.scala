@@ -75,10 +75,13 @@ object GraftSession {
       // distribution-requiring operators here are the measured-bound
       // graph-index frames (Similarity.graphParts caps their TRUE
       // size at ~6 MB), so the trip-wire is disabled for LOCAL
-      // sessions — the measured partition sizing IS the guard;
-      // cluster sessions keep the default, and their graph frames
-      // never plan SinglePartition because graphParts grows the
-      // partition count with the measured row count.
+      // sessions — the measured partition sizing IS the guard, and
+      // PlanSpec's SinglePartition-under-clustering sweep pins that
+      // inventory over every query (a new operator acquiring the
+      // shape fails the sweep and must be audited); cluster sessions
+      // keep the default, and their graph frames never plan
+      // SinglePartition because graphParts grows the partition count
+      // with the measured row count.
       .config("spark.sql.maxSinglePartitionBytes", Long.MaxValue.toString)
       .config("spark.ui.enabled", "false")
 

@@ -124,10 +124,10 @@ w("\n| query | DuckDB | Spark | ratio |\n| --- | --- | --- | --- |\n")
 for q in table_rows:
     w(f"| {q} | {dq[q]:.2f} | {sq[q]:.2f} | {ratio(sq[q], dq[q])} |\n")
 w(f"""
-Spark entries above the {HEAVY_CUT} s line on the Spark side only are
-the floor story in miniature: multi-stage plans whose every stage
-pays the scheduling floor against DuckDB totals that are fractions
-of one floor.
+Rows where Spark is slower despite a data-heavy DuckDB time are the
+floor story in miniature: multi-stage plans whose every stage pays
+the per-stage scheduling floor against DuckDB totals that are
+themselves fractions of one floor.
 
 Full per-query copies: `BENCH_SELF.json` (Spark,
 floor_per_stage_sec {floor:.3f}) and `BASELINE_DUCKDB.json` (DuckDB,
