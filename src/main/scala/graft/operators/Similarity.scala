@@ -1101,28 +1101,31 @@ object Similarity {
       .localCheckpoint()
   }
 
-  /** Per-query ADC lookup tables as a nested map m -> (idx -> d):
-    * (q_id, mmap) — one row per probe query.
+  /** Per-query ADC lookup tables as one flat map PER SUBSPACE
+    * (q_id, dmap_0..dmap_{pqSubspaces-1}) — one row per probe query.
+    * One hash aggregate builds all pqSubspaces maps side by side; the
+    * earlier nested-map form (stack to (m, d) rows, then TWO stacked
+    * groupBys) paid an extra full-width exchange per invocation for a
+    * structure the ADC lookup immediately unnested anyway.
     */
   private def pqQueryMaps(dists: DataFrame): DataFrame = {
     import dists.sparkSession.implicits._
     dists.filter(queryFilter($"vec_id"))
-      .selectExpr("vec_id AS q_id", "idx",
-        s"stack($pqSubspaces, " +
-          (0 until pqSubspaces).map(m => s"$m, d_$m").mkString(", ") +
-          ") AS (m, d)")
-      .groupBy($"q_id", $"m")
-      .agg(map_from_entries(collect_list(struct($"idx", $"d"))).as("dmap"))
-      .groupBy($"q_id")
-      .agg(map_from_entries(collect_list(struct($"m", $"dmap"))).as("mmap"))
+      .groupBy($"vec_id".as("q_id"))
+      .agg(
+        map_from_entries(collect_list(struct($"idx", col("d_0")))).as("dmap_0"),
+        (1 until pqSubspaces).map(m =>
+          map_from_entries(collect_list(struct($"idx", col(s"d_$m"))))
+            .as(s"dmap_$m")): _*)
   }
 
-  /** ADC distance: per-subspace lookups from the query's mmap against
-    * the row's code columns, summed — 4 map lookups per scored pair.
+  /** ADC distance: per-subspace lookups from the query's dmap_m
+    * against the row's code columns, summed — 4 map lookups per
+    * scored pair.
     */
   private def adcDist: Column =
     (0 until pqSubspaces).map(m =>
-      element_at(element_at(col("mmap"), lit(m)), col(s"code_$m")))
+      element_at(col(s"dmap_$m"), col(s"code_$m")))
       .reduceLeft(_ + _)
 
   private def annPq(spark: SparkSession, dir: String): DataFrame = {
