@@ -101,8 +101,56 @@ object GraftSession {
     b
   }
 
-  def local(cpus: String): SparkSession = {
-    val s = withOverrides(builder(cpus)).getOrCreate()
+  /** Measured shuffle-width dial: size `spark.sql.shuffle.partitions`
+    * to the DATA, not the core count. Post-shuffle width is the wrong
+    * place to buy parallelism on this suite — the compute-dense work
+    * (tokenize/regex/hash/decode) runs in SCAN stages whose width
+    * comes from file splits (`Tables.splitFiles`, untouched here);
+    * what crosses a shuffle is aggregated/reduced data, tiny relative
+    * to cores at bench SFs, so a 32-wide reduce stage is 32 tasks of
+    * pure scheduling. This is the static-planner analog of the AQE
+    * partition coalescing the CLUSTER path gets at runtime (AQE is ON
+    * there — see the adaptive.enabled note above; this dial only
+    * touches GraftSession.local sessions and an explicit
+    * SPARK_GRAFT_CONF override still wins, applied last).
+    * Measured (r10, same host, sf0.1, 2-pass): 59.0 s at 32 parts vs
+    * 44.9 s at 8 on a LOUDER window; probe floor 0.207 → 0.156
+    * s/stage; only dedup_simhash (+0.06 s) regressed. Constants:
+    * ~2 MB of compressed source per reduce partition (≈ 10-20 MB
+    * in-flight) lands sf0.1 at 9 — the measured optimum's
+    * neighborhood — and GROWS linearly with the dir, reaching the
+    * core count near sf1 and the 32·cpus cap only past ~10 GB local
+    * input, where local[N] stops being the design point anyway.
+    * Floor 4 keeps partition-crossing semantics exercised at test
+    * SFs.
+    */
+  private def measuredShuffleParts(dir: String, cpus: Int): Option[Int] = {
+    val root = java.nio.file.Paths.get(dir.takeWhile(_ != '#'))
+    if (!java.nio.file.Files.isDirectory(root)) None
+    else {
+      var bytes = 0L
+      val stream = java.nio.file.Files.walk(root)
+      try stream.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          bytes += java.nio.file.Files.size(p)
+      } finally stream.close()
+      if (bytes <= 0L) None
+      else Some(math.min(math.max(
+        ((bytes + (2L << 20) - 1) / (2L << 20)).toInt, 4), 32 * cpus))
+    }
+  }
+
+  /** `dataDir`: the data directory the session will serve, for the
+    * measured shuffle-width dial — mains that take the dir as an
+    * argument (Verify) pass it; the rest inherit SPARK_GRAFT_SF_DIR.
+    */
+  def local(cpus: String, dataDir: Option[String] = None): SparkSession = {
+    val b = builder(cpus)
+    for {
+      dir <- dataDir.orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      parts <- measuredShuffleParts(dir, cpus.toIntOption.getOrElse(32))
+    } b.config("spark.sql.shuffle.partitions", parts.toString)
+    val s = withOverrides(b).getOrCreate()
     // WindowExec warns "No Partition Defined ... all the data to a
     // single partition" on EVERY unpartitioned window. All such sites
     // in this engine run over bounded aggregates (year×month series,

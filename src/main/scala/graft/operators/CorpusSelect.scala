@@ -304,18 +304,36 @@ object CorpusSelect {
   private def pack(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // Tokenize BEFORE the shuffle (ships (doc_id, n_tok, bucket),
+    // never text), and scan + shuffle the corpus ONCE: bucket totals
+    // are derived FROM the windowed frame — the bucket's inclusive
+    // cumsum is max(intra_off + n_tok), monotone in doc order — so
+    // both join inputs share a byte-identical scan→project→exchange
+    // subtree and ReuseExchange serves the aggregate from the
+    // window's shuffle files. The previous phrasing aggregated a
+    // SECOND documents scan (its partial-agg exchange differs from
+    // the window's, so nothing reused) and tokenized the corpus
+    // twice — at 100 TB the tokenize+scan is the dominant term.
     val docs = graft.Tables(spark, dir).documents
       .select($"doc_id",
         size(graft.functions.TextFunctions.tokens($"text")).cast("long").as("n_tok"))
       .withColumn("bucket", expr(s"doc_id div ${bucketSpan}L"))
+      // bucket is non-null by construction (doc_id is a key); stating
+      // it explicitly matters for plan shape: the join below
+      // null-filters its keys, and that isnotnull pushes below the
+      // probe's exchange but NOT through the build's global cumsum
+      // window (no partition keys) — one asymmetric filter and the
+      // two exchange subtrees stop being sameResult, which kills the
+      // shuffle reuse this operator is shaped around.
+      .filter($"bucket".isNotNull)
     val wIntra = Window.partitionBy($"bucket").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val intra = docs.withColumn("intra_off",
       coalesce(sum($"n_tok").over(wIntra), lit(0L)))
     val wBucket = Window.orderBy($"bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketOff = docs.groupBy($"bucket")
-      .agg(sum($"n_tok").as("btot"))
+    val bucketOff = intra.groupBy($"bucket")
+      .agg(max($"intra_off" + $"n_tok").as("btot"))
       .withColumn("bucket_off", coalesce(sum($"btot").over(wBucket), lit(0L)))
       .select($"bucket", $"bucket_off")
     intra.join(bucketOff, "bucket")

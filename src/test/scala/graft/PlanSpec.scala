@@ -652,4 +652,21 @@ class PlanSpec extends AnyFunSuite {
       assert(projLine.contains("*("), s"projection not codegen'd: $projLine")
     } finally restoreAqeDefault()
   }
+
+  test("llm_pack scans and shuffles the corpus exactly once") {
+    // the two-phase prefix sum derives bucket totals FROM the
+    // windowed frame (max of the inclusive cumsum), so the aggregate
+    // reuses the window's shuffle files instead of re-scanning and
+    // re-tokenizing documents: exactly one parquet scan and one
+    // corpus-wide exchange, the second consumer a ReusedExchange. A
+    // second scan here doubles the dominant 100 TB cost (tokenize).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("llm_pack")
+      val scans = p.linesIterator.count(_.contains("Scan parquet"))
+      assert(scans == 1, s"llm_pack must scan documents once, saw $scans:\n$p")
+      assert(p.contains("ReusedExchange"),
+        "bucket-totals aggregate must reuse the window's shuffle")
+    } finally restoreAqeDefault()
+  }
 }
