@@ -124,7 +124,7 @@ object GraftSession {
     * Floor 4 keeps partition-crossing semantics exercised at test
     * SFs.
     */
-  private def measuredShuffleParts(dir: String, cpus: Int): Option[Int] = {
+  private[graft] def measuredShuffleParts(dir: String, cpus: Int): Option[Int] = {
     val root = java.nio.file.Paths.get(dir.takeWhile(_ != '#'))
     if (!java.nio.file.Files.isDirectory(root)) None
     else {
@@ -135,8 +135,14 @@ object GraftSession {
           bytes += java.nio.file.Files.size(p)
       } finally stream.close()
       if (bytes <= 0L) None
-      else Some(math.min(math.max(
-        ((bytes + (2L << 20) - 1) / (2L << 20)).toInt, 4), 32 * cpus))
+      else {
+        // long math end-to-end: a petabyte-scale dir divided down
+        // still exceeds Int range, and a degenerate cpus value must
+        // not push the cap below the floor of 4
+        val cap = math.max(4L, 32L * math.max(cpus, 0).toLong)
+        val raw = (bytes + (2L << 20) - 1) / (2L << 20)
+        Some(math.min(math.max(raw, 4L), cap).toInt)
+      }
     }
   }
 

@@ -7,6 +7,36 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ContractSpec extends AnyFunSuite {
 
+  test("measured shuffle-width dial: clamps, growth, fragment, missing dir") {
+    // sf0.001 is well under 2 MB -> floor of 4; sf0.1 (~17.5 MB) sits
+    // on the measured optimum's neighborhood (~9); both grow strictly
+    // with the dir so the dial is data-driven, not a bench constant
+    val tiny = GraftSession.measuredShuffleParts("/root/testdata/sf0.001", 32)
+    val mid = GraftSession.measuredShuffleParts("/root/testdata/sf0.1", 32)
+    assert(tiny.contains(4), s"tiny dir must clamp to the floor, got $tiny")
+    assert(mid.exists(p => p > 4 && p <= 16), s"sf0.1 expected ~9, got $mid")
+    // source-parameter fragments ride the dir string (Params) and must
+    // not break the file walk
+    assert(GraftSession.measuredShuffleParts(
+      "/root/testdata/sf0.001#yf=1996&yt=1998", 32) == tiny)
+    // a missing dir is None (fall back to the builder default), never
+    // a throw at session construction
+    assert(GraftSession.measuredShuffleParts("/no/such/dir", 32).isEmpty)
+    // the cap scales with cores and survives degenerate cpu counts
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dial")
+    val f = new java.io.RandomAccessFile(tmp.resolve("big.bin").toFile, "rw")
+    try f.setLength(200L << 20) finally f.close() // sparse 200 MB
+    try {
+      assert(GraftSession.measuredShuffleParts(tmp.toString, 2).contains(64),
+        "200 MB at cpus=2 must hit the 32*cpus cap")
+      assert(GraftSession.measuredShuffleParts(tmp.toString, 0).contains(4),
+        "cap must never fall below the floor of 4")
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp.resolve("big.bin"))
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
   test("query names are unique (Map must not drop any)") {
     val names = SparkEntry.allQueries.map(_.name)
     assert(names.distinct.size == names.size,
