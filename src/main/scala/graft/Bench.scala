@@ -12,7 +12,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.local(cpus)
+    val spark = GraftSession.local(cpus, Some(sfDir))
     spark.sparkContext.setLogLevel("WARN")
     // Force FULL evaluation: count() lets Catalyst prune every
     // computed column and eliminate sorts, so projection-heavy
@@ -55,11 +55,15 @@ object Bench {
     require(passesRaw.matches("[1-9]\\d{0,2}"),
       s"SPARK_GRAFT_PASSES must be a positive integer (1-999), got '$passesRaw'")
     val nPasses = passesRaw.toInt
-    // Per-STAGE floor probe: one full-width (32-task) exchange over
-    // near-zero data — what every groupBy/join stage pays in task
-    // scheduling before touching a row. Typical queries here run 3-8
-    // such stages, which is where the sub-second per-query constant
+    // Per-STAGE floor probe: one session-width exchange (the measured
+    // shuffle-partitions dial — e.g. 9 tasks at sf0.1) over near-zero
+    // data — what every groupBy/join stage pays in task scheduling
+    // before touching a row. Typical queries here run 3-8 such
+    // stages, which is where the sub-second per-query constant
     // actually lives (the single-task job floor below is ~10 ms).
+    // Because the probe rides the same dial as the queries, the
+    // acceptance threshold in tools/bench_pair.sh must be calibrated
+    // to the dialed width, not to an imagined full-width exchange.
     // Sampled min-of-5 BEFORE pass 1, BETWEEN passes, and AFTER the
     // last pass: the r10 lesson is that an end-only floor can read
     // quiet (0.21) after an external load burst inflated the measured
@@ -132,7 +136,12 @@ object Bench {
     val full = summary.dropRight(1) + s""","queries":$qs}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SELF.json"), full + "\n")
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      // keep benching (the printed summary is still valid) but say so:
+      // tools/bench_pair.sh separately refuses to build a pair from a
+      // BENCH_SELF.json older than the run it just launched
+      System.err.println(s"[bench] BENCH_SELF.json write failed: ${e.getMessage}")
+    }
     spark.stop()
     println(summary)
   }

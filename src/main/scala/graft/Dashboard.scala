@@ -45,16 +45,21 @@ object Dashboard {
     * with grouped integers below and an N/A fallback — the rendering
     * the reference's st.metric tiles run every value through.
     * Deterministic: Locale.ROOT pins '.' decimals and ',' grouping
-    * regardless of host locale (the reference's f-strings are
-    * locale-independent the same way).
+    * regardless of host locale. Rounding is HALF_EVEN over the EXACT
+    * binary double (`new BigDecimal(double)`), which is what Python's
+    * f-string formatting does — Java's `String.format("%.1f")` rounds
+    * HALF_UP and diverges on exact ties (2.25 → "$2.3B" vs the
+    * reference's "$2.2B"). Non-finite never reaches a tile (sums of
+    * finite data); rendered as N/A defensively.
     */
+  private def halfEven(v: Double, scale: Int): java.math.BigDecimal =
+    new java.math.BigDecimal(v).setScale(scale, java.math.RoundingMode.HALF_EVEN)
   private[graft] def fmtUsd(v: Double): String =
-    if (v.isNaN) "N/A"
-    else if (math.abs(v) >= 1e9)
-      String.format(java.util.Locale.ROOT, "$%.1fB", Double.box(v / 1e9))
-    else if (math.abs(v) >= 1e6)
-      String.format(java.util.Locale.ROOT, "$%.0fM", Double.box(v / 1e6))
-    else String.format(java.util.Locale.ROOT, "$%,.0f", Double.box(v))
+    if (v.isNaN || v.isInfinite) "N/A"
+    else if (math.abs(v) >= 1e9) s"$$${halfEven(v / 1e9, 1).toPlainString}B"
+    else if (math.abs(v) >= 1e6) s"$$${halfEven(v / 1e6, 0).toPlainString}M"
+    else String.format(java.util.Locale.ROOT, "$%,d",
+      Long.box(halfEven(v, 0).longValueExact))
 
   /** Null-safe tile rendering through [[fmtUsd]] (null → N/A, like
     * the reference's pd.isna branch). */
@@ -71,7 +76,7 @@ object Dashboard {
       flows = args.lift(3).map(_.split(',').toSet),
       categories = args.lift(4).map(_.split(',').toSeq))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = GraftSession.local(cpus)
+    val spark = GraftSession.local(cpus, Some(sfDir))
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
     Files.writeString(Paths.get(s"$outDir/dashboard.md"),

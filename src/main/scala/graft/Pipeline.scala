@@ -55,7 +55,7 @@ object Pipeline {
     }
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = GraftSession.local(cpus)
+    val spark = GraftSession.local(cpus, Some(sfDir))
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
 

@@ -73,7 +73,7 @@ object Report {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("target/reports")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = GraftSession.local(cpus)
+    val spark = GraftSession.local(cpus, Some(sfDir))
     spark.sparkContext.setLogLevel("WARN")
 
     def q(name: String) = SparkEntry.queries(name)(spark, sfDir)

@@ -124,7 +124,7 @@ object GraftSession {
     * Floor 4 keeps partition-crossing semantics exercised at test
     * SFs.
     */
-  private[graft] def measuredShuffleParts(dir: String, cpus: Int): Option[Int] = {
+  private[graft] def measuredShuffleParts(dir: String, cpus: Int): Option[Int] = try {
     val root = java.nio.file.Paths.get(dir.takeWhile(_ != '#'))
     if (!java.nio.file.Files.isDirectory(root)) None
     else {
@@ -144,6 +144,11 @@ object GraftSession {
         Some(math.min(math.max(raw, 4L), cap).toInt)
       }
     }
+  } catch {
+    // an imperfect dir (unreadable subdir, file deleted mid-walk,
+    // invalid path chars) must degrade to the builder default, never
+    // fail session construction
+    case _: Exception => None
   }
 
   /** `dataDir`: the data directory the session will serve, for the

@@ -307,7 +307,12 @@ object CorpusSelect {
     // Tokenize BEFORE the shuffle (ships (doc_id, n_tok, bucket),
     // never text), and scan + shuffle the corpus ONCE: bucket totals
     // are derived FROM the windowed frame — the bucket's inclusive
-    // cumsum is max(intra_off + n_tok), monotone in doc order — so
+    // cumsum is max(intra_off + n_tok), monotone in doc order
+    // (monotonicity needs n_tok ≥ 0 or NULL: `size` of a non-null
+    // split is never negative in Spark 4 (legacy sizeOfNull is off,
+    // NULL text → NULL n_tok), the window SUM skips NULLs, and
+    // max(intra_off + NULL) drops the NULL row, so a NULL-text doc
+    // yields the same bucket total the old SUM form produced) — so
     // both join inputs share a byte-identical scan→project→exchange
     // subtree and ReuseExchange serves the aggregate from the
     // window's shuffle files. The previous phrasing aggregated a

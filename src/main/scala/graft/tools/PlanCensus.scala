@@ -16,7 +16,7 @@ import graft.{GraftSession, SparkEntry}
 object PlanCensus {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"), Some(sfDir))
     spark.sparkContext.setLogLevel("ERROR")
     val steady = args.contains("--steady")
     if (steady) {

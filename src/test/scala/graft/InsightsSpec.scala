@@ -150,6 +150,13 @@ class InsightsSpec extends AnyFunSuite {
     assert(fmtUsd(1234.0) == "$1,234")
     assert(fmtUsd(0.0) == "$0")
     assert(fmtUsd(Double.NaN) == "N/A")
+    // exact ties round HALF_EVEN like the reference's Python
+    // f-strings (2.25 and 346.5 are exactly representable doubles);
+    // Java's String.format would say $2.3B / $347M here
+    assert(fmtUsd(2.25e9) == "$2.2B") // exact tie → even neighbor 2.2
+    assert(fmtUsd(2.35e9) == "$2.4B") // stored ABOVE the tie → up
+    assert(fmtUsd(346.5e6) == "$346M") // exact tie → even neighbor 346
+    assert(fmtUsd(345.5e6) == "$346M") // exact tie → even neighbor 346
   }
 
   test("dashboard with a filter excluding all data degrades to empty widgets") {

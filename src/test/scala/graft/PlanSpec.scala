@@ -73,7 +73,10 @@ class PlanSpec extends AnyFunSuite {
     // an unconditional broadcast (OOM at 100 TB) or an accidental
     // shuffle (two extra exchanges at bench scale)
     val p = plan("q4_multijoin")
-    assert(p.contains("BroadcastHashJoin"),
+    // assert on the DIMS join specifically (keyed o_custkey=c_custkey):
+    // a bare contains("BroadcastHashJoin") would pass vacuously off
+    // the orders⋈lineitem side auto-broadcasting at test scale
+    assert(p.contains("BroadcastHashJoin [o_custkey"),
       s"measured-tiny dims must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
     // bound 0 = never broadcast: the dims join must fall back to an

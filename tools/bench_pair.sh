@@ -42,8 +42,18 @@ while :; do
 done
 echo "host quiet (loadavg $load) — starting Spark bench"
 
+# freshness marker: graft.Bench warns-but-continues if its
+# BENCH_SELF.json write fails, so a stale committed file could
+# silently pair with a fresh DuckDB run
+marker=$(mktemp /tmp/bench_start.XXXXXX)
 SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=32 \
   tools/run_verify.sh "$SF" "$OUT" graft.Bench
+if [ ! BENCH_SELF.json -nt "$marker" ]; then
+  rm -f "$marker"
+  echo "REJECT: BENCH_SELF.json was not refreshed by this run" >&2
+  exit 4
+fi
+rm -f "$marker"
 # keep a copy immediately: the r7/r8 lesson — a good run's per-query
 # map got overwritten by the next attempt before being saved
 cp BENCH_SELF.json "/tmp/bench_keep_$(date +%H%M%S).json"
@@ -51,10 +61,15 @@ cp BENCH_SELF.json "/tmp/bench_keep_$(date +%H%M%S).json"
 echo "Spark done — DuckDB side (back-to-back)"
 python3 tools/bench_duckdb.py "$SF" "$OUT" 3
 
+# 0.20 gate: the floor probe rides the measured shuffle-width dial
+# (~9-task exchanges at sf0.1), whose quiet floor is ~0.15 — the old
+# 0.25 threshold was calibrated to 32-task probes and would accept
+# windows the dialed probe shows as noisy. Bench reports the WORST
+# bracketing sample, so one mid-run burst rejects the window.
 floor=$(python3 -c "import json; print(json.load(open('BENCH_SELF.json'))['floor_per_stage_sec'])")
-ok=$(awk -v f="$floor" 'BEGIN{print (f<=0.25)?1:0}')
+ok=$(awk -v f="$floor" 'BEGIN{print (f<=0.20)?1:0}')
 if [ "$ok" != 1 ]; then
-  echo "REJECT: floor_per_stage_sec $floor > 0.25 — noisy window, rerun." >&2
+  echo "REJECT: floor_per_stage_sec $floor > 0.20 — noisy window, rerun." >&2
   echo "(artifacts left in place; BASELINE.md NOT regenerated; restore" >&2
   echo " the committed pair with: git checkout BENCH_SELF.json BASELINE_DUCKDB.json)" >&2
   exit 3
