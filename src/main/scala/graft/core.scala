@@ -294,7 +294,7 @@ final case class Tables(spark: SparkSession, dir: String) {
   private val (path, params) = TradeParams.parseDir(dir)
 
   private def t(name: String): DataFrame =
-    spark.read.parquet(s"$path/$name.parquet")
+    Tables.cachedRead(spark, s"$path/$name.parquet")
 
   /** Fact tables: the testdata ships one single-row-group parquet
     * file per table, which Spark cannot split — every downstream
@@ -430,8 +430,23 @@ object Tables {
         else publishOrYield(tmp, out)
       }
     }
-    spark.read.parquet(out.toString)
+    cachedRead(spark, out.toString)
   }
+
+  /** Resolved-relation cache: `spark.read.parquet` re-lists the
+    * directory and re-reads footers for schema on EVERY call, which
+    * surfaces as a ~1-task job ahead of each query invocation —
+    * pure fixed cost, ~130 queries deep per bench pass. Table
+    * relations are immutable for a session's lifetime here (the
+    * split/fixture layouts are content-keyed by (size, mtime), so a
+    * regenerated source lands at a NEW path), which makes the
+    * resolved frame safely reusable. Bounded, keyed by session so a
+    * test JVM's 4-core session never serves a bench session.
+    */
+  private val frameCache =
+    new LruCache[(SparkSession, String), DataFrame](64)
+  private[graft] def cachedRead(spark: SparkSession, p: String): DataFrame =
+    frameCache.getOrBuild((spark, p))(spark.read.parquet(p))
 
   /** Publish-or-reuse protocol for fixture directories derived from
     * one source parquet file (the JSONL corpus copy, the sharded
