@@ -105,7 +105,8 @@ object GraftSession {
     * to the DATA, not the core count. Post-shuffle width is the wrong
     * place to buy parallelism on this suite — the compute-dense work
     * (tokenize/regex/hash/decode) runs in SCAN stages whose width
-    * comes from file splits (`Tables.splitFiles`, untouched here);
+    * comes from file splits (`Tables.splitFilesFor`, itself a
+    * measured dial since r10);
     * what crosses a shuffle is aggregated/reduced data, tiny relative
     * to cores at bench SFs, so a 32-wide reduce stage is 32 tasks of
     * pure scheduling. This is the static-planner analog of the AQE
@@ -359,11 +360,27 @@ object Tables {
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     }
 
-  /** Number of files in a converted fact-table layout: pinned (not
-    * defaultParallelism) so a 4-thread test JVM and the 32-thread
-    * bench JVM share one converted copy.
+  /** Number of files in a converted fact-table layout: measured from
+    * the SOURCE size (~2 MB of parquet per file, floor 8, cap 256) —
+    * the same track-the-data philosophy as GraftSession's
+    * measuredShuffleParts and Similarity's graphParts. A pinned width
+    * (32 through r9) recreated the small-files antipattern at bench
+    * SFs: sf0.1's 11 MB lineitem became 32 ~340 KB files, so every
+    * scan stage paid 32 task launches to read a few hundred KB each —
+    * measured at ~4 s across the suite (the A/B behind this dial).
+    * Real lakes size files to data (~128 MB at corpus scale); the
+    * floor of 8 keeps partition-crossing semantics exercised on the
+    * smallest test SFs, and the function of SOURCE bytes (not
+    * defaultParallelism) keeps the 4-thread test JVM and the
+    * 32-thread bench JVM sharing one converted copy. The cap bounds
+    * the local tmp layout only — past ~512 MB per table, local[N] is
+    * not the design point and a real deployment's ingest layout
+    * replaces this relayout entirely.
     */
-  private val splitFiles = 32
+  private[graft] def splitFilesFor(bytes: Long): Int = {
+    val raw = (bytes + (2L << 20) - 1) / (2L << 20)
+    math.min(math.max(raw, 8L), 256L).toInt
+  }
 
   private val splitLock = new Object
 
@@ -409,21 +426,25 @@ object Tables {
   private[graft] def splitLayout(spark: SparkSession, dir: String, name: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(s"$dir/$name.parquet")
+    val nFiles = splitFilesFor(Files.size(src))
     // "t" prefix: the sanitized path starts with '_' (from the root
     // slash), and Spark's file listing treats leading-underscore names
     // as hidden — a converted dir named "_root_..." can be silently
     // ignored by a scan. Size AND mtime in the key: a regenerated
-    // source of identical length must still invalidate the copy.
+    // source of identical length must still invalidate the copy. The
+    // measured width is in the key too, so a dial change can never
+    // serve a stale-width copy.
     val key = "t" + (dir + "/" + name).replaceAll("[^A-Za-z0-9._-]", "_") +
       "_" + Files.size(src) +
-      "_" + Files.getLastModifiedTime(src).toMillis
+      "_" + Files.getLastModifiedTime(src).toMillis +
+      "_w" + nFiles
     val out = Paths.get(System.getProperty("java.io.tmpdir"), "graft-split", key)
     if (!Files.exists(out)) {
       Files.createDirectories(out.getParent)
       val tmp = Paths.get(out.getParent.toString,
         s".tmp_${key}_${java.util.UUID.randomUUID()}")
       spark.read.parquet(src.toString)
-        .repartition(splitFiles)
+        .repartition(nFiles)
         .write.mode("overwrite").parquet(tmp.toString)
       splitLock.synchronized {
         if (Files.exists(out)) deleteRecursively(tmp) // lost the race

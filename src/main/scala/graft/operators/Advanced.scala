@@ -673,6 +673,60 @@ object Advanced {
       |    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'))
       |ORDER BY bucket, o_custkey""".stripMargin
 
+  // ---- q31_range_frame: value-RANGE window frames vs ROWS frames ----
+  // The frame semantics the reference's pandas `rolling(3)` does NOT
+  // have: RANGE BETWEEN 2 PRECEDING looks back two UNITS of the order
+  // value (here: two calendar months), not two physical rows, so the
+  // two frames disagree exactly where the series has gaps — a
+  // trailing window over sparse data must not smuggle in values from
+  // months further back than the window span. The series is the
+  // per-priority monthly totals restricted to odd-order-count months
+  // (a deterministic, SF-independent gap driver), and both frame
+  // forms are emitted with their frame COUNTS so the divergence is
+  // integer-visible. Scale shape: aggregate-then-window — the window
+  // partitions by priority over the bounded monthly aggregate.
+
+  private def q31(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val Dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val sparse = Tables(spark, dir).orders
+      .groupBy($"o_orderpriority".as("pri"),
+        (year($"o_orderdate") * 12 + month($"o_orderdate") - 1)
+          .cast("long").as("mon_idx"))
+      .agg(Det.dsum($"o_totalprice").as("usd"), count(lit(1)).as("n_ord"))
+      .filter($"n_ord" % 2 === 1)
+    val w = Window.partitionBy($"pri").orderBy($"mon_idx")
+    val wRows = w.rowsBetween(-2, 0)
+    val wRange = w.rangeBetween(-2, 0)
+    sparse.select($"pri", $"mon_idx", $"usd",
+        sum($"usd".cast(Dec)).over(wRows).cast("double").as("sum3_rows"),
+        count(lit(1)).over(wRows).as("n_rows_frame"),
+        sum($"usd".cast(Dec)).over(wRange).cast("double").as("sum3_range"),
+        count(lit(1)).over(wRange).as("n_range_frame"))
+      .resultOrder($"pri", $"mon_idx")
+  }
+
+  private val q31Sql =
+    s"""WITH m AS (
+       |  SELECT o_orderpriority AS pri,
+       |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mon_idx,
+       |    ${Det.dsumSql("o_totalprice")} AS usd,
+       |    COUNT(*) AS n_ord
+       |  FROM orders GROUP BY pri, mon_idx),
+       |s AS (SELECT pri, mon_idx, usd FROM m WHERE n_ord % 2 = 1)
+       |SELECT pri, mon_idx, usd,
+       |  CAST(SUM(CAST(usd AS DECIMAL(18,6))) OVER wr AS DOUBLE) AS sum3_rows,
+       |  COUNT(*) OVER wr AS n_rows_frame,
+       |  CAST(SUM(CAST(usd AS DECIMAL(18,6))) OVER wg AS DOUBLE) AS sum3_range,
+       |  COUNT(*) OVER wg AS n_range_frame
+       |FROM s
+       |WINDOW wr AS (PARTITION BY pri ORDER BY mon_idx
+       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+       |  wg AS (PARTITION BY pri ORDER BY mon_idx
+       |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+       |ORDER BY pri, mon_idx""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q13_corr_subquery", q13, Some(q13Sql)),
     Q("q20_sketches", q20, None),
@@ -686,6 +740,7 @@ object Advanced {
     Q("q28_skew_salted_join", q28, Some(q28Sql)),
     Q("q29_grouping_sets", q29, Some(q29Sql)),
     Q("q30_histogram", q30, Some(q30Sql)),
+    Q("q31_range_frame", q31, Some(q31Sql)),
     Q("q14_asof_join", q14, Some(q14Sql)),
     Q("q15_range_join", q15, Some(q15Sql)),
     Q("q16_percentiles", q16, Some(q16Sql)),

@@ -718,12 +718,14 @@ object Dedup {
       .select($"a_id", $"b_id", $"jaccard")
   }
 
-  /** DuckDB twin of the full MinHash+LSH pipeline: same postings,
-    * same 16 seeded rolling-hash mins, same 8 value-pair bands, same
-    * candidate join, same exact-Jaccard verification — generated
-    * mechanically so the two engines stay in lockstep.
+  /** DuckDB twin of the signature→bands→candidate half of the
+    * pipeline, as a reusable CTE chain (exposes `cand (a_id, b_id)`):
+    * same postings, same 16 seeded rolling-hash mins, same 8
+    * value-pair bands, same candidate join — generated mechanically
+    * so the two engines stay in lockstep. Shared by the minhash
+    * oracle and the recall-eval oracle.
     */
-  private val dedupMinhashSql: String = {
+  private val minhashCandSqlCtes: String = {
     val hashCols =
       s"${graft.functions.RollingHash.sql("sh")} AS h"
     val minCols = (0 until minhashK)
@@ -731,7 +733,7 @@ object Dedup {
     val bandArms = (0 until minhashK / 2)
       .map(b => s"SELECT doc_id, $b AS band_idx, m${2 * b} AS v1, m${2 * b + 1} AS v2 FROM sigs")
       .mkString("\n  UNION ALL ")
-    s"""WITH $postingSqlCtes,
+    s"""$postingSqlCtes,
        |vh AS (
        |  SELECT sh,
        |    $hashCols
@@ -745,13 +747,66 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.v1 = b.v1 AND a.v2 = b.v2
-       |      AND a.doc_id < b.doc_id),
+       |      AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** DuckDB twin of the full MinHash+LSH pipeline: the candidate CTE
+    * chain plus the same exact-Jaccard verification tail.
+    */
+  private val dedupMinhashSql: String =
+    s"""WITH $minhashCandSqlCtes,
        |${jaccardPairSqlCtes("a_id", "b_id", "a.doc_id < b.doc_id")}
        |SELECT c.a_id, c.b_id, j.jaccard
        |FROM cand c
        |JOIN jpairs j ON j.a_id = c.a_id AND j.b_id = c.b_id
        |ORDER BY 1, 2""".stripMargin
+
+  // ---- dedup_recall_eval: LSH candidate recall vs exact truth ----
+  // The dedup analog of ann_recall_eval: before trusting a banded
+  // MinHash index, measure what fraction of the TRUE near-dup pairs
+  // (exact Jaccard ≥ minJaccard via the inverted-index listing) the
+  // band collisions actually surface. With 8 bands × 2 rows the
+  // collision probability at J = 0.5 is 1-(1-J²)⁸ ≈ 0.90 — borderline
+  // pairs CAN be missed, so the number is a measurement of the
+  // configured band/row trade, not a tautology. One pass: union the
+  // two cached pair indexes with membership flags, fold per pair,
+  // count — two bounded exchanges over index-sized frames, nothing
+  // broadcast, nothing recomputed (both inputs are the maintained
+  // artifacts a deployment already serves). recall_milli is exact
+  // integer arithmetic (floor per-mille), bit-stable cross-engine.
+
+  private def dedupRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = ngramPairs(spark, dir)
+      .select($"a_id", $"b_id", lit(1).as("in_truth"), lit(0).as("in_cand"))
+    val cand = minhashCandidates(spark, dir)
+      .select($"a_id", $"b_id", lit(0).as("in_truth"), lit(1).as("in_cand"))
+    truth.unionAll(cand)
+      .groupBy($"a_id", $"b_id")
+      .agg(max($"in_truth").as("t"), max($"in_cand").as("c"))
+      .agg(sum($"t").as("n_truth"), sum($"c").as("n_candidates"),
+        sum($"t" * $"c").as("n_hit"))
+      .select($"n_truth", $"n_candidates", $"n_hit",
+        when($"n_truth" === 0, lit(null).cast(LongType))
+          .otherwise(expr("n_hit * 1000 DIV n_truth")).as("recall_milli"))
   }
+
+  private val dedupRecallEvalSql =
+    s"""WITH $minhashCandSqlCtes,
+       |${jaccardPairSqlCtes("a_id", "b_id", "a.doc_id < b.doc_id")},
+       |u AS (
+       |  SELECT a_id, b_id, MAX(in_truth) AS t, MAX(in_cand) AS c
+       |  FROM (
+       |    SELECT a_id, b_id, 1 AS in_truth, 0 AS in_cand FROM jpairs
+       |    UNION ALL
+       |    SELECT a_id, b_id, 0 AS in_truth, 1 AS in_cand FROM cand)
+       |  GROUP BY a_id, b_id)
+       |SELECT CAST(SUM(t) AS BIGINT) AS n_truth,
+       |  CAST(SUM(c) AS BIGINT) AS n_candidates,
+       |  CAST(SUM(t * c) AS BIGINT) AS n_hit,
+       |  CASE WHEN SUM(t) = 0 THEN NULL
+       |    ELSE CAST(SUM(t * c) * 1000 // SUM(t) AS BIGINT) END AS recall_milli
+       |FROM u""".stripMargin
 
   // ---- dedup_simhash: 60-bit SimHash, Manku-style block-pair tables ----
   // Blocking (Manku/Jain/Das Sarma, "Detecting Near-Duplicates for
@@ -1061,6 +1116,7 @@ object Dedup {
     Q("dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
     Q("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
-    Q("dedup_clusters", dedupClusters, Some(dedupClustersSql))
+    Q("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    Q("dedup_recall_eval", dedupRecallEval, Some(dedupRecallEvalSql))
   )
 }

@@ -353,6 +353,57 @@ object Kpi {
        |FROM m ORDER BY category, yr, mon""".stripMargin
   }
 
+  // ---- kpi_gapfill: calendar-spine densification of the category grid ----
+  // The reference reindexes each category's series over the full
+  // calendar before windowing (pandas groupby().reindex fill — the
+  // step that keeps lag(12) meaning "a year ago" rather than "12
+  // observations ago"). Expressed as spine generation: global month
+  // bounds from ONE bounded aggregate, `sequence()` exploded into the
+  // calendar spine, cross-joined with the category list (both frames
+  // bounded by construction — #months × #categories, independent of
+  // fact volume), left-joined back to the materialized grain, absent
+  // months filled with 0 and flagged. Scale shape: every join input
+  // is a bounded aggregate of the cached grain; the fact is scanned
+  // zero extra times.
+
+  private def gapfill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = catMonthly(spark, dir)
+      .withColumn("mon_idx", ($"yr" * 12 + $"mon" - 1).cast("long"))
+    val spine = m.agg(min($"mon_idx").as("lo"), max($"mon_idx").as("hi"))
+      .select(explode(sequence($"lo", $"hi")).as("mon_idx"))
+    m.select($"category").distinct()
+      .crossJoin(spine)
+      .join(m.select($"category", $"mon_idx", $"exp", $"imp",
+          lit(1).as("present")),
+        Seq("category", "mon_idx"), "left")
+      .select($"category",
+        expr("CAST(mon_idx DIV 12 AS INT)").as("yr"),
+        ($"mon_idx" % 12 + 1).cast("int").as("mon"),
+        coalesce($"exp", lit(0.0)).as("exp"),
+        coalesce($"imp", lit(0.0)).as("imp"),
+        when($"present".isNull, 1).otherwise(0).as("is_fill"))
+      .resultOrder($"category", $"yr", $"mon")
+  }
+
+  private val gapfillSql =
+    s"""WITH $catMonthlySqlCte,
+       |mi AS (SELECT category, CAST(yr * 12 + mon - 1 AS BIGINT) AS mon_idx,
+       |    exp, imp FROM m),
+       |spine AS (
+       |  SELECT UNNEST(range(lo, hi + 1)) AS mon_idx
+       |  FROM (SELECT MIN(mon_idx) AS lo, MAX(mon_idx) AS hi FROM mi)),
+       |cats AS (SELECT DISTINCT category FROM mi)
+       |SELECT c.category,
+       |  CAST(s.mon_idx // 12 AS INTEGER) AS yr,
+       |  CAST(s.mon_idx % 12 + 1 AS INTEGER) AS mon,
+       |  COALESCE(mi.exp, 0.0) AS exp,
+       |  COALESCE(mi.imp, 0.0) AS imp,
+       |  CASE WHEN mi.category IS NULL THEN 1 ELSE 0 END AS is_fill
+       |FROM cats c CROSS JOIN spine s
+       |LEFT JOIN mi ON mi.category = c.category AND mi.mon_idx = s.mon_idx
+       |ORDER BY c.category, yr, mon""".stripMargin
+
   // ---- kpi_outliers: z-score >2σ on MoM series (eda.py:159-166) ----
   // Deterministic stddev: E[x²]-E[x]² from exact decimal sums (plain
   // STDDEV accumulates doubles in engine order → hash-unstable).
@@ -1263,6 +1314,7 @@ object Kpi {
     Q("kpi_topn_insights", topnInsights, Some(topnInsightsSql)),
     Q("kpi_quick_stats", quickStats, Some(quickStatsSql)),
     Q("kpi_qa_totals", qaTotals, Some(qaTotalsSql)),
-    Q("kpi_ranking", ranking, Some(rankingSql))
+    Q("kpi_ranking", ranking, Some(rankingSql)),
+    Q("kpi_gapfill", gapfill, Some(gapfillSql))
   )
 }

@@ -589,6 +589,77 @@ object TextAnalysis {
        |  (1000 * CAST(SUM(c * surp) AS BIGINT)) // MAX(n) AS entropy_milli
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- text_cooc_pmi: windowed co-occurrence lift (PMI ranking) ----
+  // The word-association statistic under every count-based embedding
+  // and collocation extractor (word2vec-era co-occurrence matrices,
+  // phrase mining à la Mikolov 2013 §4): token pairs within a
+  // ±2-token window, scored by lift = P(x,y) / (P(x)·P(y)) — the
+  // exponential of PMI, same ranking. Pair generation is ROW-LOCAL
+  // (the bigramArr zip-with-tail pattern at distances 1 and 2 —
+  // O(tokens·2) rows, no position self-join, no doc-partitioned
+  // window); the only exchanges are the pair-key counting aggregate
+  // and the two vocab joins against the cached unigram rollup
+  // (vocabulary-sized, Heaps-law sublinear — never broadcast by
+  // hint). Orientation is canonicalized (least, greatest) map-side so
+  // "new york" and "york new" count as one association. The lift
+  // arithmetic casts each count to DOUBLE in a fixed operation order,
+  // so both engines produce bit-identical IEEE results; min support
+  // c_pair ≥ 5 is the standard noise gate (and keeps the 1/c_xy
+  // variance of low-count PMI out of the ranking).
+
+  /** Canonicalized within-window pairs at token distance `d`,
+    * row-local (see [[bigramArr]] for the zip-with-tail trick).
+    */
+  private def coocPairs(toks: org.apache.spark.sql.Column, d: Int) =
+    filter(
+      zip_with(toks, slice(toks, lit(d + 1), size(toks)),
+        (a, b) => when(b.isNotNull,
+          struct(least(a, b).as("t1"), greatest(a, b).as("t2")))),
+      _.isNotNull)
+
+  private def coocPmi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val pairs = Tables(spark, dir).documents
+      .select(explode(concat(coocPairs(toks, 1), coocPairs(toks, 2))).as("p"))
+      .groupBy($"p.t1".as("t1"), $"p.t2".as("t2"))
+      .agg(count(lit(1)).as("c_pair"))
+      .filter($"c_pair" >= 5)
+    val uni = vocabPosting(spark, dir).select($"t", $"c", $"n")
+    pairs
+      .join(uni.select($"t".as("t1"), $"c".as("c1"), $"n"), "t1")
+      .join(uni.select($"t".as("t2"), $"c".as("c2")), "t2")
+      .select($"t1", $"t2", $"c_pair",
+        round($"c_pair".cast(DoubleType) * $"n".cast(DoubleType) /
+          ($"c1".cast(DoubleType) * $"c2".cast(DoubleType)), 6).as("lift"))
+      .orderBy($"lift".desc, $"t1", $"t2")
+      .limit(20)
+  }
+
+  private val coocPmiSql =
+    """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (
+      |  SELECT doc_id, toks[ord] AS t, ord
+      |  FROM sp, UNNEST(range(1, len(toks) + 1)) AS r(ord)),
+      |uni AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+      |tot AS (SELECT SUM(c) AS n FROM uni),
+      |pc AS (
+      |  SELECT LEAST(a.t, b.t) AS t1, GREATEST(a.t, b.t) AS t2,
+      |    COUNT(*) AS c_pair
+      |  FROM tok a JOIN tok b
+      |    ON a.doc_id = b.doc_id AND (b.ord - a.ord) IN (1, 2)
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 5)
+      |SELECT t1, t2, c_pair,
+      |  ROUND(CAST(c_pair AS DOUBLE) * CAST(tot.n AS DOUBLE) /
+      |    (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)), 6) AS lift
+      |FROM pc
+      |CROSS JOIN tot
+      |JOIN uni u1 ON u1.t = pc.t1
+      |JOIN uni u2 ON u2.t = pc.t2
+      |ORDER BY lift DESC, t1, t2
+      |LIMIT 20""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("text_entropy", textEntropy, Some(textEntropySql)),
     Q("text_lm_score", lmScore, Some(lmScoreSql)),
@@ -599,6 +670,7 @@ object TextAnalysis {
     Q("text_top_bigrams", topBigrams, Some(topBigramsSql)),
     Q("text_tfidf", tfidf, Some(tfidfSql)),
     Q("text_chunk", textChunk, Some(textChunkSql)),
-    Q("text_repetition", textRepetition, Some(textRepetitionSql))
+    Q("text_repetition", textRepetition, Some(textRepetitionSql)),
+    Q("text_cooc_pmi", coocPmi, Some(coocPmiSql))
   )
 }

@@ -139,4 +139,27 @@ class AdvancedSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q31 RANGE frames follow the month axis, ROWS frames the row stream") {
+    val rows = q("q31_range_frame").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    // sequential recompute of BOTH frame semantics from the series
+    // itself: trailing-3-rows vs trailing-2-months
+    rows.groupBy(_._1).foreach { case (_, series) =>
+      val s = series.sortBy(_._2)
+      s.zipWithIndex.foreach { case ((_, idx, _, sr, nr, sg, ng), i) =>
+        val rowsFrame = s.slice(math.max(0, i - 2), i + 1)
+        val rangeFrame = s.filter(x => x._2 >= idx - 2 && x._2 <= idx)
+        assert(nr == rowsFrame.size && ng == rangeFrame.size)
+        assert(math.abs(sr - rowsFrame.map(_._3).sum) < 1e-6)
+        assert(math.abs(sg - rangeFrame.map(_._3).sum) < 1e-6)
+      }
+    }
+    // the gap driver must actually produce divergence somewhere —
+    // otherwise the test (and the operator) degenerates to ROWS
+    assert(rows.exists(r => r._5 != r._7),
+      "no month gaps: RANGE and ROWS frames never diverged")
+  }
+
 }

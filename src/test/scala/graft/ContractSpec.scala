@@ -37,6 +37,25 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("measured relayout-width dial: floor, growth, cap") {
+    // tiny sources clamp to the floor of 8 (partition-crossing
+    // semantics stay exercised at test SFs)
+    assert(Tables.splitFilesFor(0L) == 8)
+    assert(Tables.splitFilesFor(600L << 10) == 8) // sf0.1 documents
+    // sf0.1 lineitem (~11 MB) still floors at 8; growth is strictly
+    // data-driven past the floor (~2 MB of source per file)
+    assert(Tables.splitFilesFor(11L << 20) == 8)
+    assert(Tables.splitFilesFor(64L << 20) == 32)
+    assert(Tables.splitFilesFor(100L << 20) == 50)
+    // the cap bounds the LOCAL tmp relayout only; past ~512 MB per
+    // table local[N] is not the design point
+    assert(Tables.splitFilesFor(10L << 30) == 256)
+    // monotone in bytes (a bigger source never gets fewer files)
+    val pts = Seq(0L, 1L << 20, 16L << 20, 128L << 20, 1L << 30, 8L << 30)
+    pts.zip(pts.tail).foreach { case (a, b) =>
+      assert(Tables.splitFilesFor(a) <= Tables.splitFilesFor(b)) }
+  }
+
   test("query names are unique (Map must not drop any)") {
     val names = SparkEntry.allQueries.map(_.name)
     assert(names.distinct.size == names.size,
@@ -51,9 +70,9 @@ class ContractSpec extends AnyFunSuite {
         sql.trim.toUpperCase.startsWith("WITH")))
   }
 
-  test("inventory size matches SURVEY status (132 ops, 131 oracles)") {
-    assert(SparkEntry.allQueries.size == 132)
-    assert(SparkEntry.oracleSql.size == 131)
+  test("inventory size matches SURVEY status (136 ops, 135 oracles)") {
+    assert(SparkEntry.allQueries.size == 136)
+    assert(SparkEntry.oracleSql.size == 135)
     // the single rows-checked survivor is the engine-specific HLL /
     // quantile sketch pair (its KMV twin q27 IS oracle-checked)
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)

@@ -366,6 +366,21 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_recall_eval reconciles with the pair indexes it audits") {
+    val r = q("dedup_recall_eval").collect()
+    assert(r.length == 1)
+    val (nTruth, nCand, nHit, recall) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    // the truth count IS the exact pair index's cardinality
+    assert(nTruth == q("dedup_ngram_jaccard").count())
+    // hits = truth pairs the band join surfaced; verified minhash
+    // pairs are exactly truth ∩ candidates, so the two must agree
+    assert(nHit == q("dedup_minhash_lsh").count())
+    assert(nHit <= nTruth && nHit <= nCand)
+    assert(recall == nHit * 1000L / nTruth)
+    assert(recall >= 0L && recall <= 1000L)
+  }
+
   test("ann_lsh candidates score identically to brute force") {
     val brute = q("ann_bruteforce").select("q_id", "neighbor_id", "cosine")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -148,4 +148,28 @@ class KpiSpec extends AnyFunSuite {
     val cats = q("kpi_prod_monthly").select("category").distinct().count()
     assert(cats == 6) // PROMO ECONOMY MEDIUM SMALL LARGE STANDARD
   }
+
+  test("kpi_gapfill densifies every category to the full calendar spine") {
+    val rows = q("kpi_gapfill").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4), r.getInt(5)))
+    val grain = q("kpi_prod_monthly").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    // the grid is exactly #categories × #months-in-span, no dup keys
+    val cats = rows.map(_._1).distinct
+    val months = rows.map(r => (r._2, r._3)).distinct
+    assert(rows.length == cats.length * months.length)
+    assert(rows.map(r => (r._1, r._2, r._3)).distinct.length == rows.length)
+    // the spine is the contiguous global month range of the grain
+    val idx = grain.map { case (_, y, m) => y * 12 + m - 1 }
+    assert(months.map { case (y, m) => y * 12 + m - 1 }.sorted.toSeq ==
+      (idx.min to idx.max).toSeq)
+    // fill flags are exactly the grid minus the observed grain, and
+    // filled months carry zero in both flows
+    rows.foreach { case (c, y, m, exp, imp, fill) =>
+      assert((fill == 1) == !grain((c, y, m)))
+      if (fill == 1) assert(exp == 0.0 && imp == 0.0)
+    }
+    assert(rows.count(_._6 == 1) == rows.length - grain.size)
+  }
 }

@@ -131,4 +131,33 @@ class TextFunctionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("text_cooc_pmi equals a sequential windowed-pair lift recompute") {
+    val docs = Tables(spark, sf).documents.select("text").collect()
+      .map(_.getString(0))
+    val uni = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val pair = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    docs.foreach { t =>
+      val toks = t.split(" ", -1)
+      toks.foreach(w => uni(w) += 1)
+      for (i <- toks.indices; d <- 1 to 2 if i + d < toks.length) {
+        val (a, b) = (toks(i), toks(i + d))
+        pair(if (a <= b) (a, b) else (b, a)) += 1
+      }
+    }
+    val n = uni.values.sum
+    val want = pair.toSeq.collect { case ((t1, t2), c) if c >= 5 =>
+      val lift = BigDecimal(c.toDouble * n.toDouble /
+        (uni(t1).toDouble * uni(t2).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (t1, t2, c, lift)
+    }.sortBy { case (t1, t2, _, lift) => (-lift, t1, t2) }.take(20)
+    val got = SparkEntry.queries("text_cooc_pmi")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == want)
+    // sanity on the signal: collocations beat independence (lift > 1)
+    assert(got.forall(_._4 > 1.0), "top-20 lift should exceed independence")
+  }
 }
