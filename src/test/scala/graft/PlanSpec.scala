@@ -672,4 +672,56 @@ class PlanSpec extends AnyFunSuite {
         "bucket-totals aggregate must reuse the window's shuffle")
     } finally restoreAqeDefault()
   }
+
+  test("text_cooc_pmi generates pairs row-locally and ranks via top-k, not a sort") {
+    // pair generation is the zip-with-tail projection — no position
+    // self-join, no doc-partitioned window over the token stream (the
+    // cached vocab rollup materializes eagerly, so its build-time
+    // window never appears here); the final top-20 must be
+    // TakeOrderedAndProject, not a global sort of every pair
+    val p = plan("text_cooc_pmi")
+    assert(!p.contains("Window"), s"pair generation must not window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"vocab joins must stay equi-joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must plan as TakeOrderedAndProject:\n$p")
+  }
+
+  test("kpi_gapfill joins only bounded frames: no fact scan at query time") {
+    // spine and category list derive from the cached grain (eagerly
+    // checkpointed), so the query-time plan must contain NO parquet
+    // scan — the fact is read zero extra times however large it is.
+    // The spine cross join is a broadcast nested loop over a
+    // calendar-bounded frame; a CartesianProduct would mean the
+    // bounded side lost its boundedness.
+    val p = plan("kpi_gapfill")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 0, s"gapfill must serve the cached grain, saw $scans scans:\n$p")
+    assert(!p.contains("CartesianProduct"), s"spine join degenerated:\n$p")
+  }
+
+  test("dedup_recall_eval folds the two pair indexes with one keyed exchange, nothing broadcast") {
+    // both inputs are corpus-proportional pair indexes (checkpoint
+    // scans once cached) — neither may be broadcast; the flag union
+    // aggregates per pair key through ONE hash exchange, then the
+    // global count collapses to a single-partition aggregate
+    val p = plan("dedup_recall_eval")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      s"pair indexes must not broadcast:\n$p")
+    val keyed = "Exchange hashpartitioning\\(".r.findAllIn(p).size
+    assert(keyed == 1, s"expected one pair-key exchange, got $keyed:\n$p")
+  }
+
+  test("q31_range_frame windows the bounded monthly aggregate in one Window node") {
+    // aggregate-then-window: the ROWS and RANGE frames share the
+    // (pri, mon_idx) partitioning/ordering so Spark must evaluate
+    // both in ONE WindowExec over the already-reduced series — a
+    // second Window node (or a window over raw orders rows) would
+    // double the sort or shuffle the fact
+    val p = plan("q31_range_frame")
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows == 1, s"expected one Window node, got $windows:\n$p")
+    val keyed = "Exchange hashpartitioning\\(".r.findAllIn(p).size
+    assert(keyed <= 2, s"expected agg + window exchanges only, got $keyed:\n$p")
+  }
 }
