@@ -139,10 +139,11 @@ object GraftSession {
       else {
         // long math end-to-end: a petabyte-scale dir divided down
         // still exceeds Int range, and a degenerate cpus value must
-        // not push the cap below the floor of 4
-        val cap = math.max(4L, 32L * math.max(cpus, 0).toLong)
-        val raw = (bytes + (2L << 20) - 1) / (2L << 20)
-        Some(math.min(math.max(raw, 4L), cap).toInt)
+        // not push the cap below the floor of 4. The cap also bounds
+        // the result into Int range before toInt.
+        val cap = math.min(math.max(4L, 32L * math.max(cpus, 0).toLong),
+          Int.MaxValue.toLong)
+        Some(math.min(math.max(Tables.ceilDiv2MB(bytes), 4L), cap).toInt)
       }
     }
   } catch {
@@ -361,25 +362,47 @@ object Tables {
     }
 
   /** Number of files in a converted fact-table layout: measured from
-    * the SOURCE size (~2 MB of parquet per file, floor 8, cap 256) —
-    * the same track-the-data philosophy as GraftSession's
-    * measuredShuffleParts and Similarity's graphParts. A pinned width
-    * (32 through r9) recreated the small-files antipattern at bench
-    * SFs: sf0.1's 11 MB lineitem became 32 ~340 KB files, so every
-    * scan stage paid 32 task launches to read a few hundred KB each —
-    * measured at ~4 s across the suite (the A/B behind this dial).
-    * Real lakes size files to data (~128 MB at corpus scale); the
-    * floor of 8 keeps partition-crossing semantics exercised on the
-    * smallest test SFs, and the function of SOURCE bytes (not
-    * defaultParallelism) keeps the 4-thread test JVM and the
-    * 32-thread bench JVM sharing one converted copy. The cap bounds
-    * the local tmp layout only — past ~512 MB per table, local[N] is
-    * not the design point and a real deployment's ingest layout
-    * replaces this relayout entirely.
+    * the SOURCE size (~2 MB of parquet per file), floored at the
+    * SESSION's core count, capped at 256 — the same track-the-data
+    * philosophy as GraftSession's measuredShuffleParts and
+    * Similarity's graphParts. Why the floor is the core count and not
+    * a constant: for sources below ~2 MB/file, scan-stage parallelism
+    * EQUALS the file count (Spark's split packing cannot subdivide a
+    * single parquet row group, so small files are one-task units),
+    * and the scan stages are where this suite's compute-dense work
+    * (tokenize/regex/hash/decode) runs. The r10 floor of 8 capped
+    * exactly those stages at 8 tasks on the 32-core bench JVM — r10
+    * ADVICE flagged a +19% cross-diff regression. The r11 PAIRED A/B
+    * at sf0.1 (same day, same host, full suite both ways) measured
+    * the two floors statistically indistinguishable (median per-query
+    * delta 0.001 s; totals 51.1 s floor-8 @ stage-floor 0.299 vs
+    * 52.5 s floor-32 @ 0.189 — the cross-window +19% was noise, not
+    * the dial), so the core-count floor is adopted on posture, not
+    * on a measured win: scan width must never sit BELOW the cores the
+    * box has when file count gates parallelism, because at larger
+    * inputs the compute per scan task grows and the 8-task cap would
+    * become the bottleneck exactly when it hurts most. Past the floor,
+    * width tracks data (~2 MB/file) so corpus-scale sources still get
+    * size-proportional files; the cap bounds the LOCAL tmp layout
+    * only — past ~512 MB per table, local[N] is not the design point
+    * and a real deployment's ingest layout replaces this relayout
+    * entirely. The width is part of the converted-copy cache key, so
+    * the 4-thread test JVM and the 32-thread bench JVM keep separate
+    * (correct-width) copies instead of fighting over one.
     */
-  private[graft] def splitFilesFor(bytes: Long): Int = {
-    val raw = (bytes + (2L << 20) - 1) / (2L << 20)
-    math.min(math.max(raw, 8L), 256L).toInt
+  /** Ceiling-divide by the 2 MB dial constant WITHOUT the
+    * `bytes + 2MB - 1` idiom, which overflows Long for byte counts
+    * within 2 MB of Long.MaxValue and would silently clamp a
+    * max-range input to the FLOOR instead of the cap.
+    */
+  private[graft] def ceilDiv2MB(bytes: Long): Long =
+    bytes / (2L << 20) + (if (bytes % (2L << 20) > 0L) 1L else 0L)
+
+  private[graft] def splitFilesFor(bytes: Long, cores: Int): Int = {
+    // floor: at least 8 (partition-crossing semantics exercised even
+    // on a 1-core session) and at most the cap, whatever cores says
+    val floor = math.max(8L, math.min(math.max(cores, 0), 256).toLong)
+    math.min(math.max(ceilDiv2MB(bytes), floor), 256L).toInt
   }
 
   private val splitLock = new Object
@@ -426,7 +449,8 @@ object Tables {
   private[graft] def splitLayout(spark: SparkSession, dir: String, name: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val src = Paths.get(s"$dir/$name.parquet")
-    val nFiles = splitFilesFor(Files.size(src))
+    val nFiles = splitFilesFor(Files.size(src),
+      spark.sparkContext.defaultParallelism)
     // "t" prefix: the sanitized path starts with '_' (from the root
     // slash), and Spark's file listing treats leading-underscore names
     // as hidden — a converted dir named "_root_..." can be silently

@@ -248,12 +248,239 @@ object Etl {
        |JOIN qa q ON q.yr = p.yr AND q.flow = p.flow
        |ORDER BY p.yr, p.mon, p.flow""".stripMargin
 
+  // ---- etl_parse_xlsx_prod: the PRODUCT books' year-per-sheet parse ----
+  // The reference's product etl (etl_products.py:23-96 parse_book)
+  // reads a very different workbook shape from the totals book: one
+  // sheet PER YEAR (sheet names "2005".."2025"; non-year sheets
+  // skipped, etl_products.py:31-32), the header row LOCATED by
+  // searching any cell for 'Enero' (38-44), month columns mapped from
+  // that row's cells (46-52), and category rows starting at
+  // head_idx+3 with the category name in COLUMN 2 (58-74), filtered
+  // of metadata rows ('incluye…', 'total…', <3 chars). Cell values
+  // parse with float(); NaN/''/0 cells are skipped (77-90). The
+  // output long table keeps 'Total' as a thirteenth month value —
+  // trade_prod carries it and kpi_prod_monthly filters it later.
+  //
+  // Here the same semantics run RELATIONALLY over a cell grid
+  // (book, sheet, row_num, col_num, val): header detection is a
+  // min-row aggregate per sheet, the column map and category list are
+  // small per-sheet joins against that header row, and the value
+  // extraction is one equi-join on (book, sheet, row, col). That is
+  // the 100 TB shape — a lake of many books decodes one task per
+  // book, and every later step groups/joins on (book, sheet) keys.
+  //
+  // Fixture: two REAL multi-sheet .xlsx books (import=F1, export=G1,
+  // mirroring etl_products.py:18-21 SRC), one sheet per year plus a
+  // non-year 'Notas' sheet that must be skipped, title junk above the
+  // header, filler rows under it, metadata rows between categories,
+  // and planted cell defects ('n.d.', '0', '') exercising the skip
+  // rules. Oracle: DuckDB reads a content-identical CSV of the SAME
+  // cell grid (built once, written to both formats) and re-expresses
+  // the parse in SQL — any xlsx round-trip divergence lands in the
+  // hash, the same closed loop etl_parse_xlsx uses.
+
+  private val prodRoot = "/root/repo/target/etl_raw_prod"
+
+  /** Monthly integer-dollar usd per (yr, flow, category, mon) — the
+    * deterministic data the fixture grids render. Categories are
+    * part types via the lineitem⋈orders⋈part join (bounded: 6
+    * values), so the grid is years × flows × 6 cats × 12 months.
+    */
+  private def prodBase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(t.part, $"l_partkey" === $"p_partkey")
+      .select(year($"o_orderdate").as("yr"),
+        when($"o_orderstatus" === "F", "export").otherwise("import").as("flow"),
+        month($"o_orderdate").as("mon"), $"p_type".as("cat"), $"l_extendedprice")
+      .groupBy($"yr", $"flow", $"cat", $"mon")
+      .agg(floor(Det.dsum($"l_extendedprice")).cast("long").as("usd_i"))
+  }
+
+  /** Build the per-flow book grids: sheet name → dense string rows.
+    * Row/column coordinates follow the reference layout: header at
+    * row 2 ('Enero' first month cell at col 3), categories from row 5
+    * (= head_idx+3) with the name in col 2.
+    */
+  private def prodGrids(rows: Seq[(Int, String, String, Int, Long)], flow: String)
+      : Seq[(String, Seq[Seq[String]])] = {
+    val mine = rows.filter(_._2 == flow)
+    val years = mine.map(_._1).distinct.sorted
+    val cats = mine.map(_._3).distinct.sorted
+    val firstYear = years.head
+    val defects = Map( // (cat index, month) → planted raw cell
+      (0, 1) -> "n.d.", // float() raises → skipped
+      (1, 2) -> "0", // zero → skipped
+      (2, 3) -> "") // empty → skipped
+    val sheets = years.map { y =>
+      val byKey = mine.filter(_._1 == y)
+        .map { case (_, _, c, m, v) => (c, m) -> v }.toMap
+      val catRows = cats.zipWithIndex.flatMap { case (c, ci) =>
+        val vals = (1 to 12).map { m =>
+          val planted = if (flow == "import" && y == firstYear)
+            defects.get((ci, m)) else None
+          planted.getOrElse(byKey.get((c, m)).map(_.toString).getOrElse(""))
+        }
+        val total = (1 to 12).map(m => byKey.getOrElse((c, m), 0L)).sum
+        val row = Seq("", "", c) ++ vals :+ total.toString
+        // metadata rows the category filter must drop, planted mid-list
+        if (ci == 1)
+          Seq(row, Seq("", "", "Incluye: ajustes de registro") ++
+            (1 to 12).map(_ => "1") :+ "12")
+        else Seq(row)
+      }
+      val junkTail = Seq(
+        Seq("", "", s"Total $flow") ++ (1 to 12).map(_ => "9") :+ "108",
+        Seq("", "", "nd") ++ (1 to 12).map(_ => "7") :+ "84")
+      y.toString -> (Seq(
+        Seq(s"Cuadro: ${flow} por categoría según mes, $y"),
+        Seq("(dólares de cada año)"),
+        Seq("", "", "Categoría") ++ meses :+ "Total",
+        Seq(""),
+        Seq("", "", "Fuente: registros administrativos")) ++
+        catRows ++ junkTail)
+    }
+    sheets :+ ("Notas" -> Seq(
+      Seq("Notas metodológicas"),
+      Seq("Enero"), // a stray month word in a NON-year sheet: the
+      // year-name filter must drop it before header detection
+      Seq("", "", "Serie sujeta a revisión")))
+  }
+
+  /** Materialize the two product books (real multi-sheet xlsx) AND
+    * the content-identical cell-grid CSV twin, atomically under one
+    * published dir; return the cell frame decoded FROM THE XLSX side.
+    */
+  private val prodCache = new graft.PlanCache()
+  private def prodCells(spark: SparkSession, dir: String): DataFrame =
+      prodCache.getOrBuild(spark, dir) {
+    import spark.implicits._
+    val n = Tables(spark, dir).orders.count()
+    val out = Paths.get(s"$prodRoot/books_sf_$n")
+    if (!Files.exists(out)) {
+      val base = prodBase(spark, dir)
+        .resultOrder($"yr", $"flow", $"cat", $"mon")
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getInt(3), r.getLong(4)))
+        .toSeq
+      val books = Seq("import" -> "prod_F1.xlsx", "export" -> "prod_G1.xlsx")
+        .map { case (flow, file) => (flow, file, prodGrids(base, flow)) }
+      val tmp = Paths.get(s"$prodRoot/.tmp_${n}_${java.util.UUID.randomUUID()}")
+      Files.createDirectories(tmp)
+      books.foreach { case (_, file, grids) =>
+        val os = Files.newOutputStream(tmp.resolve(file))
+        try graft.sources.Xlsx.writeWorkbookSheets(os, grids)
+        finally os.close()
+      }
+      // CSV twin of the SAME in-memory grids (one source of truth):
+      // one row per cell, 0-based pandas-style coordinates
+      val cells = books.flatMap { case (_, file, grids) =>
+        grids.flatMap { case (sheet, rows) =>
+          rows.zipWithIndex.flatMap { case (cs, r) =>
+            cs.zipWithIndex.map { case (v, c) => (file, sheet, r, c, v, n) }
+          }
+        }
+      }
+      cells.toDF("book", "sheet", "row_num", "col_num", "val", "src_n")
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true")
+        .csv(tmp.resolve("cells").toString)
+      publishLock.synchronized {
+        if (Files.exists(out)) deleteRecursively(tmp) // lost the race
+        else {
+          Files.createDirectories(out.getParent)
+          Files.move(tmp, out)
+        }
+      }
+    }
+    // decode ONCE: the parse below joins the cell grid against itself
+    // four times (header row, column map, category rows, values) —
+    // without the checkpoint every leg would re-run the per-book
+    // decode, a 4× constant on the dominant 100 TB ingest cost. The
+    // checkpoint is the decoded-ingest artifact (a real lake would
+    // persist exactly this frame), and MeasuredCkpt gives it honest
+    // stats so the per-sheet joins pick sane build sides.
+    graft.MeasuredCkpt(graft.sources.Xlsx.readAllCells(spark, s"$out/*.xlsx"))
+  }
+
+  /** parse_book (etl_products.py:23-96) re-expressed relationally
+    * over the cell grid.
+    */
+  private def etlParseXlsxProd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = prodCells(spark, dir)
+      .filter($"sheet".rlike("^[0-9]{4}$")) // year sheets only (:31-32)
+    val hdr = cells.filter(trim($"val") === "Enero") // header search (:38-44)
+      .groupBy($"book", $"sheet").agg(min($"row_num").as("head_idx"))
+    val colmap = cells.join(hdr, Seq("book", "sheet")) // month cols (:46-52)
+      .filter($"row_num" === $"head_idx" &&
+        trim($"val").isInCollection(meses :+ "Total"))
+      .select($"book", $"sheet", $"col_num", trim($"val").as("month"))
+    val cats = cells.join(hdr, Seq("book", "sheet")) // category rows (:58-74)
+      .filter($"col_num" === 2 && $"row_num" >= $"head_idx" + 3)
+      .select($"book", $"sheet", $"row_num", trim($"val").as("category"))
+      .filter(length($"category") >= 3 &&
+        !lower($"category").startsWith("incluye") &&
+        !lower($"category").startsWith("total") &&
+        !lower($"category").isin("nan", "none"))
+    cats
+      .join(colmap, Seq("book", "sheet"))
+      .join(cells.select($"book", $"sheet", $"row_num", $"col_num", $"val"),
+        Seq("book", "sheet", "row_num", "col_num"))
+      .select($"sheet".cast("int").as("year"), $"month",
+        when($"book".contains("F1"), "import").otherwise("export").as("flow"),
+        $"category",
+        expr("TRY_CAST(val AS DOUBLE)").as("usd")) // float() (:79-84)
+      .filter($"usd".isNotNull && $"usd" =!= 0.0) // NaN/''/0 skip (:80-81)
+      .resultOrder($"year", $"flow", $"category", $"month")
+  }
+
+  private val etlParseXlsxProdSql = {
+    val monthList = (meses :+ "Total").map(m => s"'$m'").mkString(", ")
+    s"""WITH cells AS (
+       |  SELECT book, sheet, row_num, col_num, val
+       |  FROM read_csv('$prodRoot/*/cells/*.csv', header=true, auto_detect=false,
+       |    columns={'book':'VARCHAR','sheet':'VARCHAR','row_num':'INTEGER',
+       |             'col_num':'INTEGER','val':'VARCHAR','src_n':'BIGINT'})
+       |  WHERE src_n = (SELECT COUNT(*) FROM orders)
+       |    AND regexp_full_match(sheet, '[0-9]{4}')),
+       |hdr AS (
+       |  SELECT book, sheet, MIN(row_num) AS head_idx
+       |  FROM cells WHERE TRIM(val) = 'Enero' GROUP BY book, sheet),
+       |colmap AS (
+       |  SELECT c.book, c.sheet, c.col_num, TRIM(c.val) AS month
+       |  FROM cells c JOIN hdr h ON h.book = c.book AND h.sheet = c.sheet
+       |  WHERE c.row_num = h.head_idx AND TRIM(c.val) IN ($monthList)),
+       |cats AS (
+       |  SELECT c.book, c.sheet, c.row_num, TRIM(c.val) AS category
+       |  FROM cells c JOIN hdr h ON h.book = c.book AND h.sheet = c.sheet
+       |  WHERE c.col_num = 2 AND c.row_num >= h.head_idx + 3
+       |    AND LENGTH(TRIM(c.val)) >= 3
+       |    AND LOWER(TRIM(c.val)) NOT LIKE 'incluye%'
+       |    AND LOWER(TRIM(c.val)) NOT LIKE 'total%'
+       |    AND LOWER(TRIM(c.val)) NOT IN ('nan', 'none'))
+       |SELECT CAST(k.sheet AS INT) AS year, m.month,
+       |  CASE WHEN k.book LIKE '%F1%' THEN 'import' ELSE 'export' END AS flow,
+       |  k.category, TRY_CAST(c.val AS DOUBLE) AS usd
+       |FROM cats k
+       |JOIN colmap m ON m.book = k.book AND m.sheet = k.sheet
+       |JOIN cells c ON c.book = k.book AND c.sheet = k.sheet
+       |  AND c.row_num = k.row_num AND c.col_num = m.col_num
+       |WHERE TRY_CAST(c.val AS DOUBLE) IS NOT NULL
+       |  AND TRY_CAST(c.val AS DOUBLE) <> 0
+       |ORDER BY year, flow, category, month""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("etl_parse", etlParse, Some(etlParseSql)),
     // same parse semantics across the reference's ACTUAL entry format:
     // the Spark side ingests a real .xlsx workbook; the oracle checks
     // it through the content-identical CSV book (DuckDB has no xlsx
     // reader) — see rawBookXlsx's doc for why that closes the loop
-    Q("etl_parse_xlsx", etlParseXlsx, Some(etlParseSql))
+    Q("etl_parse_xlsx", etlParseXlsx, Some(etlParseSql)),
+    Q("etl_parse_xlsx_prod", etlParseXlsxProd, Some(etlParseXlsxProdSql))
   )
 }

@@ -629,9 +629,14 @@ object TextAnalysis {
     pairs
       .join(uni.select($"t".as("t1"), $"c".as("c1"), $"n"), "t1")
       .join(uni.select($"t".as("t2"), $"c".as("c2")), "t2")
+      // UNROUNDED on purpose (r10 ADVICE): ROUND(x,6) tie-breaks
+      // differently between the engines on the half-1e-6 grid (see
+      // CorpusSelect's integer-milli note) — the raw IEEE division in
+      // this fixed operation order is bit-identical on both sides, so
+      // rounding could only ADD divergence, never remove it
       .select($"t1", $"t2", $"c_pair",
-        round($"c_pair".cast(DoubleType) * $"n".cast(DoubleType) /
-          ($"c1".cast(DoubleType) * $"c2".cast(DoubleType)), 6).as("lift"))
+        ($"c_pair".cast(DoubleType) * $"n".cast(DoubleType) /
+          ($"c1".cast(DoubleType) * $"c2".cast(DoubleType))).as("lift"))
       .orderBy($"lift".desc, $"t1", $"t2")
       .limit(20)
   }
@@ -651,8 +656,8 @@ object TextAnalysis {
       |  GROUP BY 1, 2
       |  HAVING COUNT(*) >= 5)
       |SELECT t1, t2, c_pair,
-      |  ROUND(CAST(c_pair AS DOUBLE) * CAST(tot.n AS DOUBLE) /
-      |    (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)), 6) AS lift
+      |  CAST(c_pair AS DOUBLE) * CAST(tot.n AS DOUBLE) /
+      |    (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
       |FROM pc
       |CROSS JOIN tot
       |JOIN uni u1 ON u1.t = pc.t1

@@ -12,10 +12,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * boundary, not only CSV. No spreadsheet library resolves in this
   * offline build, and none is needed: an xlsx is a zip of small XML
   * parts (ECMA-376), and the JDK ships both the zip codec and a StAX
-  * pull parser. This module implements exactly the subset the trade
-  * books use — one sheet, inline strings — which is also the subset
-  * the reference's parse actually consumes (pandas reads cells as
-  * strings/objects and etl.py re-parses them).
+  * pull parser. This module implements the subset the trade books
+  * use: MULTI-sheet workbooks (the reference's product books carry
+  * one sheet PER YEAR plus note sheets —
+  * `observatorio/etl_products.py:28-33` iterates `xls.sheet_names`
+  * over `data/cdro_F1.xlsx`), inline-string and raw `<v>` cells, rows
+  * written densely in order. Shared-string tables and typed/number
+  * formats are out of scope: pandas reads the reference's cells as
+  * strings/objects and the etl re-parses them, which is exactly what
+  * the downstream parse stages here do too.
   *
   * Scale shape: the READ side is a `binaryFile` scan + per-partition
   * decode (the same typed-binary pattern as the multimodal decode
@@ -35,14 +40,23 @@ object Xlsx {
       case c => c.toString
     }
 
-  /** Write `rows` (first row = header) as a one-sheet workbook with
-    * inline-string cells. Deterministic bytes for deterministic rows:
-    * fixed entry order, no timestamps in the XML parts (zip entry
-    * times are set to a fixed epoch so reruns produce identical
-    * files).
+  /** Write `rows` (first row = header) as a one-sheet workbook —
+    * the single-sheet convenience over [[writeWorkbookSheets]].
     */
   def writeWorkbook(out: OutputStream, rows: Seq[Seq[String]],
-      sheetName: String = "Sheet1"): Unit = {
+      sheetName: String = "Sheet1"): Unit =
+    writeWorkbookSheets(out, Seq(sheetName -> rows))
+
+  /** Write a MULTI-sheet workbook with inline-string cells — the
+    * reference's product-book layout is one sheet per year
+    * (etl_products.py:28-33). Deterministic bytes for deterministic
+    * rows: fixed entry order, no timestamps in the XML parts (zip
+    * entry times are set to a fixed epoch so reruns produce identical
+    * files).
+    */
+  def writeWorkbookSheets(out: OutputStream,
+      sheets: Seq[(String, Seq[Seq[String]])]): Unit = {
+    require(sheets.nonEmpty, "a workbook needs at least one sheet")
     val zip = new ZipOutputStream(out, UTF_8)
     def part(name: String, body: String): Unit = {
       val e = new ZipEntry(name)
@@ -51,14 +65,18 @@ object Xlsx {
       zip.write(body.getBytes(UTF_8))
       zip.closeEntry()
     }
+    val ids = sheets.indices.map(_ + 1)
     part("[Content_Types].xml",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
         |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
         |<Default Extension="xml" ContentType="application/xml"/>
         |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
-        |</Types>""".stripMargin)
+        |""".stripMargin +
+        ids.map(i =>
+          s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+          .mkString("\n") +
+        "\n</Types>")
     part("_rels/.rels",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
@@ -67,78 +85,154 @@ object Xlsx {
     part("xl/workbook.xml",
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
-         |<sheets><sheet name="${xmlEscape(sheetName)}" sheetId="1" r:id="rId1"/></sheets>
-         |</workbook>""".stripMargin)
+         |<sheets>""".stripMargin +
+        sheets.zip(ids).map { case ((name, _), i) =>
+          s"""<sheet name="${xmlEscape(name)}" sheetId="$i" r:id="rId$i"/>"""
+        }.mkString +
+        "</sheets>\n</workbook>")
     part("xl/_rels/workbook.xml.rels",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-        |</Relationships>""".stripMargin)
-    val sheetRows = rows.zipWithIndex.map { case (cells, i) =>
-      cells.map(c =>
-        s"""<c t="inlineStr"><is><t>${xmlEscape(c)}</t></is></c>""")
-        .mkString(s"""<row r="${i + 1}">""", "", "</row>")
-    }.mkString("\n")
-    part("xl/worksheets/sheet1.xml",
-      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
-         |<sheetData>
-         |$sheetRows
-         |</sheetData>
-         |</worksheet>""".stripMargin)
+        |""".stripMargin +
+        ids.map(i =>
+          s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+          .mkString("\n") +
+        "\n</Relationships>")
+    sheets.zip(ids).foreach { case ((_, rows), i) =>
+      val sheetRows = rows.zipWithIndex.map { case (cells, r) =>
+        cells.map(c =>
+          s"""<c t="inlineStr"><is><t>${xmlEscape(c)}</t></is></c>""")
+          .mkString(s"""<row r="${r + 1}">""", "", "</row>")
+      }.mkString("\n")
+      part(s"xl/worksheets/sheet$i.xml",
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+           |<sheetData>
+           |$sheetRows
+           |</sheetData>
+           |</worksheet>""".stripMargin)
+    }
     zip.finish()
   }
 
-  /** Decode one workbook's first sheet from its zip bytes into rows
-    * of string cells. Handles inline strings (`t="inlineStr"`) and
-    * raw `<v>` values — the cell kinds the books contain. Runs on
-    * executors (pure JDK, serializable-free static call).
+  /** Hardened StAX factory for untrusted workbook XML: no DTDs, no
+    * external entities.
     */
-  def parseSheet(bytes: Array[Byte]): Seq[Seq[String]] = {
-    val zin = new ZipInputStream(new ByteArrayInputStream(bytes), UTF_8)
-    try {
-      Iterator.continually(zin.getNextEntry)
-        .takeWhile(_ != null)
-        .find(_.getName == "xl/worksheets/sheet1.xml")
-        .map { _ =>
-          val fac = XMLInputFactory.newInstance()
-          // hygiene for untrusted workbook XML: no DTDs, no externals
-          fac.setProperty(XMLInputFactory.SUPPORT_DTD, false)
-          fac.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
-          val r = fac.createXMLStreamReader(zin)
-          val rows = Seq.newBuilder[Seq[String]]
-          var row: scala.collection.mutable.Builder[String, Seq[String]] = null
-          var cell: StringBuilder = null
-          var inText = false
-          while (r.hasNext) {
-            r.next() match {
-              case XMLStreamConstants.START_ELEMENT =>
-                r.getLocalName match {
-                  case "row" => row = Seq.newBuilder[String]
-                  case "c" => cell = new StringBuilder
-                  case "t" | "v" => inText = true
-                  case _ => ()
-                }
-              case XMLStreamConstants.CHARACTERS if inText =>
-                if (cell != null) cell.append(r.getText)
-              case XMLStreamConstants.END_ELEMENT =>
-                r.getLocalName match {
-                  case "row" => if (row != null) { rows += row.result(); row = null }
-                  case "c" =>
-                    if (row != null && cell != null) row += cell.toString
-                    cell = null
-                  case "t" | "v" => inText = false
-                  case _ => ()
-                }
-              case _ => ()
-            }
-          }
-          r.close()
-          rows.result()
-        }
-        .getOrElse(Seq.empty)
-    } finally zin.close()
+  private def secureFactory(): XMLInputFactory = {
+    val fac = XMLInputFactory.newInstance()
+    fac.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    fac.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    fac
   }
+
+  /** Attribute by LOCAL name, namespace-agnostic: `r:id` lives in the
+    * relationships namespace while `name` has none — matching on
+    * local name handles both without hardcoding namespace URIs.
+    */
+  private def attr(r: javax.xml.stream.XMLStreamReader, local: String): Option[String] =
+    (0 until r.getAttributeCount)
+      .find(i => r.getAttributeLocalName(i) == local)
+      .map(r.getAttributeValue)
+
+  /** Parse one worksheet part's XML into rows of string cells.
+    * Handles inline strings (`t="inlineStr"`) and raw `<v>` values —
+    * the cell kinds the books contain (cells are written densely in
+    * row order; `r="A1"`-style sparse addressing is out of scope).
+    */
+  private def parseSheetXml(in: java.io.InputStream): Seq[Seq[String]] = {
+    val r = secureFactory().createXMLStreamReader(in)
+    val rows = Seq.newBuilder[Seq[String]]
+    var row: scala.collection.mutable.Builder[String, Seq[String]] = null
+    var cell: StringBuilder = null
+    var inText = false
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" => row = Seq.newBuilder[String]
+            case "c" => cell = new StringBuilder
+            case "t" | "v" => inText = true
+            case _ => ()
+          }
+        case XMLStreamConstants.CHARACTERS if inText =>
+          if (cell != null) cell.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "row" => if (row != null) { rows += row.result(); row = null }
+            case "c" =>
+              if (row != null && cell != null) row += cell.toString
+              cell = null
+            case "t" | "v" => inText = false
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    r.close()
+    rows.result()
+  }
+
+  /** Decode EVERY sheet of a workbook from its zip bytes, in workbook
+    * order, as (sheetName, rows) — the reference's product books are
+    * one sheet per year plus note sheets (etl_products.py:28-33), so
+    * the decode must surface names for the year filter downstream.
+    * Sheet names come from `xl/workbook.xml` and resolve to worksheet
+    * parts through `xl/_rels/workbook.xml.rels` (the r:id indirection
+    * real writers use — sheet order and part numbering need not
+    * agree). Runs on executors (pure JDK, serializable-free static
+    * call); a whole book is held in memory, which is safe because
+    * books are calendar-bounded grids, not data lakes.
+    */
+  def parseWorkbook(bytes: Array[Byte]): Seq[(String, Seq[Seq[String]])] = {
+    val parts = scala.collection.mutable.Map[String, Array[Byte]]()
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes), UTF_8)
+    try Iterator.continually(zin.getNextEntry).takeWhile(_ != null).foreach { e =>
+      val n = e.getName
+      if (n == "xl/workbook.xml" || n == "xl/_rels/workbook.xml.rels" ||
+          (n.startsWith("xl/worksheets/") && n.endsWith(".xml")))
+        parts(n) = zin.readAllBytes()
+    } finally zin.close()
+    val rels: Map[String, String] =
+      parts.get("xl/_rels/workbook.xml.rels").map { b =>
+        val r = secureFactory().createXMLStreamReader(new ByteArrayInputStream(b))
+        val m = Map.newBuilder[String, String]
+        while (r.hasNext) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT &&
+              r.getLocalName == "Relationship")
+            for (id <- attr(r, "Id"); t <- attr(r, "Target")) m += id -> t
+        }
+        r.close()
+        m.result()
+      }.getOrElse(Map.empty)
+    val sheetMeta: Seq[(String, String)] =
+      parts.get("xl/workbook.xml").map { b =>
+        val r = secureFactory().createXMLStreamReader(new ByteArrayInputStream(b))
+        val s = Seq.newBuilder[(String, String)]
+        while (r.hasNext) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT &&
+              r.getLocalName == "sheet")
+            for (n <- attr(r, "name"); id <- attr(r, "id")) s += n -> id
+        }
+        r.close()
+        s.result()
+      }.getOrElse(Seq.empty)
+    sheetMeta.flatMap { case (name, rid) =>
+      rels.get(rid).map { target =>
+        // targets are workbook-relative ("worksheets/sheet2.xml") or
+        // package-absolute ("/xl/worksheets/sheet2.xml")
+        val part = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+        name -> parts.get(part)
+          .map(b => parseSheetXml(new ByteArrayInputStream(b)))
+          .getOrElse(Seq.empty)
+      }
+    }
+  }
+
+  /** Decode one workbook's FIRST sheet — the single-sheet trade-book
+    * path (etl_parse_xlsx); product books go through [[parseWorkbook]].
+    */
+  def parseSheet(bytes: Array[Byte]): Seq[Seq[String]] =
+    parseWorkbook(bytes).headOption.map(_._2).getOrElse(Seq.empty)
 
   /** Read workbooks under `pathGlob` as (book, row_num, cells) — a
     * `binaryFile` scan decoded per partition, one decode per file, so
@@ -158,5 +252,29 @@ object Xlsx {
         }
       }
       .toDF("book", "row_num", "cells")
+  }
+
+  /** Read EVERY sheet of every workbook under `pathGlob` as one cell
+    * per output row: (book, sheet, row_num, col_num, val). Row and
+    * column numbers are 0-BASED to mirror the pandas `.iat[r, c]`
+    * coordinates the reference's parse logic is written in
+    * (etl_products.py:47,63). Same scale shape as [[readSheets]]: a
+    * binaryFile scan, one decode task per workbook.
+    */
+  def readAllCells(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx")
+      .load(pathGlob)
+      .select($"path", $"content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        parseWorkbook(bytes).flatMap { case (sheet, rows) =>
+          rows.zipWithIndex.flatMap { case (cells, r) =>
+            cells.zipWithIndex.map { case (v, c) => (p, sheet, r, c, v) }
+          }
+        }
+      }
+      .toDF("book", "sheet", "row_num", "col_num", "val")
   }
 }

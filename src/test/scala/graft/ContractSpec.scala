@@ -20,8 +20,11 @@ class ContractSpec extends AnyFunSuite {
     assert(GraftSession.measuredShuffleParts(
       "/root/testdata/sf0.001#yf=1996&yt=1998", 32) == tiny)
     // a missing dir is None (fall back to the builder default), never
-    // a throw at session construction
+    // a throw at session construction; an EMPTY dir (zero bytes) too
     assert(GraftSession.measuredShuffleParts("/no/such/dir", 32).isEmpty)
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft-dial-empty")
+    try assert(GraftSession.measuredShuffleParts(emptyDir.toString, 32).isEmpty)
+    finally java.nio.file.Files.deleteIfExists(emptyDir)
     // the cap scales with cores and survives degenerate cpu counts
     val tmp = java.nio.file.Files.createTempDirectory("graft-dial")
     val f = new java.io.RandomAccessFile(tmp.resolve("big.bin").toFile, "rw")
@@ -37,23 +40,75 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("measured relayout-width dial: floor, growth, cap") {
-    // tiny sources clamp to the floor of 8 (partition-crossing
-    // semantics stay exercised at test SFs)
-    assert(Tables.splitFilesFor(0L) == 8)
-    assert(Tables.splitFilesFor(600L << 10) == 8) // sf0.1 documents
-    // sf0.1 lineitem (~11 MB) still floors at 8; growth is strictly
-    // data-driven past the floor (~2 MB of source per file)
-    assert(Tables.splitFilesFor(11L << 20) == 8)
-    assert(Tables.splitFilesFor(64L << 20) == 32)
-    assert(Tables.splitFilesFor(100L << 20) == 50)
+  test("measured relayout-width dial: core-count floor, growth, cap") {
+    // floor = clamp(cores, 8, 256): below ~2 MB/file, scan-stage
+    // parallelism EQUALS the file count (row-group granularity), and
+    // the scan stages carry the compute-dense work — adopted on
+    // posture after the r11 paired A/B measured floor-8 vs floor-32
+    // indistinguishable at sf0.1 (see splitFilesFor's scaladoc)
+    assert(Tables.splitFilesFor(0L, 32) == 32)
+    assert(Tables.splitFilesFor(600L << 10, 32) == 32) // sf0.1 documents
+    assert(Tables.splitFilesFor(11L << 20, 32) == 32) // sf0.1 lineitem
+    assert(Tables.splitFilesFor(0L, 4) == 8) // test JVM keeps floor 8
+    // growth is data-driven past the floor (~2 MB of source per file)
+    assert(Tables.splitFilesFor(100L << 20, 32) == 50)
+    assert(Tables.splitFilesFor(100L << 20, 4) == 50)
     // the cap bounds the LOCAL tmp relayout only; past ~512 MB per
     // table local[N] is not the design point
-    assert(Tables.splitFilesFor(10L << 30) == 256)
+    assert(Tables.splitFilesFor(10L << 30, 32) == 256)
+    // degenerate core counts never break the clamp ordering
+    assert(Tables.splitFilesFor(64L << 20, 0) == 32)
+    assert(Tables.splitFilesFor(1L << 20, 1000) == 256) // cores > cap
+    assert(Tables.splitFilesFor(1L << 20, Int.MinValue) == 8)
     // monotone in bytes (a bigger source never gets fewer files)
     val pts = Seq(0L, 1L << 20, 16L << 20, 128L << 20, 1L << 30, 8L << 30)
     pts.zip(pts.tail).foreach { case (a, b) =>
-      assert(Tables.splitFilesFor(a) <= Tables.splitFilesFor(b)) }
+      assert(Tables.splitFilesFor(a, 32) <= Tables.splitFilesFor(b, 32)) }
+  }
+
+  test("BASELINE.md is byte-derived from the committed pair artifacts") {
+    // The r10 failure mode: an end-of-round snapshot replaced
+    // BENCH_SELF.json + BASELINE_DUCKDB.json but left BASELINE.md
+    // narrating the overwritten pair. This guard recomputes the
+    // headline numbers make_baseline.py derives from the artifacts
+    // and fails the build when the committed triple is inconsistent
+    // (or when the committed pair violates the 0.20 floor gate).
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import scala.jdk.CollectionConverters._
+    def queriesOf(path: String): Map[String, Double] = {
+      val node = new ObjectMapper().readTree(new java.io.File(path))
+      node.get("queries").fields().asScala
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap
+    }
+    val sq = queriesOf("BENCH_SELF.json")
+    val dq = queriesOf("BASELINE_DUCKDB.json")
+    assert(sq.values.forall(_ >= 0), "Spark side has failed queries")
+    val md = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
+    val common = sq.keySet.intersect(dq.keySet)
+    val (sTot, dTot) = (common.toSeq.map(sq).sum, common.toSeq.map(dq).sum)
+    val heavy = common.filter(dq(_) >= 0.5)
+    val floor = new ObjectMapper().readTree(new java.io.File("BENCH_SELF.json"))
+      .get("floor_per_stage_sec").asDouble()
+    assert(floor <= 0.20, s"committed pair floor $floor above the 0.20 gate")
+    def num(re: String, g: Int): Double = {
+      val m = re.r.findFirstMatchIn(md)
+      assert(m.isDefined, s"BASELINE.md missing pattern: $re")
+      m.get.group(g).toDouble
+    }
+    // tolerances are one printed ulp (md shows %.1f / %.3f); counts exact
+    assert(math.abs(num("""floor_per_stage_sec \*\*([0-9.]+)\*\*""", 1) - floor) <= 5e-4,
+      "BASELINE.md floor differs from BENCH_SELF.json")
+    val totRe = """\| total, all (\d+) oracled queries \| ([0-9.]+) s \| ([0-9.]+) s"""
+    assert(num(totRe, 1).toInt == common.size,
+      "BASELINE.md query inventory differs from the artifacts")
+    assert(math.abs(num(totRe, 2) - dTot) <= 0.06, "BASELINE.md DuckDB total drifted")
+    assert(math.abs(num(totRe, 3) - sTot) <= 0.06, "BASELINE.md Spark total drifted")
+    val heavyRe = """\| (\d+) data-heavy queries [^|]*\| ([0-9.]+) s \| ([0-9.]+) s"""
+    assert(num(heavyRe, 1).toInt == heavy.size,
+      "BASELINE.md data-heavy inventory differs from the artifacts")
+    assert(math.abs(num(heavyRe, 2) - heavy.toSeq.map(dq).sum) <= 0.06)
+    assert(math.abs(num(heavyRe, 3) - heavy.toSeq.map(sq).sum) <= 0.06)
   }
 
   test("query names are unique (Map must not drop any)") {
@@ -70,9 +125,9 @@ class ContractSpec extends AnyFunSuite {
         sql.trim.toUpperCase.startsWith("WITH")))
   }
 
-  test("inventory size matches SURVEY status (136 ops, 135 oracles)") {
-    assert(SparkEntry.allQueries.size == 136)
-    assert(SparkEntry.oracleSql.size == 135)
+  test("inventory size matches SURVEY status (137 ops, 136 oracles)") {
+    assert(SparkEntry.allQueries.size == 137)
+    assert(SparkEntry.oracleSql.size == 136)
     // the single rows-checked survivor is the engine-specific HLL /
     // quantile sketch pair (its KMV twin q27 IS oracle-checked)
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)

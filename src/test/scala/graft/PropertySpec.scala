@@ -253,6 +253,51 @@ class PropertySpec extends AnyFunSuite {
       graft.sources.Xlsx.parseSheet(buf.toByteArray)
         .map(_.toList).toList == rows
     }, 100)
+    // multi-sheet: names (incl. XML-special chars) and per-sheet
+    // grids round-trip in workbook order
+    val name = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf('<', '&', '"', ' '))).map(_.mkString))
+    val book = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, Gen.zip(name, grid)))
+      // sheet names must be unique for the round-trip to be exact
+      .map(_.zipWithIndex.map { case ((nm, g), i) => (s"$i$nm", g) })
+    check(Prop.forAll(book) { sheets =>
+      val buf = new java.io.ByteArrayOutputStream()
+      graft.sources.Xlsx.writeWorkbookSheets(buf,
+        sheets.map { case (n, g) => n -> g.map(_.toSeq) })
+      graft.sources.Xlsx.parseWorkbook(buf.toByteArray)
+        .map { case (n, g) => (n, g.map(_.toList).toList) } == sheets
+    }, 50)
+  }
+
+  test("width-dial math: clamps hold over the full Long×Int domain") {
+    // the r10 VERDICT ask: degenerate inputs (cpus<=0, byte counts at
+    // Long.MaxValue) must never reintroduce an overflow in the width
+    // math — the old `bytes + 2MB - 1` idiom wrapped negative within
+    // 2 MB of Long.MaxValue and clamped a max-range input to the
+    // FLOOR instead of the cap
+    val bytesGen = Gen.oneOf(
+      Gen.choose(0L, 1L << 44),
+      Gen.oneOf(0L, 1L, (2L << 20) - 1, 2L << 20, (2L << 20) + 1,
+        Long.MaxValue - (2L << 20), Long.MaxValue - 1, Long.MaxValue))
+    val coresGen = Gen.oneOf(
+      Gen.choose(-4, 4096),
+      Gen.oneOf(Int.MinValue, -1, 0, 1, 32, 256, Int.MaxValue))
+    check(Prop.forAll(bytesGen, coresGen) { (b, c) =>
+      val w = Tables.splitFilesFor(b, c)
+      val floor = math.max(8, math.min(math.max(c, 0), 256))
+      w >= floor && w <= 256
+    }, 300)
+    // monotone in bytes at any cores
+    check(Prop.forAll(Gen.choose(0L, Long.MaxValue - 1), Gen.choose(0, 64)) {
+      (b, c) => Tables.splitFilesFor(b, c) <= Tables.splitFilesFor(b + 1, c)
+    }, 200)
+    // the overflow trap, pinned: max-range bytes hit the CAP
+    assert(Tables.splitFilesFor(Long.MaxValue, 8) == 256)
+    // ceilDiv2MB agrees with the additive idiom wherever that idiom
+    // is overflow-free
+    check(Prop.forAll(Gen.choose(0L, 1L << 50)) { b =>
+      Tables.ceilDiv2MB(b) == (b + (2L << 20) - 1) / (2L << 20)
+    }, 200)
   }
 
   test("shingles3 HOF equals a Scala sliding-window model") {

@@ -93,6 +93,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(n2 == n1, s"restart reprocessed: $n1 -> $n2")
   }
 
+  test("stateful upsert survives a mid-stream crash and restart, exactly-once") {
+    // The production contract the single-query tests don't cover:
+    // kill a STATEFUL query mid-stream (injected sink crash at batch
+    // 1), restart from the same checkpoint, and the converged view
+    // must equal the batch oracle — state recovered, the crashed
+    // batch retried once, the committed batch not replayed.
+    import spark.implicits._
+    import org.apache.spark.sql.Dataset
+    val tmp = java.nio.file.Files.createTempDirectory("graft-restart")
+    val (src, out, ckpt) = (s"$tmp/src", s"$tmp/out", s"$tmp/ckpt")
+    val all = Tables(spark, sf).events
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventsStream.Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    // 4 source files -> 4 micro-batches at maxFilesPerTrigger=1
+    all.grouped(math.max(1, (all.length + 3) / 4)).foreach(chunk =>
+      chunk.toDS().coalesce(1).write.mode("append").parquet(src))
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start() = {
+      val events = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[EventsStream.Event]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .as[EventsStream.Event]
+      EventsStream.upsertLatest(events)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: Dataset[EventsStream.Latest], id: Long) =>
+          if (id >= 1 && crashArmed.compareAndSet(true, false))
+            throw new RuntimeException("injected mid-stream crash")
+          // idempotent per-batch sink: retries overwrite, never append
+          df.withColumn("batch_id", lit(id))
+            .write.mode("overwrite").parquet(s"$out/b_$id")
+        }
+        .start()
+    }
+    val q1 = start()
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(died.getMessage.contains("injected mid-stream crash"))
+    assert(!crashArmed.get, "the crash must actually have fired")
+    // batch 0 committed before the crash; batch 1 must NOT have output
+    def batchDirs() = new java.io.File(out).list()
+      .filter(_.startsWith("b_")).toSet
+    assert(batchDirs() == Set("b_0"),
+      s"crash point wrong: ${batchDirs()} present after the kill")
+    val b0Files = new java.io.File(s"$out/b_0")
+      .listFiles().map(f => f.getName -> f.lastModified).toMap
+    // restart from the SAME checkpoint: batch 1 retried, 2..n drained
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(batchDirs().size >= 4, s"restart did not drain: ${batchDirs()}")
+    // the pre-crash commit was not replayed (exactly-once bookkeeping)
+    val b0After = new java.io.File(s"$out/b_0")
+      .listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(b0After == b0Files, "restart rewrote the already-committed batch 0")
+    // converged view across ALL emitted batches == the batch oracle
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val got = spark.read.parquet(s"$out/b_*")
+      .collect().groupBy(_.getLong(0))
+      .map { case (_, rows) =>
+        val r = rows.maxBy(x => x.getLong(5)) // latest batch wins per key
+        (r.getLong(0), r.getLong(1), us(r.getTimestamp(2)),
+          r.getString(3), r.getDouble(4))
+      }.toSet
+    val want = SparkEntry.queries("stream_upsert")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), us(r.getTimestamp(2)),
+        r.getString(3), r.getDouble(4))).toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"restart diverged from batch: missing=${(want -- got).take(3)} " +
+        s"extra=${(got -- want).take(3)}")
+  }
+
   test("stream-stream interval join matches the batch pair join") {
     import spark.implicits._
     val s = EventsStream.readStreamEvents(spark, sf)

@@ -148,9 +148,10 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
     val n = uni.values.sum
     val want = pair.toSeq.collect { case ((t1, t2), c) if c >= 5 =>
-      val lift = BigDecimal(c.toDouble * n.toDouble /
-        (uni(t1).toDouble * uni(t2).toDouble))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // unrounded, same fixed operation order as the operator — the
+      // raw IEEE division is the published value (r10 ADVICE: a
+      // ROUND(x,6) tie-break can differ between engines)
+      val lift = c.toDouble * n.toDouble / (uni(t1).toDouble * uni(t2).toDouble)
       (t1, t2, c, lift)
     }.sortBy { case (t1, t2, _, lift) => (-lift, t1, t2) }.take(20)
     val got = SparkEntry.queries("text_cooc_pmi")(spark, sf).collect()

@@ -47,6 +47,59 @@ class XlsxSpec extends AnyFunSuite {
     assert(got.map(_._2.toSeq).toSeq == rows)
   }
 
+  test("multi-sheet workbook round-trips names, order, and per-sheet rows") {
+    val sheets = Seq(
+      "2005" -> Seq(Seq("a", "b"), Seq("1", "2")),
+      "Notas" -> Seq(Seq("texto libre")),
+      "2006" -> Seq(Seq("c"), Seq("3"), Seq("", "x", "")))
+    val buf = new ByteArrayOutputStream()
+    graft.sources.Xlsx.writeWorkbookSheets(buf, sheets)
+    assert(graft.sources.Xlsx.parseWorkbook(buf.toByteArray) == sheets)
+    // the single-sheet reader stays pinned to the FIRST sheet
+    assert(graft.sources.Xlsx.parseSheet(buf.toByteArray) == sheets.head._2)
+  }
+
+  test("readAllCells explodes every sheet with 0-based pandas coordinates") {
+    val dir = Files.createTempDirectory("graft-xlsx-cells")
+    val sheets = Seq(
+      "1999" -> Seq(Seq("p", "q"), Seq("r")),
+      "2000" -> Seq(Seq("s")))
+    val os = Files.newOutputStream(dir.resolve("m.xlsx"))
+    try graft.sources.Xlsx.writeWorkbookSheets(os, sheets) finally os.close()
+    val got = graft.sources.Xlsx.readAllCells(spark, dir.toString)
+      .collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2, t._3))
+      .toSeq
+    assert(got == Seq(
+      ("1999", 0, 0, "p"), ("1999", 0, 1, "q"), ("1999", 1, 0, "r"),
+      ("2000", 0, 0, "s")))
+  }
+
+  test("etl_parse_xlsx_prod applies the reference's parse_book rules") {
+    val rows = SparkEntry.queries("etl_parse_xlsx_prod")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cats = rows.map(_.getString(3)).distinct
+    // metadata rows are filtered (etl_products.py:66-72)
+    assert(cats.forall(c => !c.toLowerCase.startsWith("incluye") &&
+      !c.toLowerCase.startsWith("total") && c.length >= 3))
+    // skip rules: no zero/unparseable values survive (:80-90)
+    assert(rows.forall(r => r.getDouble(4) != 0.0))
+    // the non-year 'Notas' sheet contributes nothing: every year is 4-digit
+    assert(rows.forall(_.getInt(0) >= 1000))
+    // 'Total' records ARE kept as thirteenth month values (:52, :77)
+    assert(rows.exists(_.getString(1) == "Total"))
+    // planted defect cells really exercised the skips: the first
+    // import year lacks (cat0, Enero), (cat1, Febrero), (cat2, Marzo)
+    val imp = rows.filter(_.getString(2) == "import")
+    val y0 = imp.map(_.getInt(0)).min
+    val catsSorted = imp.map(_.getString(3)).distinct.sorted
+    def has(ci: Int, mes: String) = imp.exists(r => r.getInt(0) == y0 &&
+      r.getString(3) == catsSorted(ci) && r.getString(1) == mes)
+    assert(!has(0, "Enero") && !has(1, "Febrero") && !has(2, "Marzo"))
+    assert(has(0, "Febrero"), "non-defect cells of the same rows must survive")
+  }
+
   test("etl_parse_xlsx parses the workbook to the exact etl_parse rows") {
     val csv = SparkEntry.queries("etl_parse")(spark, sf).collect().toSeq
     val xlsx = SparkEntry.queries("etl_parse_xlsx")(spark, sf).collect().toSeq

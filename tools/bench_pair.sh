@@ -6,9 +6,13 @@
 #      -> BASELINE_DUCKDB.json, back-to-back,
 #   4. tools/make_baseline.py -> BASELINE.md regenerated from the two
 #      artifacts (never hand-copied).
-# Exit 3 if the Spark floor_per_stage_sec exceeded 0.25 (noisy window:
-# artifacts are kept for inspection but the pair must be rerun, and
-# BASELINE.md is NOT regenerated).
+# ATOMIC: the three files BENCH_SELF.json, BASELINE_DUCKDB.json and
+# BASELINE.md are only ever replaced TOGETHER, on acceptance. Exit 3
+# if the Spark floor_per_stage_sec exceeded the gate (noisy window):
+# the rejected run's artifacts are saved under /tmp for inspection
+# and the PREVIOUS accepted artifacts are restored in the working
+# tree, so a later snapshot/commit can never pair a rejected run with
+# a stale BASELINE.md (the r10 end-of-round failure mode).
 #
 # Prereqs: classes compiled (sbt compile), oracle dump current
 # (tools/run_verify.sh — rerun it after any query/oracle change; this
@@ -42,15 +46,33 @@ while :; do
 done
 echo "host quiet (loadavg $load) — starting Spark bench"
 
+# atomicity snapshot: keep the currently-accepted artifacts so every
+# reject path can restore them (the working tree must always hold a
+# CONSISTENT (BENCH_SELF, BASELINE_DUCKDB, BASELINE.md) triple)
+snap=$(mktemp -d /tmp/bench_snap.XXXXXX)
+cp BENCH_SELF.json BASELINE_DUCKDB.json BASELINE.md "$snap/" 2>/dev/null || true
+restore_accepted() {
+  ts=$(date +%H%M%S)
+  for f in BENCH_SELF.json BASELINE_DUCKDB.json BASELINE.md; do
+    [ -f "$f" ] && cp "$f" "/tmp/rejected_${ts}_$f"
+    [ -f "$snap/$f" ] && cp "$snap/$f" "$f"
+  done
+  echo "rejected artifacts saved to /tmp/rejected_${ts}_*; accepted pair restored" >&2
+}
+
 # freshness marker: graft.Bench warns-but-continues if its
 # BENCH_SELF.json write fails, so a stale committed file could
 # silently pair with a fresh DuckDB run
 marker=$(mktemp /tmp/bench_start.XXXXXX)
-SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=32 \
+# SPARK_GRAFT_WRITE_SELF=1: graft.Bench only writes the repo-root
+# BENCH_SELF.json under this flag (any other run dumps to tmp), so
+# this script is the ONLY writer of the committed triple
+SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_CPUS=32 SPARK_GRAFT_WRITE_SELF=1 \
   tools/run_verify.sh "$SF" "$OUT" graft.Bench
 if [ ! BENCH_SELF.json -nt "$marker" ]; then
   rm -f "$marker"
   echo "REJECT: BENCH_SELF.json was not refreshed by this run" >&2
+  restore_accepted
   exit 4
 fi
 rm -f "$marker"
@@ -59,7 +81,7 @@ rm -f "$marker"
 cp BENCH_SELF.json "/tmp/bench_keep_$(date +%H%M%S).json"
 
 echo "Spark done — DuckDB side (back-to-back)"
-python3 tools/bench_duckdb.py "$SF" "$OUT" 3
+python3 tools/bench_duckdb.py "$SF" "$OUT" 3 || { restore_accepted; exit 5; }
 
 # 0.20 gate: the floor probe rides the measured shuffle-width dial
 # (~9-task exchanges at sf0.1), whose quiet floor is ~0.15 — the old
@@ -70,8 +92,11 @@ floor=$(python3 -c "import json; print(json.load(open('BENCH_SELF.json'))['floor
 ok=$(awk -v f="$floor" 'BEGIN{print (f<=0.20)?1:0}')
 if [ "$ok" != 1 ]; then
   echo "REJECT: floor_per_stage_sec $floor > 0.20 — noisy window, rerun." >&2
-  echo "(artifacts left in place; BASELINE.md NOT regenerated; restore" >&2
-  echo " the committed pair with: git checkout BENCH_SELF.json BASELINE_DUCKDB.json)" >&2
+  restore_accepted
   exit 3
 fi
-python3 tools/make_baseline.py --label "$(date +%Y-%m-%d) pair, floor $floor"
+# make_baseline itself re-checks the floor and the DuckDB failure
+# list; any nonzero exit means the triple must not change
+python3 tools/make_baseline.py --label "$(date +%Y-%m-%d) pair, floor $floor" \
+  || { restore_accepted; exit 6; }
+rm -rf "$snap"

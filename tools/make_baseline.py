@@ -145,8 +145,13 @@ threads={duck.get("threads")}, {duck.get("mode")}). Regenerate as a
 pair with `tools/bench_pair.sh`.
 """)
 
+# refuse to WRITE from a noisy pair: BASELINE.md must only ever
+# describe an accepted pair (the gate in bench_pair.sh also rejects,
+# but this assertion holds for direct invocations too)
+if not floor_ok:
+    sys.exit(f"REFUSED: floor {floor:.3f} > {FLOOR_ACCEPT} — noisy "
+             "window; BASELINE.md not written")
 open(f"{ROOT}/BASELINE.md", "w").write("".join(out))
 print(f"BASELINE.md written: {len(common)} queries, "
       f"spark {s_tot:.1f}s vs duckdb {d_tot:.1f}s = {s_tot/d_tot:.2f}x, "
-      f"floor {floor:.3f} ({'OK' if floor_ok else 'NOISY — rerun'})")
-sys.exit(0 if floor_ok else 3)
+      f"floor {floor:.3f} OK")
