@@ -407,9 +407,9 @@ object Etl {
   }
 
   /** parse_book (etl_products.py:23-96) re-expressed relationally
-    * over the cell grid.
+    * over the cell grid; shared by the parse entry and the QA entry.
     */
-  private def etlParseXlsxProd(spark: SparkSession, dir: String): DataFrame = {
+  private def prodParsed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cells = prodCells(spark, dir)
       .filter($"sheet".rlike("^[0-9]{4}$")) // year sheets only (:31-32)
@@ -435,12 +435,48 @@ object Etl {
         $"category",
         expr("TRY_CAST(val AS DOUBLE)").as("usd")) // float() (:79-84)
       .filter($"usd".isNotNull && $"usd" =!= 0.0) // NaN/''/0 skip (:80-81)
+  }
+
+  private def etlParseXlsxProd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    prodParsed(spark, dir)
       .resultOrder($"year", $"flow", $"category", $"month")
   }
 
-  private val etlParseXlsxProdSql = {
+  /** qa_totals (etl_products.py:98-137): per (year, flow, category),
+    * the 12-month sum vs the book's own 'Total' record, LEFT-joined
+    * from the month side like the reference's merge; qa_ok follows
+    * the pandas semantics exactly — a row is flagged only when
+    * |delta| > 1e-3 is TRUE, so a missing Total (null delta, NaN in
+    * pandas) passes. The sums are exact: the cells are integer-valued
+    * doubles, far below 2^53, so both engines sum them without
+    * rounding in any order. Aggregates to the calendar-bounded
+    * (year, flow, category) grain — nothing here grows with volume
+    * beyond the grain itself.
+    */
+  private def etlProdQa(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = prodParsed(spark, dir)
+    val months = p.filter($"month" =!= "Total")
+      .groupBy($"year", $"flow", $"category")
+      .agg(sum($"usd").as("sum_months"))
+    val totals = p.filter($"month" === "Total")
+      .groupBy($"year", $"flow", $"category")
+      .agg(sum($"usd").as("usd_total"))
+    months.join(totals, Seq("year", "flow", "category"), "left")
+      .select($"year", $"flow", $"category", $"sum_months", $"usd_total",
+        ($"usd_total" - $"sum_months").as("delta"),
+        when(abs($"usd_total" - $"sum_months") > 1e-3, lit(false))
+          .otherwise(lit(true)).as("qa_ok"))
+      .resultOrder($"year", $"flow", $"category")
+  }
+
+  /** Shared SQL pieces: the cell-grid CTEs and the parse SELECT, so
+    * the parse oracle and the QA oracle re-express ONE parse.
+    */
+  private val prodGridCtes = {
     val monthList = (meses :+ "Total").map(m => s"'$m'").mkString(", ")
-    s"""WITH cells AS (
+    s"""cells AS (
        |  SELECT book, sheet, row_num, col_num, val
        |  FROM read_csv('$prodRoot/*/cells/*.csv', header=true, auto_detect=false,
        |    columns={'book':'VARCHAR','sheet':'VARCHAR','row_num':'INTEGER',
@@ -461,18 +497,42 @@ object Etl {
        |    AND LENGTH(TRIM(c.val)) >= 3
        |    AND LOWER(TRIM(c.val)) NOT LIKE 'incluye%'
        |    AND LOWER(TRIM(c.val)) NOT LIKE 'total%'
-       |    AND LOWER(TRIM(c.val)) NOT IN ('nan', 'none'))
-       |SELECT CAST(k.sheet AS INT) AS year, m.month,
-       |  CASE WHEN k.book LIKE '%F1%' THEN 'import' ELSE 'export' END AS flow,
-       |  k.category, TRY_CAST(c.val AS DOUBLE) AS usd
-       |FROM cats k
-       |JOIN colmap m ON m.book = k.book AND m.sheet = k.sheet
-       |JOIN cells c ON c.book = k.book AND c.sheet = k.sheet
-       |  AND c.row_num = k.row_num AND c.col_num = m.col_num
-       |WHERE TRY_CAST(c.val AS DOUBLE) IS NOT NULL
-       |  AND TRY_CAST(c.val AS DOUBLE) <> 0
-       |ORDER BY year, flow, category, month""".stripMargin
+       |    AND LOWER(TRIM(c.val)) NOT IN ('nan', 'none'))""".stripMargin
   }
+
+  private val prodParsedSelect =
+    """SELECT CAST(k.sheet AS INT) AS year, m.month,
+      |  CASE WHEN k.book LIKE '%F1%' THEN 'import' ELSE 'export' END AS flow,
+      |  k.category, TRY_CAST(c.val AS DOUBLE) AS usd
+      |FROM cats k
+      |JOIN colmap m ON m.book = k.book AND m.sheet = k.sheet
+      |JOIN cells c ON c.book = k.book AND c.sheet = k.sheet
+      |  AND c.row_num = k.row_num AND c.col_num = m.col_num
+      |WHERE TRY_CAST(c.val AS DOUBLE) IS NOT NULL
+      |  AND TRY_CAST(c.val AS DOUBLE) <> 0""".stripMargin
+
+  private val etlParseXlsxProdSql =
+    s"""WITH $prodGridCtes
+       |$prodParsedSelect
+       |ORDER BY year, flow, category, month""".stripMargin
+
+  private val etlProdQaSql =
+    s"""WITH $prodGridCtes,
+       |parsed AS ($prodParsedSelect),
+       |months AS (
+       |  SELECT year, flow, category, SUM(usd) AS sum_months
+       |  FROM parsed WHERE month <> 'Total' GROUP BY year, flow, category),
+       |totals AS (
+       |  SELECT year, flow, category, SUM(usd) AS usd_total
+       |  FROM parsed WHERE month = 'Total' GROUP BY year, flow, category)
+       |SELECT m.year, m.flow, m.category, m.sum_months, t.usd_total,
+       |  t.usd_total - m.sum_months AS delta,
+       |  CASE WHEN ABS(t.usd_total - m.sum_months) > 0.001 THEN FALSE
+       |       ELSE TRUE END AS qa_ok
+       |FROM months m
+       |LEFT JOIN totals t ON t.year = m.year AND t.flow = m.flow
+       |  AND t.category = m.category
+       |ORDER BY m.year, m.flow, m.category""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("etl_parse", etlParse, Some(etlParseSql)),
@@ -481,6 +541,7 @@ object Etl {
     // it through the content-identical CSV book (DuckDB has no xlsx
     // reader) — see rawBookXlsx's doc for why that closes the loop
     Q("etl_parse_xlsx", etlParseXlsx, Some(etlParseSql)),
-    Q("etl_parse_xlsx_prod", etlParseXlsxProd, Some(etlParseXlsxProdSql))
+    Q("etl_parse_xlsx_prod", etlParseXlsxProd, Some(etlParseXlsxProdSql)),
+    Q("etl_prod_qa", etlProdQa, Some(etlProdQaSql))
   )
 }

@@ -125,9 +125,9 @@ class ContractSpec extends AnyFunSuite {
         sql.trim.toUpperCase.startsWith("WITH")))
   }
 
-  test("inventory size matches SURVEY status (137 ops, 136 oracles)") {
-    assert(SparkEntry.allQueries.size == 137)
-    assert(SparkEntry.oracleSql.size == 136)
+  test("inventory size matches SURVEY status (138 ops, 137 oracles)") {
+    assert(SparkEntry.allQueries.size == 138)
+    assert(SparkEntry.oracleSql.size == 137)
     // the single rows-checked survivor is the engine-specific HLL /
     // quantile sketch pair (its KMV twin q27 IS oracle-checked)
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)

@@ -687,18 +687,20 @@ class PlanSpec extends AnyFunSuite {
       s"top-20 must plan as TakeOrderedAndProject:\n$p")
   }
 
-  test("etl_parse_xlsx_prod decodes each book once and keeps equi-joins") {
+  test("etl_parse_xlsx_prod / etl_prod_qa decode each book once, equi-joins only") {
     // the four parse legs (header row, column map, categories,
     // values) all read the ONE MeasuredCkpt'd decode artifact — a
     // query-time plan that re-runs the binaryFile decode per leg
     // would 4× the dominant ingest cost of a 100 TB book lake; and
     // every leg joins on (book, sheet[, row, col]) equi-keys, so a
     // cartesian/nested-loop shape means a lost key
-    val p = plan("etl_parse_xlsx_prod")
-    assert(!p.contains("binaryFile") && !p.contains("BinaryFile"),
-      s"query-time plan must serve the decoded artifact, not re-decode:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"parse joins must stay equi-joins:\n$p")
+    Seq("etl_parse_xlsx_prod", "etl_prod_qa").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("binaryFile") && !p.contains("BinaryFile"),
+        s"$q: query-time plan must serve the decoded artifact, not re-decode:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: parse joins must stay equi-joins:\n$p")
+    }
   }
 
   test("kpi_gapfill joins only bounded frames: no fact scan at query time") {

@@ -100,6 +100,29 @@ class XlsxSpec extends AnyFunSuite {
     assert(has(0, "Febrero"), "non-defect cells of the same rows must survive")
   }
 
+  test("etl_prod_qa flags exactly the rows whose defect cells broke the sum") {
+    val parsed = SparkEntry.queries("etl_parse_xlsx_prod")(spark, sf).collect()
+    val qa = SparkEntry.queries("etl_prod_qa")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+      .toMap
+    assert(qa.nonEmpty)
+    // recompute the reconciliation from the parsed long table itself
+    val byKey = parsed.groupBy(r => (r.getInt(0), r.getString(2), r.getString(3)))
+    byKey.foreach { case (k, rows) =>
+      val sumM = rows.filter(_.getString(1) != "Total").map(_.getDouble(4)).sum
+      val tot = rows.filter(_.getString(1) == "Total").map(_.getDouble(4)).sum
+      val (gotSum, gotTot, gotDelta, gotOk) = qa(k)
+      assert(gotSum == sumM && gotTot == tot && gotDelta == tot - sumM, s"$k")
+      assert(gotOk == !(math.abs(tot - sumM) > 1e-3), s"$k qa flag")
+    }
+    // the planted defect cells ('n.d.'/0/'' in the first import year)
+    // must surface as REAL mismatches: at least one flagged row exists
+    assert(qa.values.exists(!_._4), "no QA mismatch found — defects not exercised")
+    // and clean series stay clean
+    assert(qa.values.exists(_._4), "every row flagged — QA logic inverted?")
+  }
+
   test("etl_parse_xlsx parses the workbook to the exact etl_parse rows") {
     val csv = SparkEntry.queries("etl_parse")(spark, sf).collect().toSeq
     val xlsx = SparkEntry.queries("etl_parse_xlsx")(spark, sf).collect().toSeq
