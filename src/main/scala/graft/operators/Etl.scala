@@ -407,11 +407,15 @@ object Etl {
   }
 
   /** parse_book (etl_products.py:23-96) re-expressed relationally
-    * over the cell grid; shared by the parse entry and the QA entry.
+    * over ANY (book, sheet, row_num, col_num, val) cell grid — shared
+    * by the parse entry, the QA entry, and the real-book spec (which
+    * feeds it the reference's actual Excel-written cdro_F1/G1 books
+    * through the same Xlsx decode path).
     */
-  private def prodParsed(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def parseBookCells(grid: DataFrame): DataFrame = {
+    val spark = grid.sparkSession
     import spark.implicits._
-    val cells = prodCells(spark, dir)
+    val cells = grid
       .filter($"sheet".rlike("^[0-9]{4}$")) // year sheets only (:31-32)
     val hdr = cells.filter(trim($"val") === "Enero") // header search (:38-44)
       .groupBy($"book", $"sheet").agg(min($"row_num").as("head_idx"))
@@ -436,6 +440,9 @@ object Etl {
         expr("TRY_CAST(val AS DOUBLE)").as("usd")) // float() (:79-84)
       .filter($"usd".isNotNull && $"usd" =!= 0.0) // NaN/''/0 skip (:80-81)
   }
+
+  private def prodParsed(spark: SparkSession, dir: String): DataFrame =
+    parseBookCells(prodCells(spark, dir))
 
   private def etlParseXlsxProd(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

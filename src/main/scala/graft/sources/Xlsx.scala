@@ -134,42 +134,124 @@ object Xlsx {
       .find(i => r.getAttributeLocalName(i) == local)
       .map(r.getAttributeValue)
 
-  /** Parse one worksheet part's XML into rows of string cells.
-    * Handles inline strings (`t="inlineStr"`) and raw `<v>` values —
-    * the cell kinds the books contain (cells are written densely in
-    * row order; `r="A1"`-style sparse addressing is out of scope).
+  /** Column index (0-based) from an `r="BC7"`-style cell reference's
+    * letter prefix; None when the ref carries no letters.
     */
-  private def parseSheetXml(in: java.io.InputStream): Seq[Seq[String]] = {
+  private[sources] def colOfRef(ref: String): Option[Int] = {
+    var c = 0; var i = 0
+    while (i < ref.length && ref.charAt(i) >= 'A' && ref.charAt(i) <= 'Z') {
+      c = c * 26 + (ref.charAt(i) - 'A' + 1); i += 1
+    }
+    if (i == 0) None else Some(c - 1)
+  }
+
+  /** Parse one worksheet part's XML into a dense grid of string
+    * cells. Handles the cell kinds REAL books contain (verified
+    * against the reference's Excel-written cdro_F1/G1 books):
+    * `t="inlineStr"` inline text, `t="s"` shared-string references
+    * resolved through `shared`, and bare/numeric `<v>` values; both
+    * dense writer output (no `r=` attributes — positional) and
+    * Excel's sparse `r="B2"` addressing (skipped rows/columns become
+    * `""` cells, the positional equivalent of pandas' NaN — the
+    * downstream parse rules treat both as skippable). Styled-empty
+    * cells (`<c r="A1" s="17"/>`) contribute `""`.
+    */
+  private def parseSheetXml(in: java.io.InputStream,
+      shared: IndexedSeq[String]): Seq[Seq[String]] = {
     val r = secureFactory().createXMLStreamReader(in)
-    val rows = Seq.newBuilder[Seq[String]]
-    var row: scala.collection.mutable.Builder[String, Seq[String]] = null
+    val rows = scala.collection.mutable.ArrayBuffer[
+      scala.collection.mutable.ArrayBuffer[String]]()
+    var row: scala.collection.mutable.ArrayBuffer[String] = null
     var cell: StringBuilder = null
-    var inText = false
+    var cellType: String = null
+    var cellCol = -1 // from r="B2" when present, else sequential
+    var nextCol = 0
+    var inV = false; var inIs = false; var inT = false
+    def put(col: Int, v: String): Unit = {
+      while (row.length <= col) row += ""
+      row(col) = v
+    }
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
-            case "row" => row = Seq.newBuilder[String]
-            case "c" => cell = new StringBuilder
-            case "t" | "v" => inText = true
+            case "row" =>
+              // rows may skip indexes (r= is 1-based); pad with empties
+              val idx = attr(r, "r").flatMap(_.toIntOption)
+                .map(_ - 1).getOrElse(rows.length)
+              while (rows.length < idx)
+                rows += scala.collection.mutable.ArrayBuffer[String]()
+              row = scala.collection.mutable.ArrayBuffer[String]()
+              rows += row
+              nextCol = 0
+            case "c" =>
+              cell = new StringBuilder
+              cellType = attr(r, "t").getOrElse("")
+              cellCol = attr(r, "r").flatMap(colOfRef).getOrElse(nextCol)
+            case "v" => inV = true
+            case "is" => inIs = true
+            case "t" => inT = true
             case _ => ()
           }
-        case XMLStreamConstants.CHARACTERS if inText =>
+        case XMLStreamConstants.CHARACTERS if (inV || (inIs && inT)) =>
           if (cell != null) cell.append(r.getText)
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
-            case "row" => if (row != null) { rows += row.result(); row = null }
+            case "row" => row = null
             case "c" =>
-              if (row != null && cell != null) row += cell.toString
-              cell = null
-            case "t" | "v" => inText = false
+              if (row != null && cell != null) {
+                val raw = cell.toString
+                val v =
+                  if (cellType == "s")
+                    raw.toIntOption.filter(shared.indices.contains)
+                      .map(shared).getOrElse(raw)
+                  else raw // inlineStr text, str/n/b/e raw value
+                put(cellCol, v)
+                nextCol = cellCol + 1
+              }
+              cell = null; cellType = null; cellCol = -1
+            case "v" => inV = false
+            case "is" => inIs = false
+            case "t" => inT = false
             case _ => ()
           }
         case _ => ()
       }
     }
     r.close()
-    rows.result()
+    rows.map(_.toSeq).toSeq
+  }
+
+  /** The shared-string table (`xl/sharedStrings.xml`): one entry per
+    * `<si>`, concatenating every `<t>` run inside it (plain and
+    * rich-text items both).
+    */
+  private def parseSharedStrings(bytes: Array[Byte]): IndexedSeq[String] = {
+    val r = secureFactory().createXMLStreamReader(new ByteArrayInputStream(bytes))
+    val out = IndexedSeq.newBuilder[String]
+    var cur: StringBuilder = null
+    var inT = false
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => cur = new StringBuilder
+            case "t" => inT = true
+            case _ => ()
+          }
+        case XMLStreamConstants.CHARACTERS if inT =>
+          if (cur != null) cur.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "si" => if (cur != null) { out += cur.toString; cur = null }
+            case "t" => inT = false
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
+    r.close()
+    out.result()
   }
 
   /** Decode EVERY sheet of a workbook from its zip bytes, in workbook
@@ -189,9 +271,12 @@ object Xlsx {
     try Iterator.continually(zin.getNextEntry).takeWhile(_ != null).foreach { e =>
       val n = e.getName
       if (n == "xl/workbook.xml" || n == "xl/_rels/workbook.xml.rels" ||
+          n == "xl/sharedStrings.xml" ||
           (n.startsWith("xl/worksheets/") && n.endsWith(".xml")))
         parts(n) = zin.readAllBytes()
     } finally zin.close()
+    val shared = parts.get("xl/sharedStrings.xml")
+      .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
     val rels: Map[String, String] =
       parts.get("xl/_rels/workbook.xml.rels").map { b =>
         val r = secureFactory().createXMLStreamReader(new ByteArrayInputStream(b))
@@ -222,7 +307,7 @@ object Xlsx {
         // package-absolute ("/xl/worksheets/sheet2.xml")
         val part = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
         name -> parts.get(part)
-          .map(b => parseSheetXml(new ByteArrayInputStream(b)))
+          .map(b => parseSheetXml(new ByteArrayInputStream(b), shared))
           .getOrElse(Seq.empty)
       }
     }

@@ -100,6 +100,36 @@ class XlsxSpec extends AnyFunSuite {
     assert(has(0, "Febrero"), "non-defect cells of the same rows must survive")
   }
 
+  test("the reference's REAL Excel-written product books parse end to end") {
+    // /root/reference/data/cdro_F1.xlsx + cdro_G1.xlsx are the actual
+    // inputs etl_products.py consumes: Excel-written OOXML with shared
+    // strings, r="B2" sparse cell addressing, styled empty cells and
+    // numeric <v> values — none of which the fixture books exercise.
+    // The same decode + relational parse must work on them unchanged
+    // (read-only access; no oracle twin exists for these, so this is
+    // the invariant spec: layout facts verified independently).
+    val cells = graft.sources.Xlsx.readAllCells(
+      spark, "/root/reference/data/cdro_{F1,G1}.xlsx")
+    val rows = graft.operators.Etl.parseBookCells(cells).collect()
+    assert(rows.length > 500, s"only ${rows.length} rows from the real books")
+    val years = rows.map(_.getInt(0)).distinct
+    assert(years.forall(y => y >= 2005 && y <= 2025) && years.length >= 15,
+      s"unexpected year sheets: ${years.sorted.mkString(",")}")
+    assert(rows.map(_.getString(2)).distinct.toSet == Set("import", "export"),
+      "both flows (F1=import, G1=export) must parse")
+    val months = rows.map(_.getString(1)).distinct.toSet
+    assert(months == (Seq("Enero", "Febrero", "Marzo", "Abril", "Mayo",
+      "Junio", "Julio", "Agosto", "Septiembre", "Octubre", "Noviembre",
+      "Diciembre", "Total").toSet), s"month map broke: $months")
+    val cats = rows.map(_.getString(3)).distinct
+    assert(cats.contains("BIENES DE CONSUMO"),
+      s"CUODE group categories expected, got: ${cats.take(8).mkString("; ")}")
+    // the reference's own filters hold: no metadata rows survive
+    assert(cats.forall(c => c.length >= 3 &&
+      !c.toLowerCase.startsWith("incluye") && !c.toLowerCase.startsWith("total")))
+    assert(rows.forall(_.getDouble(4) != 0.0))
+  }
+
   test("etl_prod_qa flags exactly the rows whose defect cells broke the sum") {
     val parsed = SparkEntry.queries("etl_parse_xlsx_prod")(spark, sf).collect()
     val qa = SparkEntry.queries("etl_prod_qa")(spark, sf).collect()
