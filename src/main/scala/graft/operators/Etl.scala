@@ -402,8 +402,13 @@ object Etl {
     // decode, a 4× constant on the dominant 100 TB ingest cost. The
     // checkpoint is the decoded-ingest artifact (a real lake would
     // persist exactly this frame), and MeasuredCkpt gives it honest
-    // stats so the per-sheet joins pick sane build sides.
-    graft.MeasuredCkpt(graft.sources.Xlsx.readAllCells(spark, s"$out/*.xlsx"))
+    // stats so the per-sheet joins pick sane build sides. Pass the
+    // DIR, not "$out/*.xlsx": pathGlobFilter already selects the
+    // books (the cells/ CSV twin is filtered out), and a glob in the
+    // load path makes Spark's first-call metadata probe log a
+    // FileNotFoundException stack into stderr — noise in the log
+    // tail the driver parses.
+    graft.MeasuredCkpt(graft.sources.Xlsx.readAllCells(spark, out.toString))
   }
 
   /** parse_book (etl_products.py:23-96) re-expressed relationally
