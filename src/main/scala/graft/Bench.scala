@@ -120,6 +120,13 @@ object Bench {
     // artifacts (postings, signatures, candidate pairs, KPI models,
     // LSH/IVF indexes) are cached across passes — i.e. steady-state
     // operator latency, build-once costs excluded
+    // where the full per-query record goes (see the write below):
+    // repo root only under bench_pair.sh's flag, tmp otherwise — and
+    // the summary's per_query pointer must say which one it was
+    val selfPath =
+      if (sys.env.get("SPARK_GRAFT_WRITE_SELF").contains("1")) "BENCH_SELF.json"
+      else java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "bench_self_latest.json").toString
     val summary =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
         s""""mode":"steady-state: min of $nPasses passes, corpus artifacts cached",""" +
@@ -130,7 +137,7 @@ object Bench {
         s""""floor_per_stage_min_sec":${ms(floorShuffleMin)},""" +
         s""""floor_total_sec":${ms(floor * nOk)},""" +
         s""""value_minus_floor":${ms(dataValue)},""" +
-        s""""per_query":"BENCH_SELF.json","sf":"$sfDir"}"""
+        s""""per_query":"$selfPath","sf":"$sfDir"}"""
     // full record (summary fields + per-query map) — file only, so the
     // printed line stays a few hundred bytes. The repo-root
     // BENCH_SELF.json is one third of the committed (BENCH_SELF,
@@ -140,10 +147,6 @@ object Bench {
     // snapshot taught that ANY other writer desyncs the triple. Every
     // run still dumps the full map to a tmp path for inspection.
     val full = summary.dropRight(1) + s""","queries":$qs}"""
-    val selfPath =
-      if (sys.env.get("SPARK_GRAFT_WRITE_SELF").contains("1")) "BENCH_SELF.json"
-      else java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "bench_self_latest.json").toString
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(selfPath), full + "\n")
     catch { case e: Throwable =>

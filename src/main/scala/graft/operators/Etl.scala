@@ -309,7 +309,11 @@ object Etl {
     val mine = rows.filter(_._2 == flow)
     val years = mine.map(_._1).distinct.sorted
     val cats = mine.map(_._3).distinct.sorted
-    val firstYear = years.head
+    // a flow with zero rows (e.g. a params-filtered dir whose
+    // surviving orders are all one status) gets a notes-only book —
+    // the parse then yields an empty frame instead of the builder
+    // throwing on years.head (r11 review finding)
+    val firstYear = years.headOption.getOrElse(-1)
     val defects = Map( // (cat index, month) → planted raw cell
       (0, 1) -> "n.d.", // float() raises → skipped
       (1, 2) -> "0", // zero → skipped
@@ -358,8 +362,19 @@ object Etl {
       prodCache.getOrBuild(spark, dir) {
     import spark.implicits._
     val n = Tables(spark, dir).orders.count()
-    val out = Paths.get(s"$prodRoot/books_sf_$n")
-    if (!Files.exists(out)) {
+    // publishFixture, not a hand-rolled move: keyed by the ORDERS
+    // file's (path, size, mtime) — a regenerated same-count source
+    // can never serve a stale fixture — and cross-JVM first-writer
+    // races resolve by publish-or-yield instead of an unhandled
+    // rename collision (r11 review finding; the lineitem/part inputs
+    // regenerate together with orders, so one source key suffices).
+    // The v2 root segment versions the GENERATOR: bump it whenever
+    // prodBase/prodGrids change shape, or an old dir would keep
+    // serving the old grid (content is derived, not keyed).
+    val out = graft.Tables.publishFixture(s"$prodRoot/v2", dir,
+        "orders.parquet") { tmpDir =>
+      val tmp = Paths.get(tmpDir)
+      Files.createDirectories(tmp)
       val base = prodBase(spark, dir)
         .resultOrder($"yr", $"flow", $"cat", $"mon")
         .collect()
@@ -368,8 +383,6 @@ object Etl {
         .toSeq
       val books = Seq("import" -> "prod_F1.xlsx", "export" -> "prod_G1.xlsx")
         .map { case (flow, file) => (flow, file, prodGrids(base, flow)) }
-      val tmp = Paths.get(s"$prodRoot/.tmp_${n}_${java.util.UUID.randomUUID()}")
-      Files.createDirectories(tmp)
       books.foreach { case (_, file, grids) =>
         val os = Files.newOutputStream(tmp.resolve(file))
         try graft.sources.Xlsx.writeWorkbookSheets(os, grids)
@@ -388,13 +401,6 @@ object Etl {
         .coalesce(1)
         .write.mode("overwrite").option("header", "true")
         .csv(tmp.resolve("cells").toString)
-      publishLock.synchronized {
-        if (Files.exists(out)) deleteRecursively(tmp) // lost the race
-        else {
-          Files.createDirectories(out.getParent)
-          Files.move(tmp, out)
-        }
-      }
     }
     // decode ONCE: the parse below joins the cell grid against itself
     // four times (header row, column map, category rows, values) —
@@ -408,7 +414,7 @@ object Etl {
     // load path makes Spark's first-call metadata probe log a
     // FileNotFoundException stack into stderr — noise in the log
     // tail the driver parses.
-    graft.MeasuredCkpt(graft.sources.Xlsx.readAllCells(spark, out.toString))
+    graft.MeasuredCkpt(graft.sources.Xlsx.readAllCells(spark, out))
   }
 
   /** parse_book (etl_products.py:23-96) re-expressed relationally
@@ -490,7 +496,7 @@ object Etl {
     val monthList = (meses :+ "Total").map(m => s"'$m'").mkString(", ")
     s"""cells AS (
        |  SELECT book, sheet, row_num, col_num, val
-       |  FROM read_csv('$prodRoot/*/cells/*.csv', header=true, auto_detect=false,
+       |  FROM read_csv('$prodRoot/v2/*/cells/*.csv', header=true, auto_detect=false,
        |    columns={'book':'VARCHAR','sheet':'VARCHAR','row_num':'INTEGER',
        |             'col_num':'INTEGER','val':'VARCHAR','src_n':'BIGINT'})
        |  WHERE src_n = (SELECT COUNT(*) FROM orders)

@@ -16,11 +16,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * use: MULTI-sheet workbooks (the reference's product books carry
   * one sheet PER YEAR plus note sheets —
   * `observatorio/etl_products.py:28-33` iterates `xls.sheet_names`
-  * over `data/cdro_F1.xlsx`), inline-string and raw `<v>` cells, rows
-  * written densely in order. Shared-string tables and typed/number
-  * formats are out of scope: pandas reads the reference's cells as
-  * strings/objects and the etl re-parses them, which is exactly what
-  * the downstream parse stages here do too.
+  * over `data/cdro_F1.xlsx`), inline-string cells, shared-string
+  * cells (`t="s"` resolved through `xl/sharedStrings.xml`, incl.
+  * rich-text runs), bare numeric `<v>` values, and both dense writer
+  * output and Excel's sparse `r="B2"` addressing — the cell kinds the
+  * reference's REAL Excel-written books contain (XlsxSpec drives
+  * data/cdro_F1+G1.xlsx end to end). Number FORMATS are still out of
+  * scope: every cell surfaces as its raw string, because pandas reads
+  * the reference's cells as strings/objects and the etl re-parses
+  * them, which is exactly what the downstream parse stages here do
+  * too.
   *
   * Scale shape: the READ side is a `binaryFile` scan + per-partition
   * decode (the same typed-binary pattern as the multimodal decode

@@ -59,6 +59,12 @@ restore_accepted() {
   done
   echo "rejected artifacts saved to /tmp/rejected_${ts}_*; accepted pair restored" >&2
 }
+# set -e exits on ANY unhandled failure (a Bench JVM dying after its
+# BENCH_SELF.json write, a truncated JSON breaking the floor read);
+# the ERR trap makes every such path restore the accepted triple too
+# (commands with explicit || handlers don't trigger it, so no double
+# restore)
+trap 'restore_accepted' ERR
 
 # freshness marker: graft.Bench warns-but-continues if its
 # BENCH_SELF.json write fails, so a stale committed file could
@@ -99,4 +105,5 @@ fi
 # list; any nonzero exit means the triple must not change
 python3 tools/make_baseline.py --label "$(date +%Y-%m-%d) pair, floor $floor" \
   || { restore_accepted; exit 6; }
+trap - ERR
 rm -rf "$snap"
