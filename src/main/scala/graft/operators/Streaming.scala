@@ -225,6 +225,51 @@ object Streaming {
       .resultOrder($"purchase_id")
   }
 
+  /** Last-click attribution with ORGANIC conversions kept: the
+    * left-outer interval join (EventsStream.clickPurchasePairsOuter)
+    * gives every purchase either its clicks or one null click row, so
+    * the rank-1 pick yields exactly one row per purchase with an
+    * `attributed` flag. Null-safety of the rank: a partition is
+    * either all non-null clicks or the single null row, so the
+    * click_ts DESC ordering never compares null against non-null —
+    * the cross-engine null-ordering trap cannot bite.
+    */
+  private def attributionOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables(spark, dir).events
+    val pairs = graft.streaming.EventsStream.clickPurchasePairsOuter(
+      e.filter($"event_type" === "purchase"),
+      e.filter($"event_type" === "click"))
+    val w = Window.partitionBy($"purchase_id")
+      .orderBy($"click_ts".desc, $"click_id".desc)
+    pairs.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"purchase_id", $"user_id", $"purchase_ts",
+        $"click_id", $"click_ts",
+        expr("(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000")
+          .as("gap_s"),
+        $"click_id".isNotNull.as("attributed"))
+      .resultOrder($"purchase_id")
+  }
+
+  private val attributionOuterSql =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id,
+      |    CAST(ts AS TIMESTAMP) AS purchase_ts
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT event_id AS click_id, user_id AS c_user,
+      |    CAST(ts AS TIMESTAMP) AS click_ts
+      |  FROM events WHERE event_type = 'click')
+      |SELECT purchase_id, user_id, purchase_ts, click_id, click_ts,
+      |  (epoch_us(purchase_ts) - epoch_us(click_ts)) // 1000000 AS gap_s,
+      |  click_id IS NOT NULL AS attributed
+      |FROM p LEFT JOIN c ON c_user = user_id
+      |  AND click_ts <= purchase_ts
+      |  AND click_ts >= purchase_ts - INTERVAL 1 HOUR
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY purchase_id
+      |  ORDER BY click_ts DESC, click_id DESC) = 1
+      |ORDER BY purchase_id""".stripMargin
+
   private val attributionSql =
     """WITH p AS (
       |  SELECT event_id AS purchase_id, user_id,
@@ -315,6 +360,7 @@ object Streaming {
     Q("stream_topk", topk, Some(topkSql)),
     Q("stream_dedup", dedup, Some(dedupSql)),
     Q("stream_attribution", attribution, Some(attributionSql)),
+    Q("stream_attribution_outer", attributionOuter, Some(attributionOuterSql)),
     Q("stream_sessionize", sessionize, Some(sessionizeSql)),
     Q("stream_sliding_window", slidingWindow, Some(slidingWindowSql)),
     Q("stream_session_window", sessionWindow, Some(sessionWindowSql)),

@@ -115,6 +115,28 @@ object EventsStream {
       .drop("c_user")
   }
 
+  /** LEFT-OUTER form of the attribution join: EVERY purchase, with
+    * its matching clicks or one all-null click row — the organic
+    * (unattributed) conversions a marketing funnel must keep, which
+    * the inner form silently drops. In streaming this is the
+    * watermark-driven outer join: an unmatched purchase emits only
+    * once the click-side watermark passes its interval (state
+    * eviction proves no matching click can still arrive), so the
+    * nulls are late by one watermark delay but never wrong. Same
+    * state bound as the inner form.
+    */
+  def clickPurchasePairsOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts").as("purchase_ts"))
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("click_ts"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .drop("c_user")
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -197,6 +197,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched purchases after the watermark") {
+    // the outer rows are WATERMARK-DRIVEN: an unattributed purchase
+    // emits only once the click side's watermark proves no matching
+    // click can still arrive — so the spec feeds the corpus, then
+    // far-future sentinel clicks (for a user with no purchases) to
+    // push the watermark past every purchase interval, and asserts
+    // the converged stream equals the batch left-outer join exactly,
+    // nulls included
+    import spark.implicits._
+    val all = Tables(spark, sf).events
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventsStream.Event].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventsStream.Event]
+    val events = mem.toDS().toDF()
+    val pairs = EventsStream.clickPurchasePairsOuter(
+      events.filter($"event_type" === "purchase").withWatermark("ts", "2 hours"),
+      events.filter($"event_type" === "click").withWatermark("ts", "2 hours"))
+    val q = pairs.select($"purchase_id", $"click_id")
+      .writeStream.format("memory").queryName("attr_outer")
+      .outputMode("append").start()
+    try {
+      mem.addData(all); q.processAllAvailable()
+      val maxTs = all.map(_.ts.getTime).max
+      // sentinel batches on BOTH inputs (the global watermark is the
+      // MIN across them, so a click-only sentinel would leave the
+      // purchase side's watermark pinned at the corpus max): the
+      // first advances the watermark, the second triggers
+      // eviction/emission of the now-expired state. The sentinel
+      // purchases themselves emit (negative-id, None) rows — user -1
+      // has no clicks — and are filtered from the compare.
+      (1 to 2).foreach { i =>
+        val ts = new java.sql.Timestamp(maxTs + i * 6L * 3600 * 1000)
+        mem.addData(
+          EventsStream.Event(-2L * i, ts, -1L, "click", 0.0),
+          EventsStream.Event(-2L * i - 1, ts, -1L, "purchase", 0.0))
+        q.processAllAvailable()
+      }
+      def key(r: org.apache.spark.sql.Row): (Long, Option[Long]) =
+        (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+      val got = spark.table("attr_outer").collect().map(key)
+        .filter(_._1 >= 0).toSet
+      val e = Tables(spark, sf).events
+      val want = EventsStream.clickPurchasePairsOuter(
+          e.filter($"event_type" === "purchase"),
+          e.filter($"event_type" === "click"))
+        .select($"purchase_id", $"click_id").collect().map(key).toSet
+      assert(want.exists(_._2.isEmpty), "fixture has no organic purchases — spec vacuous")
+      assert(got == want,
+        s"stream=${got.size} batch=${want.size} " +
+          s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    } finally q.stop()
+  }
+
   test("event-time-timeout sessionize closes idle sessions via watermark") {
     import spark.implicits._
     val all = Tables(spark, sf).events
