@@ -687,6 +687,19 @@ class PlanSpec extends AnyFunSuite {
       s"top-20 must plan as TakeOrderedAndProject:\n$p")
   }
 
+  test("stream_attribution_outer joins on the user equi-key with rank-1 pushdown") {
+    // the interval condition rides an EQUI-join on user_id (broadcast
+    // or shuffled by size — both scale), never a nested-loop over all
+    // purchase×click pairs; and the rank-1 pick must keep Spark's
+    // WindowGroupLimit pushdown (partial top-1 before the exchange),
+    // or every matched pair crosses the shuffle just to be discarded
+    val p = plan("stream_attribution_outer")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"outer attribution must stay an equi-join:\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"rank-1 must push a partial group limit below the exchange:\n$p")
+  }
+
   test("etl_parse_xlsx_prod / etl_prod_qa decode each book once, equi-joins only") {
     // the four parse legs (header row, column map, categories,
     // values) all read the ONE MeasuredCkpt'd decode artifact — a
