@@ -130,6 +130,25 @@ class XlsxSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(4) != 0.0))
   }
 
+  test("the third real book (cdro_G6, by-country totals) decodes cleanly too") {
+    // etl.py's other real input: same Excel OOXML features, different
+    // grid (destination countries instead of CUODE categories) — the
+    // decoder must surface its year sheets, month headers and
+    // shared-string country names without any book-specific handling
+    val bytes = Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/data/cdro_G6.xlsx"))
+    val sheets = graft.sources.Xlsx.parseWorkbook(bytes)
+    val yearSheets = sheets.filter(_._1.matches("[0-9]{4}"))
+    assert(yearSheets.size >= 20, s"expected ~21 year sheets, got ${yearSheets.size}")
+    yearSheets.foreach { case (name, rows) =>
+      assert(rows.exists(_.exists(_.trim == "Enero")),
+        s"sheet $name: month header row not decoded")
+    }
+    val cells = sheets.flatMap(_._2).flatten
+    assert(cells.exists(_.contains("ESTADOS UNIDOS")),
+      "shared-string country names must resolve")
+  }
+
   test("etl_prod_qa flags exactly the rows whose defect cells broke the sum") {
     val parsed = SparkEntry.queries("etl_parse_xlsx_prod")(spark, sf).collect()
     val qa = SparkEntry.queries("etl_prod_qa")(spark, sf).collect()
