@@ -121,12 +121,18 @@ object Bench {
     // LSH/IVF indexes) are cached across passes — i.e. steady-state
     // operator latency, build-once costs excluded
     // where the full per-query record goes (see the write below):
-    // repo root only under bench_pair.sh's flag, tmp otherwise — and
-    // the summary's per_query pointer must say which one it was
+    // BENCH_SELF.json (the accepted-pair artifact) only under
+    // bench_pair.sh's flag; any other run — including the driver's
+    // per-round pass — writes BENCH_LAST.json in the repo root, so
+    // the per-query history a BENCH_r{N}.json points at survives
+    // /tmp cleanup and round-over-round per-query comparisons read
+    // committed-tree files only (r11 verdict item 5). BENCH_LAST is
+    // NOT part of the (BENCH_SELF, BASELINE_DUCKDB, BASELINE.md)
+    // triple and no tooling derives from it — it is the inspection
+    // record, versioned like any other artifact.
     val selfPath =
       if (sys.env.get("SPARK_GRAFT_WRITE_SELF").contains("1")) "BENCH_SELF.json"
-      else java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "bench_self_latest.json").toString
+      else "/root/repo/BENCH_LAST.json"
     val summary =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
         s""""mode":"steady-state: min of $nPasses passes, corpus artifacts cached",""" +

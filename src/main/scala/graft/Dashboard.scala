@@ -268,4 +268,64 @@ object Dashboard {
     }
     md.toString
   }
+
+  /** The dashboard rendered from the reference's REAL data — the
+    * parsed cdro books and the golden-file KPI tables (the
+    * ReferenceParity entries, byte-exact vs the reference's committed
+    * parquets) instead of the TPC-H analog: actual CUODE category
+    * names, actual USD magnitudes, the reference's own 2005-2025
+    * calendar. Sections mirror app.py's tabs at the grain the real
+    * data carries (the import flow's 2025 tiles render N/A — its
+    * source book ends earlier, and the committed table holds nulls
+    * there).
+    */
+  def renderReference(spark: org.apache.spark.sql.SparkSession): String = {
+    def q(name: String) = SparkEntry.queries(name)(spark, "")
+    def l(r: Row, idx: Int): String =
+      if (r.isNullAt(idx)) "—" else r.getLong(idx).toString
+    val md = new StringBuilder
+    md ++= "# Observatorio de Comercio Exterior del Perú — datos reales\n\n"
+
+    val km = q("ref_kpi_monthly").collect()
+    md ++= "## Análisis por País\n\n### Métricas Clave (último mes)\n"
+    km.lastOption.foreach { r =>
+      md ++= s"- ${l(r, 0)}-${r.getString(1)}: Export ${usd(r, 3)} " +
+        s"(YoY ${d(r, 7, "%+.1f")}%), Import ${usd(r, 4)}, Balance ${usd(r, 5)}\n\n"
+    }
+    md ++= "### Serie Temporal (últimos 12 meses)\n"
+    md ++= "| año | mes | export | MA3 | YoY % |\n| --- | --- | --- | --- | --- |\n"
+    km.takeRight(12).foreach { r =>
+      md ++= s"| ${l(r, 0)} | ${r.getString(1)} | ${usd(r, 3)} | ${usd(r, 10)} | ${d(r, 7, "%+.1f")} |\n"
+    }
+
+    val kp = q("ref_kpi_prod_monthly").collect()
+    md ++= "\n## Análisis por Categorías\n\n### Top categorías por exportación (último año)\n"
+    if (kp.nonEmpty) {
+      val lastYr = kp.iterator.map(_.getLong(0)).max
+      kp.iterator.filter(_.getLong(0) == lastYr)
+        .toSeq.groupBy(_.getString(3))
+        .view.mapValues(_.iterator
+          .map(r => if (r.isNullAt(4)) 0.0 else r.getDouble(4)).sum)
+        .toSeq.filter(_._2 > 0)
+        .sortBy { case (cat, e) => (-e, cat) }
+        .take(10).zipWithIndex.foreach { case ((cat, e), k) =>
+          md ++= s"- ${k + 1}. $cat: ${fmtUsd(e)}\n"
+        }
+      md ++= s"\n### Categorías de importación (CUODE, $lastYr)\n"
+      kp.iterator.filter(r => r.getLong(0) == lastYr && !r.isNullAt(5))
+        .toSeq.groupBy(_.getString(3))
+        .view.mapValues(_.iterator.map(_.getDouble(5)).sum)
+        .toSeq.sortBy { case (cat, v) => (-v, cat) }
+        .foreach { case (cat, v) => md ++= s"- $cat: ${fmtUsd(v)}\n" }
+    }
+
+    md ++= "\n### Reconciliación QA (libro vs suma de meses, export)\n"
+    md ++= "| año | total libro | suma meses | Δ |\n| --- | --- | --- | --- |\n"
+    q("ref_trade_export").collect()
+      .filter(_.getString(1) == "Total").takeRight(5).foreach { r =>
+        val delta = r.getDouble(3) - r.getDouble(4)
+        md ++= s"| ${l(r, 0)} | ${usd(r, 3)} | ${usd(r, 4)} | ${fmtUsd(delta)} |\n"
+      }
+    md.toString
+  }
 }

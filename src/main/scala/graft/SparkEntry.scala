@@ -1,13 +1,14 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Advanced, CorpusSelect, Dedup, Etl, Kpi, Multimodal, Relational, Similarity, Streaming, TextAnalysis, Warehouse}
+import graft.operators.{Advanced, CorpusSelect, Dedup, Etl, Kpi, Multimodal, ReferenceParity, Relational, Similarity, Streaming, TextAnalysis, Warehouse}
 
 /** Driver contract — see /root/repo/SURVEY.md §2/§7. */
 object SparkEntry {
   /** Every implemented operator, in SURVEY §2 order. */
   def allQueries: Seq[Q] =
-    Relational.all ++ Advanced.all ++ Etl.all ++ Warehouse.all ++ Kpi.all ++
+    Relational.all ++ Advanced.all ++ Etl.all ++ ReferenceParity.all ++
+      Warehouse.all ++ Kpi.all ++
       Dedup.all ++ Similarity.all ++ TextAnalysis.all ++ Multimodal.all ++
       CorpusSelect.all ++ Streaming.all
 

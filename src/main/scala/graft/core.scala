@@ -506,9 +506,18 @@ object Tables {
   private[graft] def publishFixture(root: String, rawDir: String, srcFile: String)(
       write: String => Unit): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dir = TradeParams.parseDir(rawDir)._1 // tolerate a params fragment
+    val dir = TradeParams.parseDir(rawDir)._1 // fragment stripped for the FILE lookup only
     val src = Paths.get(s"$dir/$srcFile")
-    val key = "t" + (dir + "/" + srcFile).replaceAll("[^A-Za-z0-9._-]", "_") +
+    // The key carries the FULL rawDir — params fragment included —
+    // because fixture CONTENT is built from the params-filtered
+    // Tables view: two sessions over the same physical dir with
+    // different '#yf=…' fragments must map to two fixture dirs, or
+    // the first writer's book silently serves the second session's
+    // differently-filtered queries (r11 ADVICE). The logical prefix
+    // (everything before the size/mtime suffix) identifies "this
+    // source, this filter view"; the suffix identifies its version.
+    val prefix = "t" + (rawDir + "/" + srcFile).replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = prefix +
       "_" + Files.size(src) +
       "_" + Files.getLastModifiedTime(src).toMillis
     val out = Paths.get(root, key)
@@ -519,7 +528,25 @@ object Tables {
       write(tmp.toString)
       splitLock.synchronized {
         if (Files.exists(out)) deleteRecursively(tmp) // lost the race
-        else publishOrYield(tmp, out)
+        else {
+          publishOrYield(tmp, out)
+          // Prune superseded versions of the SAME logical fixture: a
+          // regenerated source (new size/mtime ⇒ new key) would
+          // otherwise leave the old dir in place, and oracles that
+          // GLOB the fixture root would read both — duplicating rows
+          // until someone cleans by hand (r11 ADVICE). Only siblings
+          // sharing this key's logical prefix are touched, so other
+          // SFs / other params views / other callers' fixtures are
+          // never at risk. A reader mid-scan of a pruned dir can only
+          // exist if its source was already regenerated underneath
+          // it — its world was stale either way.
+          val kids = Files.list(out.getParent)
+          try {
+            kids.filter(p => p.getFileName.toString.startsWith(prefix + "_") &&
+                p.getFileName.toString != key)
+              .forEach(deleteRecursively(_))
+          } finally kids.close()
+        }
       }
     }
     out.toString

@@ -33,8 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object Etl {
 
-  /** Spanish month names, in month order (etl.py:11-14 MONTHS). */
-  private val meses = Seq(
+  /** Spanish month names, in month order (etl.py:11-14 MONTHS).
+    * Shared with ReferenceParity: the reference's books later switch
+    * to the 'Setiembre' spelling, which this list intentionally does
+    * NOT contain — the reference drops those columns (its committed
+    * trade.parquet has no Septiembre rows from 2020 on) and byte-for-
+    * byte parity requires dropping them too.
+    */
+  private[graft] val meses = Seq(
     "Enero", "Febrero", "Marzo", "Abril", "Mayo", "Junio",
     "Julio", "Agosto", "Septiembre", "Octubre", "Noviembre", "Diciembre")
 
@@ -362,6 +368,17 @@ object Etl {
       prodCache.getOrBuild(spark, dir) {
     import spark.implicits._
     val n = Tables(spark, dir).orders.count()
+    // src_n disambiguates fixture dirs for the DuckDB oracle's glob,
+    // which matches it against COUNT(orders) over the PLAIN tables. A
+    // params-fragment session can share that count (a cat-only filter
+    // leaves orders untouched) while its grids differ, so its cells
+    // carry a NEGATIVE tag instead — never equal to a real count, so
+    // the oracle can never join a filtered session's book (r11
+    // ADVICE). The Spark side is unaffected: it reads its own
+    // published dir by path, not by glob.
+    val srcTag =
+      if (graft.TradeParams.parseDir(dir)._2.isEmpty) n
+      else -1L - math.abs(scala.util.hashing.MurmurHash3.stringHash(dir).toLong)
     // publishFixture, not a hand-rolled move: keyed by the ORDERS
     // file's (path, size, mtime) — a regenerated same-count source
     // can never serve a stale fixture — and cross-JVM first-writer
@@ -393,7 +410,7 @@ object Etl {
       val cells = books.flatMap { case (_, file, grids) =>
         grids.flatMap { case (sheet, rows) =>
           rows.zipWithIndex.flatMap { case (cs, r) =>
-            cs.zipWithIndex.map { case (v, c) => (file, sheet, r, c, v, n) }
+            cs.zipWithIndex.map { case (v, c) => (file, sheet, r, c, v, srcTag) }
           }
         }
       }
@@ -449,7 +466,112 @@ object Etl {
         when($"book".contains("F1"), "import").otherwise("export").as("flow"),
         $"category",
         expr("TRY_CAST(val AS DOUBLE)").as("usd")) // float() (:79-84)
-      .filter($"usd".isNotNull && $"usd" =!= 0.0) // NaN/''/0 skip (:80-81)
+      // NaN/''/0 skip (:80-81). The explicit !isnan matters: a literal
+      // 'nan' cell TRY_CASTs to NaN on both engines and NaN <> 0 is
+      // true, so without it such a cell would survive as usd=NaN where
+      // the reference's pd.isna check (etl_products.py:80) skips it —
+      // and the oracle could not catch the divergence because DuckDB
+      // agrees with the unguarded filter (r11 ADVICE).
+      .filter($"usd".isNotNull && !isnan($"usd") && $"usd" =!= 0.0)
+  }
+
+  /** The TOTALS-book parse (etl.py:20-58 parse_book) re-expressed
+    * relationally over a (book, sheet, row_num, col_num, val) cell
+    * grid — the OTHER workbook shape the reference ingests: year
+    * sheets where one 'Total general' row carries the whole year and
+    * the output is `(year, month, flow, usd, sum_months)` with a
+    * thirteenth 'Total' QA record per sheet (etl.py:54-58).
+    * Semantics, line for line:
+    *  - year sheets only (etl.py:25-27);
+    *  - header row = FIRST row containing 'Enero' (etl.py:31-34);
+    *  - month columns = header cells whose stripped text is in MONTHS
+    *    (etl.py:36) — the books switch to 'Setiembre' from 2020, which
+    *    is NOT in MONTHS, so that column drops exactly as the
+    *    reference drops it; total column = first header cell equal to
+    *    'Total', unstripped (etl.py:37);
+    *  - value row = FIRST row containing 'Total general' (etl.py:40-43);
+    *  - month records keep unparsable/absent cells as NULL — pandas
+    *    appends float(NaN) — via the LEFT join + TRY_CAST (etl.py:46-52);
+    *  - the QA record's sum_months is a LEFT-TO-RIGHT fold in column
+    *    order with NULLs as +0.0, matching pandas' masked sequential
+    *    sum bit for bit on the committed books (etl.py:57; verified
+    *    byte-exact against /root/reference/trade.parquet by
+    *    ReferenceParitySpec — float addition is order-sensitive, so
+    *    the fold order is part of the parity contract);
+    *  - flow by source book: F8 → import, G6 → export (etl.py:15-18).
+    * Where etl.py would CRASH (no 'Enero' header or no 'Total
+    * general' row → StopIteration; no 'Total' column → IndexError),
+    * this degrades per sheet instead: such a sheet contributes no
+    * rows / no Total record — a lake ingest must not abort on one
+    * malformed book.
+    *
+    * Shape: ONE exchange. A sheet is an independent, calendar-bounded
+    * parse unit, so the whole parse is a typed per-(book, sheet)
+    * group pass — header search, column map, value extraction and the
+    * ordered fold in one traversal of the group's cells. The first
+    * cut expressed each locate step relationally (header aggregate +
+    * four self-joins of the grid), which StageAudit measured at 22
+    * stages ≈ 22 scheduling floors for a few-hundred-row result; the
+    * group form is 1 exchange + the presentation merge and
+    * parallelizes across books × sheets — the same 100 TB story with
+    * a twentieth of the fixed cost.
+    */
+  private[graft] def parseTotalsBookCells(grid: DataFrame): DataFrame = {
+    val spark = grid.sparkSession
+    import spark.implicits._
+    val mesSet = meses.toSet
+    def tryDouble(s: String): Option[Double] =
+      try Some(java.lang.Double.parseDouble(s.trim))
+      catch { case _: NumberFormatException => None }
+    grid.filter($"sheet".rlike("^[0-9]{4}$"))
+      .select($"book", $"sheet", $"row_num", $"col_num", $"val")
+      .as[(String, String, Int, Int, String)]
+      .groupByKey { case (b, s, _, _, _) => (b, s) }
+      .flatMapGroups { (key: (String, String),
+          it: Iterator[(String, String, Int, Int, String)]) =>
+        val (book, sheet) = key
+        // the sheet's sparse grid: row → (col → val); bounded by the
+        // sheet's calendar × country grid whatever the lake size
+        val rows = scala.collection.mutable.Map
+          .empty[Int, scala.collection.mutable.Map[Int, String]]
+        it.foreach { case (_, _, r, c, v) =>
+          rows.getOrElseUpdate(r, scala.collection.mutable.Map.empty) += c -> v
+        }
+        val flow = if (book.contains("F8")) "import" else "export"
+        val year = sheet.toLong
+        // first row containing 'Enero' (etl.py iterrows is row order)
+        val headIdx = rows.keys.toSeq.sorted
+          .find(r => rows(r).values.exists(_.trim == "Enero"))
+        headIdx.iterator.flatMap { h =>
+          val header = rows(h)
+          val colsInOrder = header.keys.toSeq.sorted
+          // month columns in column order (etl.py:36 header.items())
+          val colMeses = colsInOrder
+            .filter(c => mesSet(header(c).trim))
+          val colTotal = colsInOrder.find(c => header(c) == "Total")
+          val totIdx = rows.keys.toSeq.sorted
+            .find(r => rows(r).values.exists(_.contains("Total general")))
+          totIdx.iterator.flatMap { t =>
+            val totRow = rows(t)
+            val monthVals = colMeses.map(c =>
+              (header(c).trim, totRow.get(c).flatMap(tryDouble)))
+            // pandas' masked sequential sum: NaN slots add +0.0, the
+            // fold is strictly left-to-right in column order (float
+            // addition is order-sensitive; this order is pinned
+            // byte-exact against the reference's committed output)
+            var sum = 0.0
+            monthVals.foreach { case (_, v) => sum += v.getOrElse(0.0) }
+            val months = monthVals.iterator.map { case (m, v) =>
+              (year, m, flow, v, None: Option[Double])
+            }
+            val total = colTotal.iterator.map(c =>
+              (year, "Total", flow, totRow.get(c).flatMap(tryDouble),
+                Some(sum): Option[Double]))
+            months ++ total
+          }
+        }
+      }
+      .toDF("year", "month", "flow", "usd", "sum_months")
   }
 
   private def prodParsed(spark: SparkSession, dir: String): DataFrame =
@@ -527,6 +649,7 @@ object Etl {
       |JOIN cells c ON c.book = k.book AND c.sheet = k.sheet
       |  AND c.row_num = k.row_num AND c.col_num = m.col_num
       |WHERE TRY_CAST(c.val AS DOUBLE) IS NOT NULL
+      |  AND NOT isnan(TRY_CAST(c.val AS DOUBLE))
       |  AND TRY_CAST(c.val AS DOUBLE) <> 0""".stripMargin
 
   private val etlParseXlsxProdSql =

@@ -101,6 +101,29 @@ class InsightsSpec extends AnyFunSuite {
     assert(md.linesIterator.count(_.startsWith("| ")) > 40)
   }
 
+  test("dashboard renders from the reference's REAL data: CUODE names, real calendar, real magnitudes") {
+    // the first end-user-visible output computed from the reference's
+    // ACTUAL inputs — the parsed cdro books and the golden-file KPI
+    // tables (byte-exact vs the committed parquets, ReferenceParitySpec)
+    val md = graft.Dashboard.renderReference(spark)
+    for (h <- Seq("Observatorio de Comercio Exterior del Perú",
+        "Métricas Clave", "Serie Temporal", "Top categorías por exportación",
+        "Categorías de importación (CUODE", "Reconciliación QA"))
+      assert(md.contains(h), s"real-data dashboard missing section: $h")
+    // real CUODE import groups and real export groups, by name
+    assert(md.contains("BIENES DE CONSUMO"), "CUODE category names missing")
+    assert(md.contains("Productos Tradicionales"), "export groups missing")
+    // the real calendar: the books end in 2025, and the latest tile
+    // must carry a billions-scaled real magnitude through fmtUsd
+    assert(md.contains("2025"), "latest real year missing")
+    assert("""2025-\w+: Export \$[\d.]+B""".r.findFirstIn(md).isDefined,
+      "latest-month tile lacks a real billions-scaled export value")
+    // the import flow's source ends before 2025 — its tile must
+    // degrade to N/A, not crash or fabricate
+    assert(md.contains("Import N/A"), "missing-import month should render N/A")
+    assert(md.linesIterator.count(_.startsWith("| ")) > 15)
+  }
+
   test("dashboard defaults the category tab to the latest year's top-10 by export") {
     // reference app.py:446-473: with no manual selection the category
     // multiselect defaults to the top-N by export IN THE LATEST YEAR

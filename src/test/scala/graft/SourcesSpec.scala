@@ -173,6 +173,49 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("xlsx ingest parallelizes breadth-wise: one decode task per book at 64 books") {
+    // the 100 TB ingest shape is a LAKE of workbooks — the binaryFile
+    // scan must fan decode tasks out over files, not funnel all books
+    // through one task, and the decoder must hold no per-JVM state
+    // that would entangle books decoded concurrently. 64 small books,
+    // each with distinct content, through the same readAllCells path
+    // the etl entries use.
+    val dir = Files.createTempDirectory("graft-books")
+    (0 until 64).foreach { b =>
+      val os = Files.newOutputStream(dir.resolve(f"book_$b%02d.xlsx"))
+      try graft.sources.Xlsx.writeWorkbookSheets(os, Seq(
+        "2005" -> Seq(Seq("hdr", s"b$b"), Seq("Enero", (b * 100 + 1).toString)),
+        "Notas" -> Seq(Seq(s"libro $b"))))
+      finally os.close()
+    }
+    val cells = graft.sources.Xlsx.readAllCells(spark, dir.toString)
+    // under this session's width, the file bin-packer spreads the 64
+    // books across EVERY core (bytesPerCore dominates the split size
+    // here, so partitions == defaultParallelism — no single-task
+    // funnel)
+    val parts = cells.rdd.getNumPartitions
+    val cores = spark.sparkContext.defaultParallelism
+    assert(parts >= cores,
+      s"64 books packed into $parts decode partitions on $cores cores")
+    // and when the cluster HAS the width (openCost becomes the split
+    // unit — the regime a 1000-executor cluster's parallelism puts
+    // the packer in), the scan fans out to one decode task per book
+    val wide = try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (4 << 20).toString)
+      graft.sources.Xlsx.readAllCells(spark, dir.toString).rdd.getNumPartitions
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    assert(wide == 64, s"expected one decode task per book, got $wide")
+    // every book surfaced its own content (no cross-task state, no
+    // book dropped by the fan-out), sheets and coordinates intact
+    val got = cells.filter($"sheet" === "2005" && $"row_num" === 1 &&
+        $"col_num" === 1)
+      .select($"book", $"val").collect()
+      .map(r => (r.getString(0).split('/').last, r.getString(1))).toSet
+    val want = (0 until 64).map(b => (f"book_$b%02d.xlsx", (b * 100 + 1).toString)).toSet
+    assert(got == want, s"per-book decode diverged: missing=${(want -- got).take(3)}")
+    assert(cells.filter($"sheet" === "Notas").count() == 64)
+  }
+
   test("sorted-within-partitions write keeps min/max stats tight") {
     Tables(spark, sf).lineitem
       .repartition($"l_returnflag")

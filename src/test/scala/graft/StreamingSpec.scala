@@ -251,6 +251,98 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join survives a mid-stream crash and restart, exactly-once") {
+    // stream_upsert's restart spec covers mapGroupsWithState; this
+    // covers the riskier recovery surface — the outer interval join,
+    // whose null-match rows are emitted by WATERMARK-DRIVEN state
+    // eviction. A checkpoint resume must neither LOSE an outer row
+    // (join state and watermark recovered, eviction still fires for
+    // purchases buffered before the crash) nor RE-EMIT one (append
+    // mode, the crashed batch retried once). Layout mirrors the
+    // upsert restart spec: file source at maxFilesPerTrigger=1, crash
+    // injected in the sink at batch 1, restart from the same
+    // checkpoint; the last two source files are the both-input
+    // far-future sentinels that push the global watermark past every
+    // real purchase interval (same mechanics as the convergence spec
+    // above).
+    import spark.implicits._
+    import org.apache.spark.sql.{Dataset, Row}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-outer-restart")
+    val (src, out, ckpt) = (s"$tmp/src", s"$tmp/out", s"$tmp/ckpt")
+    val all = Tables(spark, sf).events
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventsStream.Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    all.grouped(math.max(1, (all.length + 2) / 3)).foreach(chunk =>
+      chunk.toDS().coalesce(1).write.mode("append").parquet(src))
+    val maxTs = all.map(_.ts.getTime).max
+    (1 to 2).foreach { i =>
+      val ts = new java.sql.Timestamp(maxTs + i * 6L * 3600 * 1000)
+      Seq(EventsStream.Event(-2L * i, ts, -1L, "click", 0.0),
+        EventsStream.Event(-2L * i - 1, ts, -1L, "purchase", 0.0))
+        .toDS().coalesce(1).write.mode("append").parquet(src)
+    }
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start() = {
+      val events = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[EventsStream.Event]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      val pairs = EventsStream.clickPurchasePairsOuter(
+        events.filter($"event_type" === "purchase").withWatermark("ts", "2 hours"),
+        events.filter($"event_type" === "click").withWatermark("ts", "2 hours"))
+      pairs.select($"purchase_id", $"click_id")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: Dataset[Row], id: Long) =>
+          if (id >= 1 && crashArmed.compareAndSet(true, false))
+            throw new RuntimeException("injected mid-stream crash")
+          // idempotent per-batch sink: a retried batch overwrites its
+          // own dir, so duplicate EMISSION (not duplicate retry) is
+          // what the cross-dir distinct check below would catch
+          df.write.mode("overwrite").parquet(s"$out/b_$id")
+        }
+        .start()
+    }
+    val q1 = start()
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(died.getMessage.contains("injected mid-stream crash"))
+    assert(!crashArmed.get, "the crash must actually have fired")
+    def batchDirs() = new java.io.File(out).list()
+      .filter(_.startsWith("b_")).toSet
+    assert(batchDirs() == Set("b_0"),
+      s"crash point wrong: ${batchDirs()} present after the kill")
+    val b0Files = new java.io.File(s"$out/b_0")
+      .listFiles().map(f => f.getName -> f.lastModified).toMap
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(batchDirs().size >= 5, s"restart did not drain: ${batchDirs()}")
+    assert(new java.io.File(s"$out/b_0").listFiles()
+        .map(f => f.getName -> f.lastModified).toMap == b0Files,
+      "restart rewrote the already-committed batch 0")
+    def key(r: Row): (Long, Option[Long]) =
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    val emitted = spark.read.parquet(s"$out/b_*").collect().map(key)
+    // exactly-once across the crash: every pair emitted at most once
+    // over ALL batches (append mode never re-emits a joined or
+    // evicted row after recovery)
+    assert(emitted.length == emitted.distinct.length,
+      s"${emitted.length - emitted.distinct.length} rows re-emitted across restart")
+    val got = emitted.filter(_._1 >= 0).toSet
+    val e = Tables(spark, sf).events
+    val want = EventsStream.clickPurchasePairsOuter(
+        e.filter($"event_type" === "purchase"),
+        e.filter($"event_type" === "click"))
+      .select($"purchase_id", $"click_id").collect().map(key).toSet
+    assert(want.exists(_._2.isEmpty), "fixture has no organic purchases — spec vacuous")
+    assert(got == want,
+      s"restart diverged from batch: missing=${(want -- got).take(3)} " +
+        s"extra=${(got -- want).take(3)}")
+  }
+
   test("event-time-timeout sessionize closes idle sessions via watermark") {
     import spark.implicits._
     val all = Tables(spark, sf).events
