@@ -741,6 +741,30 @@ class PlanSpec extends AnyFunSuite {
     assert(keyed == 1, s"expected one pair-key exchange, got $keyed:\n$p")
   }
 
+  test("ref parity queries serve the decoded artifact; the totals parse is one exchange") {
+    // ref_trade_prod shares parseBookCells and inherits its contract:
+    // the query-time plan reads the ONE decoded checkpoint (re-running
+    // the binaryFile decode per parse leg would 4× a book lake's
+    // dominant ingest cost) and joins stay equi-joins
+    val pp = plan("ref_trade_prod")
+    assert(!pp.contains("binaryFile") && !pp.contains("BinaryFile"),
+      s"ref_trade_prod must serve the decoded artifact, not re-decode:\n$pp")
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"),
+      s"ref_trade_prod parse joins must stay equi-joins:\n$pp")
+    // ref_trade_export is the typed per-(book, sheet) group pass: ONE
+    // data exchange (the group key) plus the presentation merge — the
+    // relational first cut planned 22 stages of pure scheduling floor
+    // for a few-hundred-row result, which is the shape this guard
+    // prevents from coming back
+    val pe = plan("ref_trade_export")
+    assert(!pe.contains("binaryFile") && !pe.contains("BinaryFile"),
+      s"ref_trade_export must serve the decoded artifact:\n$pe")
+    assert(!pe.contains("Join"), s"per-sheet parse needs no join:\n$pe")
+    val exchanges = pe.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2,
+      s"totals parse grew beyond group-key + merge exchanges ($exchanges):\n$pe")
+  }
+
   test("q31_range_frame windows the bounded monthly aggregate in one Window node") {
     // aggregate-then-window: the ROWS and RANGE frames share the
     // (pri, mon_idx) partitioning/ordering so Spark must evaluate
