@@ -113,6 +113,55 @@ object TradeCatalog {
     createViews(spark)
   }
 
+  // ---- the REAL-data warehouse ----
+  // The reference's own four tables materialized from its RAW books
+  // through the byte-exact parity path (ReferenceParity /
+  // ReferenceParitySpec): a user of the reference opens this database
+  // and runs the same SQL they run against trade.duckdb today, on
+  // values identical to the reference's committed outputs. `trade`
+  // carries the export flow only — the import totals book
+  // (cdro_F8.xlsx) is absent from the reference checkout
+  // (.MISSING_LARGE_BLOBS), so its slice has no recomputable source.
+
+  /** Catalog database holding the real-data models. */
+  val refDb = "graft_trade_ref"
+
+  def defaultRefRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-trade-ref-warehouse"
+
+  /** Real-data tables and the golden-file-checked query each one
+    * materializes (names and schemas match the reference's duckdb
+    * tables, etl.py:84-92 / metrics*.py persistence).
+    */
+  val refModels: Seq[(String, String)] = Seq(
+    "trade" -> "ref_trade_export",
+    "trade_prod" -> "ref_trade_prod",
+    "kpi_monthly" -> "ref_kpi_monthly",
+    "kpi_prod_monthly" -> "ref_kpi_prod_monthly")
+
+  /** ETL-side write of the real-data warehouse — same overwrite
+    * semantics as [[publish]]. The sfDir the queries receive is
+    * ignored: their input is the reference checkout itself.
+    */
+  def publishReference(spark: SparkSession,
+      root: String = defaultRefRoot): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $refDb")
+    refModels.foreach { case (table, query) =>
+      SparkEntry.queries(query)(spark, "")
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$root/$table")
+        .saveAsTable(s"$refDb.$table")
+    }
+  }
+
+  /** Session-side open of the real-data warehouse — the
+    * `duckdb.connect("trade.duckdb")` analog for the real tables
+    * (metadata-only, same staleness handling as [[attach]]).
+    */
+  def attachReference(spark: SparkSession,
+      root: String = defaultRefRoot): Seq[String] =
+    attachTables(spark, root, refDb, refModels.map(_._1))
+
   /** Canonical form of a catalog location for equality comparison:
     * (scheme, authority, decoded path) — DESCRIBE reports a URI
     * (`file:/...`, possibly percent-escaped), attach builds a plain
@@ -151,18 +200,32 @@ object TradeCatalog {
     * attached table names.
     */
   def attach(spark: SparkSession, root: String = defaultRoot): Seq[String] = {
+    val attached = attachTables(spark, root, db, models.map(_._1))
+    // the view layer is session metadata (like the table entries): a
+    // fresh session re-opens the store fully queryable, views
+    // included — the `duckdb trade.duckdb` contract. Skipped on a
+    // warehouse missing the base fact (view creation validates its
+    // plan against the referenced tables).
+    if (attached.contains("trade")) createViews(spark)
+    attached
+  }
+
+  /** Shared attach core for both warehouses. Only the KNOWN model
+    * tables are attached (a crashed publish can leave partial/staging
+    * directories under the shared tmp root — registering arbitrary
+    * subdirectories would serve truncated data with no error), and a
+    * pre-existing catalog entry pointing at a DIFFERENT location is
+    * re-pointed rather than silently winning over the requested root
+    * (CREATE TABLE IF NOT EXISTS would no-op and leave reads on the
+    * stale warehouse).
+    */
+  private def attachTables(spark: SparkSession, root: String,
+      db: String, tables: Seq[String]): Seq[String] = {
     val rootPath = Paths.get(root)
     require(Files.isDirectory(rootPath),
       s"no warehouse at $root — run publish (the ETL) first")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    // only the KNOWN model tables are attached (a crashed publish can
-    // leave partial/staging directories under the shared tmp root —
-    // registering arbitrary subdirectories would serve truncated data
-    // with no error), and a pre-existing catalog entry pointing at a
-    // DIFFERENT location is re-pointed rather than silently winning
-    // over the requested root (CREATE TABLE IF NOT EXISTS would
-    // no-op and leave reads on the stale warehouse).
-    val attached = models.map(_._1)
+    tables
       .filter(t => Files.isDirectory(rootPath.resolve(t)))
       .map { table =>
         val loc = rootPath.resolve(table).toAbsolutePath.toString
@@ -187,12 +250,5 @@ object TradeCatalog {
         }
         table
       }.sorted
-    // the view layer is session metadata (like the table entries): a
-    // fresh session re-opens the store fully queryable, views
-    // included — the `duckdb trade.duckdb` contract. Skipped on a
-    // warehouse missing the base fact (view creation validates its
-    // plan against the referenced tables).
-    if (attached.contains("trade")) createViews(spark)
-    attached
   }
 }

@@ -80,6 +80,44 @@ class WarehouseSpec extends AnyFunSuite {
 
   // -- persistent catalog (reference etl.py:84-92 trade.duckdb) --
 
+  test("real-data warehouse: the reference's four tables published from its raw books, SQL-queryable by name") {
+    // the `duckdb trade.duckdb` experience over the REAL data: publish
+    // once from the raw cdro books (through the golden-file parity
+    // path), then a fresh session attaches metadata-only and queries
+    // the reference's own table names/schemas with its own values
+    val root = java.nio.file.Files.createTempDirectory("graft-ref-cat").toString
+    try {
+      TradeCatalog.publishReference(spark, root)
+      val s2 = spark.newSession()
+      val attached = TradeCatalog.attachReference(s2, root)
+      assert(attached.toSet == TradeCatalog.refModels.map(_._1).toSet)
+      val db = TradeCatalog.refDb
+      // row counts equal the reference's committed outputs (values are
+      // byte-exact by ReferenceParitySpec; counts pin the publish path)
+      assert(s2.sql(s"SELECT COUNT(*) FROM $db.trade_prod").head.getLong(0) == 1816)
+      assert(s2.sql(s"SELECT COUNT(*) FROM $db.kpi_prod_monthly").head.getLong(0) == 1669)
+      assert(s2.sql(s"SELECT COUNT(*) FROM $db.kpi_monthly").head.getLong(0) == 239)
+      assert(s2.sql(s"SELECT COUNT(*) FROM $db.trade WHERE flow = 'export'")
+        .head.getLong(0) == 260)
+      // a reference user's day-one query, verbatim SQL over real names
+      val top = s2.sql(
+        s"""SELECT category, SUM(usd) AS total FROM $db.trade_prod
+           |WHERE flow = 'import' AND month <> 'Total'
+           |GROUP BY category ORDER BY total DESC LIMIT 1""".stripMargin)
+        .head.getString(0)
+      assert(top == "MATERIAS PRIMAS Y PRODUCTOS INTERMEDIOS", s"got $top")
+    } finally {
+      TradeCatalog.refModels.foreach { case (t, _) =>
+        spark.sql(s"DROP TABLE IF EXISTS ${TradeCatalog.refDb}.`$t`")
+      }
+      spark.sql(s"DROP DATABASE IF EXISTS ${TradeCatalog.refDb}")
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   test("published catalog serves model tables by name, survives a fresh catalog, and attach is metadata-only") {
     val root = java.nio.file.Files.createTempDirectory("graft-cat-test").toString
     val expected = SparkEntry.queries("kpi_trade_long")(spark, sf)
