@@ -132,7 +132,9 @@ object Bench {
     // record, versioned like any other artifact.
     val selfPath =
       if (sys.env.get("SPARK_GRAFT_WRITE_SELF").contains("1")) "BENCH_SELF.json"
-      else "/root/repo/BENCH_LAST.json"
+      else "BENCH_LAST.json" // repo-relative like BENCH_SELF — both
+    // artifacts resolve against the checkout the run was launched
+    // from, not a hardcoded absolute location
     val summary =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
         s""""mode":"steady-state: min of $nPasses passes, corpus artifacts cached",""" +

@@ -323,8 +323,12 @@ object Dashboard {
     md ++= "| año | total libro | suma meses | Δ |\n| --- | --- | --- | --- |\n"
     q("ref_trade_export").collect()
       .filter(_.getString(1) == "Total").takeRight(5).foreach { r =>
-        val delta = r.getDouble(3) - r.getDouble(4)
-        md ++= s"| ${l(r, 0)} | ${usd(r, 3)} | ${usd(r, 4)} | ${fmtUsd(delta)} |\n"
+        // a book total can be null (the parse degrades where etl.py
+        // would crash on an unparsable Total cell) — the delta cell
+        // must degrade like the value cells, not NPE the render
+        val delta = if (r.isNullAt(3) || r.isNullAt(4)) "N/A"
+          else fmtUsd(r.getDouble(3) - r.getDouble(4))
+        md ++= s"| ${l(r, 0)} | ${usd(r, 3)} | ${usd(r, 4)} | $delta |\n"
       }
     md.toString
   }

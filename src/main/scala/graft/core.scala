@@ -527,6 +527,30 @@ object Tables {
         s".tmp_${key}_${java.util.UUID.randomUUID()}")
       write(tmp.toString)
       splitLock.synchronized {
+        // a sibling's key ends "_<size>_<mtimeMillis>" — parse the
+        // version stamp so the prune below is ORDERED, not mutual
+        def siblingMtime(name: String): Long =
+          name.split('_').lastOption.flatMap(_.toLongOption).getOrElse(Long.MaxValue)
+        val myMtime = siblingMtime(key)
+        val sibs = {
+          import scala.jdk.CollectionConverters._
+          val kids = Files.list(out.getParent)
+          try kids.iterator().asScala.filter(p =>
+              p.getFileName.toString.startsWith(prefix + "_") &&
+                p.getFileName.toString != key).toList
+          finally kids.close()
+        }
+        if (sibs.exists(p => siblingMtime(p.getFileName.toString) > myMtime)) {
+          // the source was regenerated UNDER this writer (a fresher
+          // fixture already exists): publishing-and-pruning here
+          // would delete the fresh fixture and resurrect stale data
+          // — the silent-stale scenario the (size, mtime) keying
+          // exists to prevent. This writer's snapshot is invalid
+          // either way; fail loudly instead of serving it.
+          deleteRecursively(tmp)
+          throw new IllegalStateException(
+            s"fixture source regenerated during publish of $key — rerun")
+        }
         if (Files.exists(out)) deleteRecursively(tmp) // lost the race
         else {
           publishOrYield(tmp, out)
@@ -535,17 +559,14 @@ object Tables {
           // otherwise leave the old dir in place, and oracles that
           // GLOB the fixture root would read both — duplicating rows
           // until someone cleans by hand (r11 ADVICE). Only siblings
-          // sharing this key's logical prefix are touched, so other
-          // SFs / other params views / other callers' fixtures are
-          // never at risk. A reader mid-scan of a pruned dir can only
+          // sharing this key's logical prefix AND a strictly older
+          // version stamp are touched (the newer-stamp case failed
+          // loudly above), so other SFs / other params views / other
+          // callers' fixtures — and any fresher publish — are never
+          // at risk. A reader mid-scan of a pruned dir can only
           // exist if its source was already regenerated underneath
           // it — its world was stale either way.
-          val kids = Files.list(out.getParent)
-          try {
-            kids.filter(p => p.getFileName.toString.startsWith(prefix + "_") &&
-                p.getFileName.toString != key)
-              .forEach(deleteRecursively(_))
-          } finally kids.close()
+          sibs.foreach(deleteRecursively(_))
         }
       }
     }

@@ -79,13 +79,17 @@ object ReferenceParity {
     Etl.parseBookCells(cells)
       .select($"year".cast("long").as("year"), $"month", $"flow",
         $"category", $"usd")
-      .resultOrder($"year", $"flow", $"category", $"month")
+      // usd as the final tiebreak: a category name repeated on two
+      // sheet rows (the reference's pivot aggfunc='sum' anticipates
+      // this) would make (year, flow, category, month) non-unique,
+      // and the hash compare needs a total order on BOTH engines
+      .resultOrder($"year", $"flow", $"category", $"month", $"usd")
   }
 
   private val refTradeProdSql =
     s"""SELECT year, month, flow, category, usd
        |FROM read_parquet('$refRoot/trade_prod.parquet')
-       |ORDER BY year, flow, category, month""".stripMargin
+       |ORDER BY year, flow, category, month, usd""".stripMargin
 
   // ---- ref_trade_export: real G6 totals parse vs trade.parquet ----
 
@@ -237,17 +241,21 @@ private[graft] final case class KpiProdRow(year: Long, month: String,
   *    binary expansion of the double (java.math.BigDecimal's exact
   *    constructor, NOT BigDecimal.valueOf's shortest-string view —
   *    Spark's own `bround` uses valueOf and disagrees with numpy on
-  *    shortest-repr midpoints like 2.675), HALF_EVEN, NaN/±Inf → null
-  *    (the reference's NaNs and its replace(±inf → None) both land as
-  *    parquet nulls).
+  *    shortest-repr midpoints like 2.675), HALF_EVEN, NaN → null
+  *    (pandas NaN lands as parquet null), ±Inf preserved (numpy
+  *    rounds inf to inf and the reference persists it; only
+  *    cov_ratio has an inf→None replace, applied at its call site).
   *  - [[rollMean3]] — pandas `rolling(3, min_periods=1).mean()`
   *    (window/aggregations.pyx roll_mean): ONE running Neumaier-
   *    compensated sum across the whole series with SEPARATE add and
-  *    remove compensation accumulators, plus the all-positive/
-  *    all-negative zero clamp. A fresh per-window mean differs on the
-  *    committed data (one window's compensated sum lands exactly on
-  *    .5 where the fresh fold lands a half-ulp under — kpi_prod row
-  *    2014-Marzo / II.Productos No Tradicionales).
+  *    remove compensation accumulators, remove-before-add step order,
+  *    the all-same-values exact-value shortcut, and the all-positive/
+  *    all-negative zero clamp — verified bitwise-equal to pandas
+  *    rolling on every committed series AND on NaN/-0.0/repeat fuzz.
+  *    A fresh per-window mean differs on the committed data (one
+  *    window's compensated sum lands exactly on .5 where the fresh
+  *    fold lands a half-ulp under — kpi_prod row 2014-Marzo /
+  *    II.Productos No Tradicionales).
   *  - lags are POSITIONAL within the (sorted) series — pandas
   *    shift(k) counts observations, not calendar months, so a missing
   *    month (the books' 'Setiembre' respelling drops September from
@@ -257,7 +265,10 @@ private[graft] final case class KpiProdRow(year: Long, month: String,
 private[graft] object PandasNum {
 
   def bround(x: Double, scale: Int): java.lang.Double =
-    if (x.isNaN || x.isInfinite) null
+    if (x.isNaN) null // pandas NaN lands as parquet null
+    else if (x.isInfinite) x // np.round(±inf) = ±inf, persisted as inf —
+    // neither metric script replaces infinities in mom/yoy/idx (only
+    // cov_ratio has the replace, handled at its call site)
     else {
       val r = new java.math.BigDecimal(x)
         .setScale(scale, java.math.RoundingMode.HALF_EVEN).doubleValue()
@@ -271,14 +282,20 @@ private[graft] object PandasNum {
     val out = Array.fill(vals.length)(Double.NaN)
     var sum = 0.0; var compAdd = 0.0; var compRem = 0.0
     var nobs = 0; var neg = 0
+    // pandas also tracks the last added value and how many consecutive
+    // adds equaled it: an all-same-values window returns that value
+    // EXACTLY (bypassing the compensated sum), which is also what a
+    // single-observation window hits — without this, a lone value
+    // surrounded by NaNs comes back with compensation residue
+    var prev = Double.NaN; var consec = 0
     var i = 0
     while (i < vals.length) {
-      val v = vals(i)
-      if (!v.isNaN) {
-        nobs += 1
-        val y = v - compAdd; val t = sum + y; compAdd = t - sum - y; sum = t
-        if (java.lang.Double.doubleToRawLongBits(v) < 0) neg += 1
-      }
+      // remove the exiting value BEFORE adding the entering one —
+      // pandas' loop order; the compensated sum is order-sensitive,
+      // and the reversed order diverges from pandas on 850 of the
+      // committed series' 5724 unrounded values (all masked by
+      // round() on the committed books, but this kernel's contract
+      // is the unrounded sequence)
       if (i >= 3) {
         val o = vals(i - 3)
         if (!o.isNaN) {
@@ -287,9 +304,18 @@ private[graft] object PandasNum {
           if (java.lang.Double.doubleToRawLongBits(o) < 0) neg -= 1
         }
       }
+      val v = vals(i)
+      if (!v.isNaN) {
+        nobs += 1
+        val y = v - compAdd; val t = sum + y; compAdd = t - sum - y; sum = t
+        if (java.lang.Double.doubleToRawLongBits(v) < 0) neg += 1
+        if (v == prev) consec += 1 else consec = 1
+        prev = v
+      }
       if (nobs > 0) {
         var r = sum / nobs
-        if (neg == 0 && r < 0) r = 0.0
+        if (consec >= nobs) r = prev
+        else if (neg == 0 && r < 0) r = 0.0
         else if (neg == nobs && r > 0) r = 0.0
         out(i) = r
       }
@@ -354,9 +380,11 @@ private[graft] object PandasNum {
     rows.indices.iterator.map { i =>
       KpiProdRow(rows(i).year, rows(i).month, rows(i).month_num, cat,
         d2o(exp(i)), d2o(imp(i)), d2o(bal(i)),
-        // cov_ratio: exp/imp with ±inf replaced by None then round(4)
-        // (metrics_products.py:72) — bround's inf → null IS the replace
-        j2o(bround(exp(i) / imp(i), 4)),
+        // cov_ratio is the ONE column with an inf replace: exp/imp with
+        // ±inf → None, then round(4) (metrics_products.py:72); the
+        // mom/yoy/idx columns keep infinities like pandas does
+        { val c = exp(i) / imp(i)
+          if (c.isInfinite) None else j2o(bround(c, 4)) },
         pct(exp, 1, i), pct(exp, 12, i), pct(imp, 1, i), pct(imp, 12, i),
         j2o(bround(expMa(i), 0)), j2o(bround(impMa(i), 0)),
         j2o(bround(balMa(i), 0)),
