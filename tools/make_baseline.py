@@ -121,6 +121,14 @@ run), not a like-for-like cold comparison. Cold-path plan shapes are
 separately guarded by PlanSpec, which clears every cache before
 asserting.
 
+A second stated asymmetry runs the OTHER way: the four ref_* rows
+are golden-file parity probes whose Spark side recomputes the
+reference's published outputs from its RAW xlsx books (binary decode
++ parse + pandas-faithful metrics) while their DuckDB "oracle" just
+read_parquet's the committed answer — their per-query ratios measure
+parse-vs-file-read, not engine-vs-engine, and they are carried in the
+totals anyway rather than excluded.
+
 The decomposition is the story the r5 verdict told, measured on both
 sides of the SAME inventory: Spark wins the data-heavy slice, while
 the aggregate gap is Spark's per-stage scheduling floor multiplied
