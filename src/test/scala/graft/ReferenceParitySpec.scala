@@ -92,6 +92,39 @@ class ReferenceParitySpec extends AnyFunSuite {
     assertExact(mine, ref, "kpi_prod_monthly")
   }
 
+  test("rollMean3 is bitwise pandas rolling(3, min_periods=1).mean() on the frozen fuzz oracle") {
+    // the committed KPI parquets pin the kernel only on the
+    // reference's actual series; this fixture pins it on the edge
+    // cases those series never hit (NaN runs, -0.0, repeated values,
+    // singleton windows, 1e308 magnitudes) — outputs generated from
+    // public pandas and frozen as big-endian IEEE-754 bit patterns,
+    // so any later "simplification" of the compensated sum, the
+    // remove-before-add order, or the same-value shortcut fails here
+    // byte-for-byte instead of surviving until new data finds it
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/pandas_rollmean_golden.json"), "UTF-8")
+    val text = try src.mkString finally src.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cases = mapper.readTree(text).get("cases")
+    def dec(hex: String): Double = java.lang.Double.longBitsToDouble(
+      java.lang.Long.parseUnsignedLong(hex, 16))
+    var checked = 0
+    (0 until cases.size()).foreach { i =>
+      val c = cases.get(i)
+      val in = (0 until c.get("in").size()).map(j => dec(c.get("in").get(j).asText())).toArray
+      val want = (0 until c.get("out").size()).map(j => dec(c.get("out").get(j).asText())).toArray
+      val got = graft.operators.PandasNum.rollMean3(in)
+      want.indices.foreach { j =>
+        val same = (want(j).isNaN && got(j).isNaN) ||
+          java.lang.Double.doubleToLongBits(want(j)) ==
+            java.lang.Double.doubleToLongBits(got(j))
+        assert(same, s"case $i pos $j: got ${got(j)} want ${want(j)} over ${in.mkString(",")}")
+        checked += 1
+      }
+    }
+    assert(checked > 500, s"fixture unexpectedly small: $checked values")
+  }
+
   test("END TO END: raw F1/G1 books → graft parse → graft metrics equals the committed KPI table") {
     // the composition the per-stage oracles can't check: the METRIC
     // input is graft's OWN parse of the raw books, not the committed
