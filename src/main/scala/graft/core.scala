@@ -517,9 +517,8 @@ object Tables {
     // (everything before the size/mtime suffix) identifies "this
     // source, this filter view"; the suffix identifies its version.
     val prefix = "t" + (rawDir + "/" + srcFile).replaceAll("[^A-Za-z0-9._-]", "_")
-    val key = prefix +
-      "_" + Files.size(src) +
-      "_" + Files.getLastModifiedTime(src).toMillis
+    val myMtime = Files.getLastModifiedTime(src).toMillis
+    val key = prefix + "_" + Files.size(src) + "_" + myMtime
     val out = Paths.get(root, key)
     if (!Files.exists(out)) {
       Files.createDirectories(out.getParent)
@@ -531,7 +530,6 @@ object Tables {
         // version stamp so the prune below is ORDERED, not mutual
         def siblingMtime(name: String): Long =
           name.split('_').lastOption.flatMap(_.toLongOption).getOrElse(Long.MaxValue)
-        val myMtime = siblingMtime(key)
         val sibs = {
           import scala.jdk.CollectionConverters._
           val kids = Files.list(out.getParent)

@@ -54,7 +54,7 @@ object Etl {
     * array_position/list_position, whose not-found semantics differ
     * across engines); unknown labels map to NULL.
     */
-  private def mesToMon(c: Column): Column =
+  private[graft] def mesToMon(c: Column): Column =
     meses.zipWithIndex.foldLeft(lit(null).cast("int")) {
       case (acc, (m, i)) => when(c === m, lit(i + 1)).otherwise(acc)
     }

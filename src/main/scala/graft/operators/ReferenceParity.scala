@@ -52,12 +52,10 @@ import org.apache.spark.sql.functions._
 object ReferenceParity {
 
   private val refRoot = "/root/reference"
-  private val meses = Etl.meses
 
-  private def mesNum(c: Column): Column =
-    meses.zipWithIndex.foldLeft(lit(null).cast("long")) {
-      case (acc, (m, i)) => when(c === m, lit((i + 1).toLong)).otherwise(acc)
-    }
+  /** month_num as int64 (the committed parquets' dtype), via the one
+    * month-name → number mapping the etl parse already defines. */
+  private def mesNum(c: Column): Column = Etl.mesToMon(c).cast("long")
 
   /** The three real books decoded once per session (binaryFile scan →
     * per-book decode → measured checkpoint), shared by both parse
