@@ -106,8 +106,13 @@ class XlsxSpec extends AnyFunSuite {
     // strings, r="B2" sparse cell addressing, styled empty cells and
     // numeric <v> values — none of which the fixture books exercise.
     // The same decode + relational parse must work on them unchanged
-    // (read-only access; no oracle twin exists for these, so this is
-    // the invariant spec: layout facts verified independently).
+    // (read-only access). Since r12 the parse VALUES are fully
+    // oracle-checked against the reference's own committed
+    // trade_prod.parquet (ref_trade_prod + ReferenceParitySpec,
+    // byte-exact); this test remains as the independent INVARIANT
+    // layer — layout facts asserted without consulting the golden
+    // file, so a regression that corrupted both sides of a file
+    // compare would still fail here.
     val cells = graft.sources.Xlsx.readAllCells(
       spark, "/root/reference/data/cdro_{F1,G1}.xlsx")
     val rows = graft.operators.Etl.parseBookCells(cells).collect()
