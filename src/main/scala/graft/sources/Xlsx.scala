@@ -350,6 +350,12 @@ object Xlsx {
     * coordinates the reference's parse logic is written in
     * (etl_products.py:47,63). Same scale shape as [[readSheets]]: a
     * binaryFile scan, one decode task per workbook.
+    *
+    * Failure contract (strict, parity-grade): a malformed zip THROWS
+    * and fails the job — on the reference's curated inputs a corrupt
+    * book is a stop-the-pipeline event, exactly as pd.read_excel
+    * raises. For lake-scale ingest where one bad file in a million
+    * must not kill the scan, use [[readAllCellsTolerant]].
     */
   def readAllCells(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
@@ -366,5 +372,45 @@ object Xlsx {
         }
       }
       .toDF("book", "sheet", "row_num", "col_num", "val")
+  }
+
+  /** Lake-scale variant of [[readAllCells]]: per-book decode failures
+    * become QUARANTINE rows instead of task failures, so one
+    * truncated upload in a million-book lake cannot kill the scan.
+    * Adds a `decode_error` column — null on good cells; on a bad book
+    * a single row carries the error (sheet = "", coordinates -1) for
+    * a quarantine sink to collect. Two failure classes surface:
+    * thrown decode errors (truncated/corrupt zip, malformed XML) and
+    * the silent one — bytes that unzip to NO worksheet parts (e.g. a
+    * renamed non-xlsx file), which the strict reader would drop as
+    * zero rows with no signal. Scale shape unchanged: one decode task
+    * per book; the error branch allocates one row.
+    */
+  def readAllCellsTolerant(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx")
+      .load(pathGlob)
+      .select($"path", $"content")
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        def quarantine(msg: String) = Seq((p, "", -1, -1, "", msg))
+        try {
+          val sheets = parseWorkbook(bytes)
+          if (sheets.isEmpty && bytes.nonEmpty)
+            quarantine("no worksheets decoded (not an xlsx workbook?)")
+          else sheets.flatMap { case (sheet, rows) =>
+            rows.zipWithIndex.flatMap { case (cells, r) =>
+              cells.zipWithIndex.map { case (v, c) =>
+                (p, sheet, r, c, v, null: String)
+              }
+            }
+          }
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            quarantine(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+      .toDF("book", "sheet", "row_num", "col_num", "val", "decode_error")
   }
 }

@@ -216,6 +216,43 @@ class SourcesSpec extends AnyFunSuite {
     assert(cells.filter($"sheet" === "Notas").count() == 64)
   }
 
+  test("tolerant xlsx ingest quarantines corrupt books instead of killing the scan") {
+    // a 100 TB lake will contain truncated uploads and renamed
+    // non-xlsx blobs; the strict reader's contract is
+    // stop-the-pipeline (pd.read_excel parity), the tolerant one must
+    // keep every good book's cells and surface one quarantine row per
+    // bad book — including the SILENT class where junk bytes unzip to
+    // zero worksheets and would otherwise vanish without signal
+    val dir = Files.createTempDirectory("graft-badbooks")
+    def writeBook(name: String, tag: String): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      graft.sources.Xlsx.writeWorkbookSheets(buf, Seq(
+        "2005" -> Seq(Seq("Enero"), Seq(tag))))
+      val bytes = buf.toByteArray
+      Files.write(dir.resolve(name), bytes)
+      bytes
+    }
+    val good = (0 until 3).map(b => writeBook(f"good_$b.xlsx", s"v$b"))
+    // truncated upload: the first half of a valid book
+    Files.write(dir.resolve("truncated.xlsx"), good(0).take(good(0).length / 2))
+    // renamed non-xlsx blob: unzips to no worksheet parts
+    Files.write(dir.resolve("junk.xlsx"),
+      "not a zip at all, definitely not a workbook".getBytes("UTF-8"))
+    val cells = graft.sources.Xlsx.readAllCellsTolerant(spark, dir.toString)
+      .collect()
+    val (bad, ok) = cells.partition(r => !r.isNullAt(5))
+    // every good book decoded fully (2 rows x 1 col each)
+    assert(ok.length == 3 * 2, s"good cells lost: ${ok.length}")
+    assert(ok.map(_.getString(0).split('/').last).toSet ==
+      (0 until 3).map(b => f"good_$b.xlsx").toSet)
+    // exactly one quarantine row per bad book, each naming its error
+    val badByBook = bad.map(r => r.getString(0).split('/').last -> r.getString(5)).toMap
+    assert(badByBook.keySet == Set("truncated.xlsx", "junk.xlsx"),
+      s"quarantine set wrong: $badByBook")
+    assert(badByBook.values.forall(_.nonEmpty))
+    assert(bad.forall(r => r.getInt(2) == -1 && r.getInt(3) == -1))
+  }
+
   test("sorted-within-partitions write keeps min/max stats tight") {
     Tables(spark, sf).lineitem
       .repartition($"l_returnflag")
