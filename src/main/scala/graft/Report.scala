@@ -69,6 +69,69 @@ object Report {
        |</svg>
        |""".stripMargin
   }
+  /** The EDA summary rendered from the reference's REAL data — the
+    * golden-file KPI tables (byte-exact vs the reference's committed
+    * parquets) instead of the TPC-H analog: eda.py's sections with
+    * the actual 2005-2025 series, CUODE category names and
+    * billion-dollar magnitudes. Returns (markdown, figures) where
+    * each figure is (filename, svg) — the caller decides where they
+    * land, so specs can render without touching disk.
+    */
+  def renderReference(spark: SparkSession): (String, Seq[(String, String)]) = {
+    def q(name: String) = SparkEntry.queries(name)(spark, "")
+    val km = q("ref_kpi_monthly").collect()
+    def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val exports = km.flatMap(d(_, 3)) // export column, null-free
+    val meanB = exports.sum / exports.length / 1e9
+    val stdB = math.sqrt(exports.map(v => math.pow(v - exports.sum / exports.length, 2)).sum / exports.length) / 1e9
+    val maxB = exports.max / 1e9
+    val balances = km.flatMap(d(_, 5))
+    val surplus = balances.count(_ > 0)
+    // seasonality over the real calendar (month_num 1..12)
+    val season = km.groupBy(_.getLong(2)).toSeq.sortBy(_._1).map {
+      case (mon, rows) =>
+        val vs = rows.flatMap(d(_, 3)); mon -> vs.sum / vs.length
+    }
+    val peak = season.maxBy(_._2)._1; val valley = season.minBy(_._2)._1
+    // outliers on the real MoM series (|mom - mean| > 2 sigma)
+    val moms = km.flatMap(r => d(r, 6).map(m => (r.getLong(0), r.getString(1), m)))
+    val mMean = moms.map(_._3).sum / moms.length
+    val mStd = math.sqrt(moms.map(x => math.pow(x._3 - mMean, 2)).sum / moms.length)
+    val outliers = moms.filter(x => math.abs(x._3 - mMean) > 2 * mStd)
+    val kp = q("ref_kpi_prod_monthly").collect()
+    val lastYr = kp.iterator.map(_.getLong(0)).max
+    val topCats = kp.iterator.filter(_.getLong(0) == lastYr)
+      .toSeq.groupBy(_.getString(3))
+      .view.mapValues(_.flatMap(d(_, 4)).sum).toSeq
+      .filter(_._2 > 0).sortBy { case (c, e) => (-e, c) }.take(3)
+
+    val md = new StringBuilder
+    md ++= "# EDA Report — Observatorio de Comercio (datos reales)\n\n"
+    md ++= "## Descriptive statistics (exports, 2005-2025)\n"
+    md ++= f"- Mean monthly exports: $$${meanB}%.4fB USD\n"
+    md ++= f"- Std deviation: $$${stdB}%.4fB USD\n"
+    md ++= f"- Historical maximum: $$${maxB}%.4fB USD\n"
+    md ++= f"- Surplus months: $surplus/${balances.length} (balance known through 2024)\n\n"
+    md ++= "## Seasonality\n"
+    md ++= s"- Peak month (avg exports): $peak\n- Valley month: $valley\n\n"
+    md ++= "## Outlier events (|MoM - mean| > 2 sigma)\n"
+    outliers.foreach { case (yr, mes, mom) =>
+      md ++= f"- $yr-$mes: MoM $mom%.1f%%\n"
+    }
+    md ++= s"\n## Top export categories ($lastYr)\n"
+    topCats.zipWithIndex.foreach { case ((cat, v), k) =>
+      md ++= f"${k + 1}. $cat: $$${v / 1e9}%.2fB\n"
+    }
+    val figures = Seq(
+      "eda_trend_ref.svg" ->
+        lineSvg("Monthly exports 2005-2025 (USD)", exports.toSeq),
+      "eda_seasonality_ref.svg" ->
+        barSvg("Avg exports by month (USD)",
+          season.map(_._1.toString), season.map(_._2)))
+    (md.toString, figures)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("target/reports")

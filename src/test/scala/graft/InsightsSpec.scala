@@ -124,6 +124,27 @@ class InsightsSpec extends AnyFunSuite {
     assert(md.linesIterator.count(_.startsWith("| ")) > 15)
   }
 
+  test("EDA report renders from the real data with real magnitudes and CUODE names") {
+    val (md, figures) = graft.Report.renderReference(spark)
+    for (h <- Seq("datos reales", "Descriptive statistics", "Seasonality",
+        "Outlier events", "Top export categories"))
+      assert(md.contains(h), s"real-data EDA missing section: $h")
+    // the real series' magnitude: mean monthly exports are single-digit
+    // billions over 2005-2025
+    val mean = """Mean monthly exports: \$([\d.]+)B""".r
+      .findFirstMatchIn(md).map(_.group(1).toDouble)
+    assert(mean.exists(m => m > 1 && m < 10), s"implausible real mean: $mean")
+    assert(md.contains("Productos Tradicionales") || md.contains("BIENES"),
+      "top categories must carry real names")
+    // both figures render non-degenerate SVG from the real series
+    assert(figures.map(_._1).toSet ==
+      Set("eda_trend_ref.svg", "eda_seasonality_ref.svg"))
+    figures.foreach { case (name, svg) =>
+      assert(svg.startsWith("<svg") && svg.contains("</svg>"), s"$name malformed")
+      assert(svg.length > 500, s"$name suspiciously empty")
+    }
+  }
+
   test("dashboard defaults the category tab to the latest year's top-10 by export") {
     // reference app.py:446-473: with no manual selection the category
     // multiselect defaults to the top-N by export IN THE LATEST YEAR
