@@ -216,6 +216,74 @@ class SourcesSpec extends AnyFunSuite {
     assert(cells.filter($"sheet" === "Notas").count() == 64)
   }
 
+  test("publishFixture prunes only OLDER versions and fails loudly as a stale writer") {
+    // the r12 prune closes the stale-twin oracle-glob hole, and its
+    // ordering rule closes the race the prune itself could open: a
+    // writer that discovers a FRESHER sibling under the lock must not
+    // publish-and-prune (that would delete fresh data and resurrect
+    // its own stale snapshot) — it fails loudly instead
+    val root = Files.createTempDirectory("graft-fixture-prune").toString
+    val srcDir = Files.createTempDirectory("graft-fixture-src")
+    val src = srcDir.resolve("orders.parquet")
+    Files.write(src, "v1".getBytes)
+    Files.setLastModifiedTime(src,
+      java.nio.file.attribute.FileTime.fromMillis(1000000L))
+    def publish() = graft.Tables.publishFixture(root, srcDir.toString,
+      "orders.parquet") { tmp =>
+      Files.createDirectories(java.nio.file.Paths.get(tmp))
+      Files.write(java.nio.file.Paths.get(tmp, "data.txt"), "x".getBytes)
+    }
+    val out1 = publish()
+    // an UNRELATED fixture (different logical prefix) must survive all
+    // pruning below
+    val other = java.nio.file.Paths.get(root, "t_other_src.parquet_9_9")
+    Files.createDirectories(other)
+    // source regenerated (newer mtime, same size): new dir published,
+    // old version pruned
+    Files.setLastModifiedTime(src,
+      java.nio.file.attribute.FileTime.fromMillis(2000000L))
+    val out2 = publish()
+    assert(out2 != out1)
+    assert(!Files.exists(java.nio.file.Paths.get(out1)),
+      "superseded fixture version must be pruned")
+    assert(Files.exists(java.nio.file.Paths.get(out2, "data.txt")))
+    assert(Files.exists(other), "unrelated fixture pruned")
+    // stale writer: the source's mtime moves BACKWARD relative to an
+    // existing fresher sibling (equivalently: a fresher sibling
+    // appeared while this writer was working) — must throw, publish
+    // nothing, and leave the fresh fixture intact
+    Files.setLastModifiedTime(src,
+      java.nio.file.attribute.FileTime.fromMillis(1500000L))
+    val ex = intercept[IllegalStateException](publish())
+    assert(ex.getMessage.contains("regenerated"))
+    assert(Files.exists(java.nio.file.Paths.get(out2, "data.txt")),
+      "stale writer deleted the fresh fixture")
+  }
+
+  test("a params-fragment session's prod fixture is invisible to the oracle's src_n match") {
+    // the DuckDB oracle selects its fixture by src_n = COUNT(orders)
+    // over the PLAIN tables; a '#cat=...'-filtered session can share
+    // that count while its grids differ, so its cells must carry a
+    // NEGATIVE tag the count can never equal (r11 ADVICE)
+    val frag = s"$sf#cat=large%20brushed%20brass"
+    SparkEntry.queries("etl_parse_xlsx_prod")(spark, frag).collect()
+    import scala.jdk.CollectionConverters._
+    val v2 = java.nio.file.Paths.get("/root/repo/target/etl_raw_prod/v2")
+    val fragDirs = Files.list(v2).iterator().asScala
+      .filter(_.getFileName.toString.contains("cat")).toList
+    assert(fragDirs.nonEmpty, "params fixture dir not found")
+    val srcNs = fragDirs.flatMap { d =>
+      Files.list(d.resolve("cells")).iterator().asScala
+        .filter(_.toString.endsWith(".csv")).toList
+        .flatMap { f =>
+          scala.io.Source.fromFile(f.toFile, "UTF-8").getLines().drop(1)
+            .map(_.split(',').last.toLong).toList
+        }
+    }
+    assert(srcNs.nonEmpty && srcNs.forall(_ < 0),
+      s"params fixture must carry a negative src_n tag: ${srcNs.distinct.take(3)}")
+  }
+
   test("tolerant xlsx ingest quarantines corrupt books instead of killing the scan") {
     // a 100 TB lake will contain truncated uploads and renamed
     // non-xlsx blobs; the strict reader's contract is
