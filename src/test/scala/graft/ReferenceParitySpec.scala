@@ -92,6 +92,28 @@ class ReferenceParitySpec extends AnyFunSuite {
     assertExact(mine, ref, "kpi_prod_monthly")
   }
 
+  test("NEGATIVE CONTROL: the byte-exact comparator detects a single flipped value") {
+    // a comparator bug that made assertExact vacuously pass would
+    // silently void every parity claim above — prove one ulp-level
+    // mutation in one cell fails the compare
+    import org.apache.spark.sql.functions._
+    val ref = spark.read.parquet(s"$refRoot/kpi_monthly.parquet")
+      .orderBy("year", "month_num")
+    val mutated = ref.withColumn("export",
+      when(col("year") === 2010 && col("month_num") === 6,
+        col("export") + 1e-6).otherwise(col("export")))
+    intercept[org.scalatest.exceptions.TestFailedException] {
+      assertExact(mutated, ref, "negative control")
+    }
+    // and null vs value is caught too, not just value vs value
+    val nulled = ref.withColumn("export",
+      when(col("year") === 2010 && col("month_num") === 6,
+        lit(null).cast("double")).otherwise(col("export")))
+    intercept[org.scalatest.exceptions.TestFailedException] {
+      assertExact(nulled, ref, "negative control (null)")
+    }
+  }
+
   test("rollMean3 is bitwise pandas rolling(3, min_periods=1).mean() on the frozen fuzz oracle") {
     // the committed KPI parquets pin the kernel only on the
     // reference's actual series; this fixture pins it on the edge
