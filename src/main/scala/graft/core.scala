@@ -406,6 +406,12 @@ object Tables {
   }
 
   private val splitLock = new Object
+  /** Fixture keys whose sibling sweep already ran this JVM — the
+    * reuse-path prune in [[publishFixture]] is idempotent but not
+    * free (list + file lock), so bound it to once per key/session.
+    */
+  private val sweptFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** One-time ingest relayout: the single-file fact parquet rewritten
     * as a [[splitFiles]]-file parquet directory under the system tmp
@@ -516,28 +522,78 @@ object Tables {
     // differently-filtered queries (r11 ADVICE). The logical prefix
     // (everything before the size/mtime suffix) identifies "this
     // source, this filter view"; the suffix identifies its version.
-    val prefix = "t" + (rawDir + "/" + srcFile).replaceAll("[^A-Za-z0-9._-]", "_")
+    //
+    // The prefix must be COLLISION-PROOF under sibling matching
+    // (startsWith(prefix + "_") below): sanitization collapses '#',
+    // '=', '%', ' ' and '_' all to '_', so one fixture's sanitized
+    // name could extend another's with "_..." (srcFile
+    // 'orders.parquet' vs 'orders.parquet_v2', rawDir 'a#b' vs
+    // physical dir 'a_b') and be pruned/stale-checked as a version
+    // sibling of the wrong fixture (r12 ADVICE). Two guards: '@' —
+    // a character the sanitizer can NEVER emit — terminates the
+    // sanitized section, so the first '@' in any key is an
+    // unambiguous boundary and prefix capture requires the sanitized
+    // sections to be IDENTICAL; then a fixed-width hash of the raw
+    // (rawDir, srcFile) pair disambiguates raws that sanitize
+    // identically. ('@' is filename-safe and carries no meaning to
+    // Spark's partition discovery, unlike '='.)
+    val raw = rawDir + "/" + srcFile
+    val legacyPrefix = "t" + raw.replaceAll("[^A-Za-z0-9._-]", "_")
+    val prefix = legacyPrefix +
+      "@" + f"${scala.util.hashing.MurmurHash3.stringHash(raw)}%08x"
     val myMtime = Files.getLastModifiedTime(src).toMillis
     val key = prefix + "_" + Files.size(src) + "_" + myMtime
     val out = Paths.get(root, key)
+
+    // a sibling's key ends "_<size>_<mtimeMillis>" — parse the
+    // version stamp so pruning is ORDERED, not mutual
+    def siblingMtime(name: String): Long =
+      name.split('_').lastOption.flatMap(_.toLongOption).getOrElse(Long.MaxValue)
+    // Version siblings of this logical fixture: the collision-proof
+    // '@'-format, plus the pre-hash LEGACY format (no '@' anywhere —
+    // published before the key change). The legacy match must stay
+    // or old-format dirs linger forever and an oracle that GLOBS the
+    // fixture root reads both layouts' rows (observed as an exact
+    // src_n-fold row duplication when the format changed).
+    def isSibling(name: String): Boolean =
+      name != key && !name.startsWith(".") &&
+        (name.startsWith(prefix + "_") ||
+          (name.startsWith(legacyPrefix + "_") && !name.contains('@')))
+    def listSibs(): List[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      val kids = Files.list(out.getParent)
+      try kids.iterator().asScala
+        .filter(p => isSibling(p.getFileName.toString)).toList
+      finally kids.close()
+    }
+    // Cross-JVM writers are supported (publishOrYield), so every
+    // fresher-sibling check → publish → prune sequence must be
+    // atomic ACROSS processes, not only under splitLock: two JVMs
+    // interleaving list/publish could otherwise leave a stale-key
+    // dir and a fresh-key dir coexisting (the oracle-glob
+    // duplication the prune closes) or publish a stale snapshot
+    // after a fresh one without tripping the fail-loud path (r12
+    // ADVICE). splitLock stays OUTSIDE the file lock: OS file locks
+    // are held per-process, and a second in-process thread calling
+    // lock() while the first holds it throws
+    // OverlappingFileLockException instead of queueing.
+    def withLocks[T](body: => T): T = splitLock.synchronized {
+      Files.createDirectories(out.getParent)
+      val lockCh = java.nio.channels.FileChannel.open(
+        out.getParent.resolve(".graft-fixture.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val flock = lockCh.lock()
+      try body finally { flock.release(); lockCh.close() }
+    }
+
     if (!Files.exists(out)) {
       Files.createDirectories(out.getParent)
       val tmp = Paths.get(out.getParent.toString,
         s".tmp_${key}_${java.util.UUID.randomUUID()}")
       write(tmp.toString)
-      splitLock.synchronized {
-        // a sibling's key ends "_<size>_<mtimeMillis>" — parse the
-        // version stamp so the prune below is ORDERED, not mutual
-        def siblingMtime(name: String): Long =
-          name.split('_').lastOption.flatMap(_.toLongOption).getOrElse(Long.MaxValue)
-        val sibs = {
-          import scala.jdk.CollectionConverters._
-          val kids = Files.list(out.getParent)
-          try kids.iterator().asScala.filter(p =>
-              p.getFileName.toString.startsWith(prefix + "_") &&
-                p.getFileName.toString != key).toList
-          finally kids.close()
-        }
+      withLocks {
+        val sibs = listSibs()
         if (sibs.exists(p => siblingMtime(p.getFileName.toString) > myMtime)) {
           // the source was regenerated UNDER this writer (a fresher
           // fixture already exists): publishing-and-pruning here
@@ -557,15 +613,29 @@ object Tables {
           // otherwise leave the old dir in place, and oracles that
           // GLOB the fixture root would read both — duplicating rows
           // until someone cleans by hand (r11 ADVICE). Only siblings
-          // sharing this key's logical prefix AND a strictly older
+          // sharing this key's logical prefix AND an older-or-equal
           // version stamp are touched (the newer-stamp case failed
-          // loudly above), so other SFs / other params views / other
-          // callers' fixtures — and any fresher publish — are never
-          // at risk. A reader mid-scan of a pruned dir can only
+          // loudly above; an EQUAL stamp can only be the legacy spelling
+          // of this same version), so other SFs / other params views /
+          // other callers' fixtures — and any fresher publish — are
+          // never at risk. A reader mid-scan of a pruned dir can only
           // exist if its source was already regenerated underneath
           // it — its world was stale either way.
           sibs.foreach(deleteRecursively(_))
         }
+      }
+    } else if (sweptFixtures.putIfAbsent(out.toString,
+        java.lang.Boolean.TRUE) == null) {
+      // `out` already exists, so the publish-path prune above never
+      // runs — but superseded or legacy-format siblings may still
+      // linger from sessions that predate the current key format.
+      // Sweep them once per JVM (metadata-only, same locks) so an
+      // existing environment heals without waiting for a source
+      // regeneration.
+      withLocks {
+        listSibs()
+          .filter(p => siblingMtime(p.getFileName.toString) <= myMtime)
+          .foreach(deleteRecursively(_))
       }
     }
     out.toString
@@ -718,7 +788,7 @@ private[graft] object MeasuredCkpt {
         val stats = Statistics(
           sizeInBytes = (BigInt(n) * rowBytes).max(1), rowCount = Some(BigInt(n)))
         val session = lc.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-        org.apache.spark.sql.GraftSqlBridge.ofRows(session,
+        org.apache.spark.sql.GraftShim.ofRows(session,
           lr.copy()(session, Some(stats), None))
       case _ => lc // non-LogicalRDD checkpoint (unexpected): keep as-is
     }

@@ -388,7 +388,7 @@ object Xlsx {
     */
   def readAllCellsTolerant(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile")
+    val decoded = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xlsx")
       .load(pathGlob)
       .select($"path", $"content")
@@ -397,7 +397,7 @@ object Xlsx {
         def quarantine(msg: String) = Seq((p, "", -1, -1, "", msg))
         try {
           val sheets = parseWorkbook(bytes)
-          if (sheets.isEmpty && bytes.nonEmpty)
+          if (sheets.isEmpty)
             quarantine("no worksheets decoded (not an xlsx workbook?)")
           else sheets.flatMap { case (sheet, rows) =>
             rows.zipWithIndex.flatMap { case (cells, r) =>
@@ -412,5 +412,25 @@ object Xlsx {
         }
       }
       .toDF("book", "sheet", "row_num", "col_num", "val", "decode_error")
+    // A 0-byte book never reaches the decoder at all: Spark's file
+    // scan derives splits from [0, length), so a zero-length file
+    // yields NO splits and the binaryFile row simply doesn't exist —
+    // a truncated upload would produce neither cells nor a
+    // quarantine row, the exact silent class this method documents
+    // itself as surfacing (r12 ADVICE). Quarantine them from the
+    // LISTING side: a metadata-only pass over the same paths the
+    // scan lists (the driver's InMemoryFileIndex does this listing
+    // anyway), bounded by the number of empty files.
+    val hPath = new org.apache.hadoop.fs.Path(pathGlob)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(hPath)).map(_.toSeq).getOrElse(Seq.empty)
+    val empties = matched
+      .flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st))
+      .filter(st => st.isFile && st.getLen == 0 &&
+        st.getPath.getName.endsWith(".xlsx"))
+      .map(st => (st.getPath.toString, "", -1, -1, "", "empty file (0 bytes)"))
+    if (empties.isEmpty) decoded
+    else decoded.unionAll(empties
+      .toDF("book", "sheet", "row_num", "col_num", "val", "decode_error"))
   }
 }

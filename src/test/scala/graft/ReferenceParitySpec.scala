@@ -51,8 +51,13 @@ class ReferenceParitySpec extends AnyFunSuite {
 
   test("ref_trade_prod: the real F1/G1 parse equals the committed trade_prod.parquet, byte-exact") {
     val mine = SparkEntry.queries("ref_trade_prod")(spark, sf)
+    // "usd" tiebreak matches the query side's resultOrder and the
+    // DuckDB oracle SQL: if the committed parquet ever carries a
+    // duplicate (year, flow, category, month) key, both sides must
+    // still use the same TOTAL order or the positional row-zip
+    // flakes (r12 ADVICE)
     val ref = spark.read.parquet(s"$refRoot/trade_prod.parquet")
-      .orderBy("year", "flow", "category", "month")
+      .orderBy("year", "flow", "category", "month", "usd")
       .selectExpr("CAST(year AS BIGINT) AS year", "month", "flow", "category", "usd")
     assertExact(mine, ref, "trade_prod")
   }

@@ -258,6 +258,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("regenerated"))
     assert(Files.exists(java.nio.file.Paths.get(out2, "data.txt")),
       "stale writer deleted the fresh fixture")
+    // LEGACY-format twin (pre-r13 key, no '@' hash) carrying the SAME
+    // version stamp as the live fixture: an oracle glob over the root
+    // would read both layouts' rows. A regular reuse-path call — no
+    // new key published — must sweep it.
+    Files.setLastModifiedTime(src,
+      java.nio.file.attribute.FileTime.fromMillis(2000000L))
+    val legacy = java.nio.file.Paths.get(root,
+      "t" + (srcDir.toString + "/orders.parquet")
+        .replaceAll("[^A-Za-z0-9._-]", "_") + "_2_2000000")
+    Files.createDirectories(legacy)
+    val out3 = publish()
+    assert(out3 == out2, "reuse path must serve the existing fixture")
+    assert(!Files.exists(legacy), "legacy-format twin must be swept")
+    assert(Files.exists(java.nio.file.Paths.get(out2, "data.txt")))
+    assert(Files.exists(other), "unrelated fixture swept by legacy prune")
   }
 
   test("a params-fragment session's prod fixture is invisible to the oracle's src_n match") {
@@ -306,6 +321,10 @@ class SourcesSpec extends AnyFunSuite {
     // renamed non-xlsx blob: unzips to no worksheet parts
     Files.write(dir.resolve("junk.xlsx"),
       "not a zip at all, definitely not a workbook".getBytes("UTF-8"))
+    // zero-byte upload: ZipInputStream yields no entries WITHOUT
+    // throwing, so this is the silent-silent class — it must
+    // quarantine too, not vanish (r12 ADVICE)
+    Files.write(dir.resolve("empty.xlsx"), Array.empty[Byte])
     val cells = graft.sources.Xlsx.readAllCellsTolerant(spark, dir.toString)
       .collect()
     val (bad, ok) = cells.partition(r => !r.isNullAt(5))
@@ -315,8 +334,9 @@ class SourcesSpec extends AnyFunSuite {
       (0 until 3).map(b => f"good_$b.xlsx").toSet)
     // exactly one quarantine row per bad book, each naming its error
     val badByBook = bad.map(r => r.getString(0).split('/').last -> r.getString(5)).toMap
-    assert(badByBook.keySet == Set("truncated.xlsx", "junk.xlsx"),
+    assert(badByBook.keySet == Set("truncated.xlsx", "junk.xlsx", "empty.xlsx"),
       s"quarantine set wrong: $badByBook")
+    assert(badByBook("empty.xlsx").contains("empty file"))
     assert(badByBook.values.forall(_.nonEmpty))
     assert(bad.forall(r => r.getInt(2) == -1 && r.getInt(3) == -1))
   }
