@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNPREFIXED: sbt's default
+// LoggedOutput wraps every line in "[info] ", which breaks any
+// consumer that parses graft.Bench's one-line JSON summary from the
+// process output (the round driver's BENCH_*.json `parsed` field).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -32,7 +32,7 @@ import org.apache.spark.sql.Row
   * Streamlit rerun does.
   *
   * Usage: graft.Dashboard [sfDir] [outDir] [yearFrom:yearTo]
-  *          [flows(csv)] [categories(csv)]
+  *          [flows(csv)] [categories(csv)] [nTop]
   */
 object Dashboard {
 
@@ -74,7 +74,8 @@ object Dashboard {
         .map(_.toInt),
       yearTo = args.lift(2).flatMap(_.split(':').lift(1)).map(_.toInt),
       flows = args.lift(3).map(_.split(',').toSet),
-      categories = args.lift(4).map(_.split(',').toSeq))
+      categories = args.lift(4).map(_.split(',').toSeq),
+      nTop = args.lift(5).map(_.toInt))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.local(cpus, Some(sfDir))
     spark.sparkContext.setLogLevel("WARN")
@@ -132,7 +133,9 @@ object Dashboard {
             // pandas sort_values is stable; the category tiebreak here
             // makes the selection deterministic under equal exports
             .sortBy { case (cat, e) => (-e, cat) }
-            .take(10).map(_._1)
+            // the top-N dial (app.py:437-445 number_input, default
+            // 10) — rides the params fragment like every other filter
+            .take(params.nTop.getOrElse(10)).map(_._1)
           Some(top).filter(_.nonEmpty)
         }
       }
@@ -154,7 +157,8 @@ object Dashboard {
         case (a, b) => Some(s"años ${a.getOrElse("…")}–${b.getOrElse("…")}")
       }
       val sel = yrs ++ params.flows.map(f => s"flujos ${f.toSeq.sorted.mkString("+")}") ++
-        params.categories.map(c => s"categorías ${c.mkString(", ")}")
+        params.categories.map(c => s"categorías ${c.mkString(", ")}") ++
+        params.nTop.map(n => s"top $n")
       md ++= s"_Filtros: ${sel.mkString(" · ")}_\n\n"
     }
 
@@ -279,14 +283,37 @@ object Dashboard {
     * source book ends earlier, and the committed table holds nulls
     * there).
     */
-  def renderReference(spark: org.apache.spark.sql.SparkSession): String = {
+  /** The real-data observatory, parameterized like the reference UI:
+    * app.py's year-range slider (app.py:165-172), category
+    * multiselect and top-N dial (app.py:424-473) all operate
+    * CLIENT-SIDE over the loaded KPI frame (pandas `df[df.year...]`
+    * after a full parquet load) — so the faithful engine analog
+    * filters the collected golden frames driver-side too. The frames
+    * are calendar-bounded (≤ years×12×categories rows); the
+    * scan-pushdown story for params belongs to the synthetic
+    * warehouse path ([[render]] via TradeParams.onOrders/onPart,
+    * PushedFilters asserted in InsightsSpec).
+    */
+  def renderReference(spark: org.apache.spark.sql.SparkSession,
+      params: TradeParams = TradeParams()): String = {
     def q(name: String) = SparkEntry.queries(name)(spark, "")
     def l(r: Row, idx: Int): String =
       if (r.isNullAt(idx)) "—" else r.getLong(idx).toString
+    def inYears(y: Long): Boolean =
+      params.yearFrom.forall(y >= _) && params.yearTo.forall(y <= _)
     val md = new StringBuilder
     md ++= "# Observatorio de Comercio Exterior del Perú — datos reales\n\n"
+    if (!params.isEmpty) {
+      val sel = ((params.yearFrom, params.yearTo) match {
+        case (None, None) => None
+        case (a, b) => Some(s"años ${a.getOrElse("…")}–${b.getOrElse("…")}")
+      }) ++ params.categories.map(c => s"categorías ${c.mkString(", ")}") ++
+        params.nTop.map(n => s"top $n")
+      md ++= s"_Filtros: ${sel.mkString(" · ")}_\n\n"
+    }
 
     val km = q("ref_kpi_monthly").collect()
+      .filter(r => inYears(r.getLong(0)))
     md ++= "## Análisis por País\n\n### Métricas Clave (último mes)\n"
     km.lastOption.foreach { r =>
       md ++= s"- ${l(r, 0)}-${r.getString(1)}: Export ${usd(r, 3)} " +
@@ -299,6 +326,8 @@ object Dashboard {
     }
 
     val kp = q("ref_kpi_prod_monthly").collect()
+      .filter(r => inYears(r.getLong(0)) &&
+        params.categories.forall(_.contains(r.getString(3))))
     md ++= "\n## Análisis por Categorías\n\n### Top categorías por exportación (último año)\n"
     if (kp.nonEmpty) {
       val lastYr = kp.iterator.map(_.getLong(0)).max
@@ -308,7 +337,8 @@ object Dashboard {
           .map(r => if (r.isNullAt(4)) 0.0 else r.getDouble(4)).sum)
         .toSeq.filter(_._2 > 0)
         .sortBy { case (cat, e) => (-e, cat) }
-        .take(10).zipWithIndex.foreach { case ((cat, e), k) =>
+        .take(params.nTop.getOrElse(10))
+        .zipWithIndex.foreach { case ((cat, e), k) =>
           md ++= s"- ${k + 1}. $cat: ${fmtUsd(e)}\n"
         }
       md ++= s"\n### Categorías de importación (CUODE, $lastYr)\n"
@@ -322,7 +352,8 @@ object Dashboard {
     md ++= "\n### Reconciliación QA (libro vs suma de meses, export)\n"
     md ++= "| año | total libro | suma meses | Δ |\n| --- | --- | --- | --- |\n"
     q("ref_trade_export").collect()
-      .filter(_.getString(1) == "Total").takeRight(5).foreach { r =>
+      .filter(r => r.getString(1) == "Total" && inYears(r.getLong(0)))
+      .takeRight(5).foreach { r =>
         // a book total can be null (the parse degrades where etl.py
         // would crash on an unparsable Total cell) — the delta cell
         // must degrade like the value cells, not NPE the render

@@ -132,6 +132,70 @@ object Report {
     (md.toString, figures)
   }
 
+  /** The reference's committed `reports/eda/eda_summary.md`,
+    * re-rendered byte-for-byte from the oracle-checked
+    * `ref_eda_stats` query — the FIFTH golden file's adjudication
+    * surface (eda.py:264-296's template; the interpolated values are
+    * the nine statistics, everything else is the template's fixed
+    * narrative text, reproduced as a semantic necessity — byte
+    * parity to a published report requires the report's own
+    * format). Every line except the trailing generation timestamp
+    * reproduces the committed file exactly; InsightsSpec pins that
+    * line-by-line against `/root/reference/reports/eda/
+    * eda_summary.md`. Formatting note: Python's `{:.1f}` rounds
+    * half-even, Java's `%.1f` half-up — equal everywhere off a
+    * .x5 tie, and the spec proves none of the five formatted values
+    * sits on one.
+    *
+    * `now` is injectable so specs render deterministically.
+    */
+  def renderEdaSummaryGolden(spark: SparkSession,
+      now: java.time.LocalDateTime = java.time.LocalDateTime.now()): String = {
+    val r = SparkEntry.queries("ref_eda_stats")(spark, "").collect().head
+    val meanS = f"${r.getDouble(0)}%.1f"
+    val stdS = f"${r.getDouble(1)}%.1f"
+    val maxS = f"${r.getDouble(2) / 1e9}%.1f"
+    val maxYm = r.getString(3)
+    val surplus = r.getLong(4); val total = r.getLong(5)
+    val pctS = f"${surplus.toDouble / total * 100.0}%.1f"
+    val peak = r.getString(6); val valley = r.getString(7)
+    val outliers = r.getLong(8)
+    val ts = now.format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    s"""# Reporte EDA - Observatorio de Comercio Perú
+       |
+       |## 📊 Estadísticas Generales
+       |- **Exportaciones promedio**: $$${meanS}B USD
+       |- **Desviación estándar**: $$${stdS}B USD
+       |- **Máximo histórico**: $$${maxS}B USD ($maxYm)
+       |- **Meses con superávit**: $surplus/$total ($pctS%)
+       |
+       |## 🗓️ Patrones Estacionales
+       |- **Mes pico**: $peak (mayor promedio de exportaciones)
+       |- **Mes valle**: $valley (menor promedio de exportaciones)
+       |
+       |## 🔍 Eventos Atípicos
+       |- **Outliers detectados**: $outliers eventos
+       |- **Criterio**: Variaciones >2σ respecto a la media
+       |
+       |## 📈 Hallazgos Clave
+       |1. **Tendencia general**: Crecimiento sostenido con volatilidad cíclica
+       |2. **Estacionalidad**: Patrones regulares con picos en $peak
+       |3. **Volatilidad**: Mayor inestabilidad en períodos 2008-2009, 2020-2021
+       |4. **Balance comercial**: Alternancia entre superávit y déficit según coyuntura
+       |
+       |## 📋 Archivos Generados
+       |- `series_temporal.html`: Serie temporal principal
+       |- `estacionalidad_heatmap.html`: Mapa de calor estacional
+       |- `distribucion_mensual.html`: Distribución por meses
+       |- `tendencias.html`: Análisis de tendencias
+       |- `outliers.html`: Detección de eventos atípicos
+       |- `dashboard_eda.html`: Dashboard resumen
+       |
+       |*Generado el $ts*
+       |""".stripMargin
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("target/reports")
@@ -200,7 +264,13 @@ object Report {
       barSvg("Avg exports by month (USD)",
         season.map(_.getInt(0).toString).toSeq,
         season.map(_.getDouble(1)).toSeq))
-    println(s"report written: $outDir/eda_summary.md (+2 SVG figures)")
+    // the drop-in replacement for the reference's committed report:
+    // same filename the reference publishes under reports/eda/, in
+    // its exact format, from the real data
+    Files.writeString(Paths.get(s"$outDir/eda_summary_reference.md"),
+      renderEdaSummaryGolden(spark))
+    println(s"report written: $outDir/eda_summary.md (+2 SVG figures, " +
+      "+eda_summary_reference.md)")
     spark.stop()
   }
 }

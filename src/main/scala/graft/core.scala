@@ -209,16 +209,22 @@ final case class TradeParams(
     yearFrom: Option[Int] = None,
     yearTo: Option[Int] = None,
     flows: Option[Set[String]] = None,      // subset of {export, import}
-    categories: Option[Seq[String]] = None) {
+    categories: Option[Seq[String]] = None,
+    nTop: Option[Int] = None) {             // app.py:437-445 top-N dial
   // fail fast on an unknown flow name: flowFilter would otherwise
   // reduce to lit(false) and every dashboard panel would silently
   // render empty ("sin datos") on a CLI typo like `Export`
   flows.foreach(f => require(f.nonEmpty && f.subsetOf(TradeParams.knownFlows),
     s"unknown flow(s) ${f.diff(TradeParams.knownFlows).mkString(",")} — " +
       s"expected a non-empty subset of ${TradeParams.knownFlows.mkString(",")}"))
+  // the reference dial is a 5..50 number_input; engine-side only
+  // positivity is semantic (top-0 would blank every category panel
+  // under a silent default)
+  nTop.foreach(n => require(n >= 1, s"nTop must be >= 1, got $n"))
 
   def isEmpty: Boolean =
-    yearFrom.isEmpty && yearTo.isEmpty && flows.isEmpty && categories.isEmpty
+    yearFrom.isEmpty && yearTo.isEmpty && flows.isEmpty &&
+      categories.isEmpty && nTop.isEmpty
 
   private def enc(s: String) =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -229,7 +235,8 @@ final case class TradeParams(
     else {
       val kv = yearFrom.map("yf=" + _) ++ yearTo.map("yt=" + _) ++
         flows.map(f => "flow=" + f.toSeq.sorted.map(enc).mkString(",")) ++
-        categories.map(c => "cat=" + c.map(enc).mkString(","))
+        categories.map(c => "cat=" + c.map(enc).mkString(",")) ++
+        nTop.map("ntop=" + _)
       dir + "#" + kv.mkString("&")
     }
 
@@ -277,7 +284,8 @@ object TradeParams {
         (path, TradeParams(
           kv.get("yf").map(_.toInt), kv.get("yt").map(_.toInt),
           kv.get("flow").map(_.split(',').map(dec).toSet),
-          kv.get("cat").map(_.split(',').map(dec).toSeq)))
+          kv.get("cat").map(_.split(',').map(dec).toSeq),
+          kv.get("ntop").map(_.toInt)))
       case _ => throw new IllegalArgumentException(s"bad table dir: $dir")
     }
 }

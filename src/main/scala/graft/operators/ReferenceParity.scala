@@ -1,8 +1,9 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{Det, Q, Tables}
 import graft.Out._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reconciliation against the reference's OWN published outputs — the
@@ -196,11 +197,129 @@ object ReferenceParity {
        |FROM read_parquet('$refRoot/kpi_prod_monthly.parquet')
        |ORDER BY category, year, month_num""".stripMargin
 
+  // ---- ref_eda_stats: eda.py's summary statistics over kpi_monthly ----
+
+  /** The FIFTH golden file's numbers — eda.py:23-50,159-166,249-262:
+    * load `kpi_monthly WHERE balance IS NOT NULL` ordered by
+    * (year, month_num), then descriptive stats on export (mean / std
+    * ddof=1 / max + argmax %Y-%m), surplus-month count, per-month
+    * seasonality peak/valley, and the |pct_change − mean| > 2σ
+    * outlier count — the nine numbers the committed
+    * `reports/eda/eda_summary.md` publishes.
+    *
+    * DATA-VINTAGE adjudication (r12 verdict item 1): the golden
+    * file's "156 months" window is NOT an older data vintage.
+    * `kpi_monthly.parquet` has 239 rows, but exactly 156 carry a
+    * non-null balance (2005..2017 — the committed trade table's
+    * import side ends there, and balance needs both flows), and
+    * eda.py's very first step is that balance filter. Under it every
+    * published number reproduces from the committed parquet
+    * (InsightsSpec pins the rendered lines against the golden file
+    * byte-for-byte; this query is the oracle-checked twin).
+    *
+    * The input is graft's OWN ref_kpi_monthly output (byte-exact
+    * equal to the committed parquet — so this also proves the
+    * composition pipeline → EDA), while the DuckDB oracle computes
+    * the same statistics from the committed file itself. Mean/std
+    * use exact decimal sums ([[Det]]) at billion scale — hash parity
+    * needs deterministic accumulation, and (18,6) decimal squares
+    * would overflow on raw USD. Scale shape: one calendar-bounded
+    * series (≤ years×12 rows) — a serving-layer probe, not a volume
+    * operator; the volume forms are kpi_outliers / kpi_month_stats.
+    */
+  private def refEdaStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val km = refKpiMonthly(spark, dir).filter($"balance".isNotNull)
+    val xb = $"export" / lit(1e9)
+    val base = km.agg(
+        Det.dsum(xb).as("sxb"),
+        Det.dsum(xb * xb).as("sxb2"),
+        count($"export").as("n"),
+        max($"export").as("max_usd"),
+        sum(when($"balance" > 0, 1L).otherwise(0L)).as("surplus_months"))
+      .select(($"sxb" / $"n").as("mean_b"),
+        sqrt(greatest(($"sxb2" - $"sxb" * $"sxb" / $"n") / ($"n" - 1),
+          lit(0.0))).as("std_b"),
+        $"max_usd", $"surplus_months", $"n".as("total_months"))
+    val maxYm = km.orderBy($"export".desc, $"year", $"month_num").limit(1)
+      .select(concat($"year".cast("string"), lit("-"),
+        lpad($"month_num".cast("string"), 2, "0")).as("max_ym"))
+    val mon = km.groupBy($"month", $"month_num")
+      .agg(Det.davg($"export").as("a"))
+    val peak = mon.orderBy($"a".desc, $"month_num").limit(1)
+      .select($"month".as("peak_month"))
+    val valley = mon.orderBy($"a".asc, $"month_num").limit(1)
+      .select($"month".as("valley_month"))
+    val w = Window.orderBy($"year", $"month_num")
+    val pc = km
+      .withColumn("pct", ($"export" / lag($"export", 1).over(w) - 1.0) * 100.0)
+      .filter($"pct".isNotNull)
+    val pcStats = pc.agg(
+        Det.dsum($"pct").as("sx"), Det.dsum($"pct" * $"pct").as("sx2"),
+        count($"pct").as("np"))
+      .select(($"sx" / $"np").as("mu"),
+        sqrt(greatest(($"sx2" - $"sx" * $"sx" / $"np") / ($"np" - 1),
+          lit(0.0))).as("sigma"))
+    val outlierCnt = pc.crossJoin(broadcast(pcStats))
+      .filter(abs($"pct" - $"mu") > lit(2.0) * $"sigma")
+      .agg(count(lit(1)).as("outlier_count"))
+    base.crossJoin(broadcast(maxYm))
+      .crossJoin(broadcast(peak))
+      .crossJoin(broadcast(valley))
+      .crossJoin(broadcast(outlierCnt))
+      .select($"mean_b", $"std_b", $"max_usd", $"max_ym",
+        $"surplus_months", $"total_months",
+        $"peak_month", $"valley_month", $"outlier_count")
+      .resultOrder($"max_ym")
+  }
+
+  private val refEdaStatsSql =
+    s"""WITH d AS (
+       |  SELECT year, month, month_num, export, balance
+       |  FROM read_parquet('$refRoot/kpi_monthly.parquet')
+       |  WHERE balance IS NOT NULL
+       |),
+       |base AS (
+       |  SELECT
+       |    ${Det.dsumSql("export/1e9")} / COUNT(export) AS mean_b,
+       |    SQRT(GREATEST((${Det.dsumSql("(export/1e9) * (export/1e9)")} -
+       |      ${Det.dsumSql("export/1e9")} * ${Det.dsumSql("export/1e9")} / COUNT(export))
+       |      / (COUNT(export) - 1), 0.0)) AS std_b,
+       |    MAX(export) AS max_usd,
+       |    CAST(SUM(CASE WHEN balance > 0 THEN 1 ELSE 0 END) AS BIGINT) AS surplus_months,
+       |    COUNT(export) AS total_months
+       |  FROM d),
+       |maxym AS (
+       |  SELECT CAST(year AS VARCHAR) || '-' || lpad(CAST(month_num AS VARCHAR), 2, '0') AS max_ym
+       |  FROM d ORDER BY export DESC, year, month_num LIMIT 1),
+       |mon AS (
+       |  SELECT month, month_num, ${Det.davgSql("export")} AS a
+       |  FROM d GROUP BY month, month_num),
+       |peak AS (SELECT month AS peak_month FROM mon ORDER BY a DESC, month_num LIMIT 1),
+       |valley AS (SELECT month AS valley_month FROM mon ORDER BY a ASC, month_num LIMIT 1),
+       |pc AS (
+       |  SELECT (export / LAG(export, 1) OVER (ORDER BY year, month_num) - 1.0) * 100.0 AS pct
+       |  FROM d),
+       |pc2 AS (SELECT pct FROM pc WHERE pct IS NOT NULL),
+       |ps AS (
+       |  SELECT ${Det.dsumSql("pct")} / COUNT(pct) AS mu,
+       |    SQRT(GREATEST((${Det.dsumSql("pct * pct")} -
+       |      ${Det.dsumSql("pct")} * ${Det.dsumSql("pct")} / COUNT(pct))
+       |      / (COUNT(pct) - 1), 0.0)) AS sigma
+       |  FROM pc2),
+       |oc AS (
+       |  SELECT COUNT(*) AS outlier_count FROM pc2, ps
+       |  WHERE ABS(pct - mu) > 2.0 * sigma)
+       |SELECT mean_b, std_b, max_usd, max_ym, surplus_months, total_months,
+       |  peak_month, valley_month, outlier_count
+       |FROM base, maxym, peak, valley, oc""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("ref_trade_prod", refTradeProd, Some(refTradeProdSql)),
     Q("ref_trade_export", refTradeExport, Some(refTradeExportSql)),
     Q("ref_kpi_monthly", refKpiMonthly, Some(refKpiMonthlySql)),
-    Q("ref_kpi_prod_monthly", refKpiProdMonthly, Some(refKpiProdMonthlySql))
+    Q("ref_kpi_prod_monthly", refKpiProdMonthly, Some(refKpiProdMonthlySql)),
+    Q("ref_eda_stats", refEdaStats, Some(refEdaStatsSql))
   )
 }
 

@@ -125,9 +125,9 @@ class ContractSpec extends AnyFunSuite {
         sql.trim.toUpperCase.startsWith("WITH")))
   }
 
-  test("inventory size matches SURVEY status (143 ops, 142 oracles)") {
-    assert(SparkEntry.allQueries.size == 143)
-    assert(SparkEntry.oracleSql.size == 142)
+  test("inventory size matches SURVEY status (144 ops, 143 oracles)") {
+    assert(SparkEntry.allQueries.size == 144)
+    assert(SparkEntry.oracleSql.size == 143)
     // the single rows-checked survivor is the engine-specific HLL /
     // quantile sketch pair (its KMV twin q27 IS oracle-checked)
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)

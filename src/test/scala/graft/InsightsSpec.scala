@@ -145,6 +145,54 @@ class InsightsSpec extends AnyFunSuite {
     }
   }
 
+  test("GOLDEN FILE 5: rendered EDA summary equals the committed reports/eda/eda_summary.md, line-exact") {
+    // DATA-VINTAGE adjudication (r12 verdict item 1). The committed
+    // file says "156 meses"; kpi_monthly.parquet has 239 rows — NOT
+    // an older data vintage: eda.py's first step is
+    // `SELECT * FROM kpi_monthly WHERE balance IS NOT NULL`
+    // (eda.py:27), and exactly 156 rows carry a non-null balance
+    // (2005-2017 — the committed trade table's import side ends
+    // there, and balance needs both flows). Prove the window claim
+    // first, then prove EVERY line of the published report
+    // reproduces from the committed data through graft's own
+    // pipeline (ref_kpi_monthly → ref_eda_stats → the template).
+    val km = spark.read.parquet("/root/reference/kpi_monthly.parquet")
+    assert(km.count() == 239, "committed kpi_monthly row count moved")
+    val win = km.filter("balance IS NOT NULL")
+    assert(win.count() == 156, "balance-non-null window is the 156-month claim")
+    assert(win.agg(org.apache.spark.sql.functions.max("year")).head.getLong(0) == 2017)
+
+    val golden = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/root/reference/reports/eda/eda_summary.md"))
+    val rendered = graft.Report.renderEdaSummaryGolden(spark)
+    val gl = golden.linesIterator.toSeq
+    val rl = rendered.linesIterator.toSeq
+    assert(rl.length == gl.length,
+      s"line count diverges: rendered ${rl.length} vs golden ${gl.length}")
+    gl.zip(rl).zipWithIndex.foreach { case ((g, r), i) =>
+      // the generation timestamp is the one legitimate difference
+      // (eda.py stamps datetime.now()); format-compatibility of that
+      // line is asserted below instead
+      if (!g.startsWith("*Generado el"))
+        assert(r == g, s"line $i diverges:\n  got:  $r\n  want: $g")
+    }
+    val tsRe = """\*Generado el \d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\*""".r
+    assert(tsRe.findFirstIn(golden).isDefined && tsRe.findFirstIn(rendered).isDefined,
+      "timestamp line format diverges")
+
+    // formatter-tie guard: Python's {:.1f} rounds half-even, Java's
+    // %.1f half-up. They agree everywhere OFF a .x5 tie — prove none
+    // of the four formatted float values sits on one, so the
+    // line-exact match above is robust, not lucky
+    val r0 = SparkEntry.queries("ref_eda_stats")(spark, sf).collect().head
+    for (v <- Seq(r0.getDouble(0), r0.getDouble(1), r0.getDouble(2) / 1e9,
+        r0.getLong(4).toDouble / r0.getLong(5) * 100.0)) {
+      val f = v * 10 - math.floor(v * 10)
+      assert(math.abs(f - 0.5) > 1e-3,
+        s"formatted value $v sits on a rounding tie — half-even vs half-up diverge")
+    }
+  }
+
   test("dashboard defaults the category tab to the latest year's top-10 by export") {
     // reference app.py:446-473: with no manual selection the category
     // multiselect defaults to the top-N by export IN THE LATEST YEAR
@@ -178,6 +226,53 @@ class InsightsSpec extends AnyFunSuite {
       TradeParams(categories = Some(expected.toSeq.sorted.take(2))))
     assert(!manual.contains("Mostrando top"),
       "manual category selection must not claim the default")
+  }
+
+  test("the top-N dial rides the params fragment and resizes the category default") {
+    // reference app.py:437-445: the "Mostrar top N categorías"
+    // number_input feeds the default multiselect size. Engine-side it
+    // is a TradeParams field like every other UI filter: lossless
+    // through the dir-fragment encoding, resizing the derived
+    // category selection (which then prunes the part-dimension scan
+    // through the same In(p_type,...) pushdown the multiselect test
+    // asserts).
+    val params = TradeParams(nTop = Some(2))
+    assert(TradeParams.parseDir(params(sf)) == (sf, params),
+      "ntop must round-trip the fragment encoding")
+    val md = graft.Dashboard.render(spark, sf, params)
+    assert(md.contains("Mostrando top 2 categorías por exportación del último año"),
+      "nTop dial must resize the default category selection")
+    assert(md.contains("top 2"), "Filtros line must disclose the dial")
+    val section = md.split("### Ranking de Categorías")(1).split("###")(0)
+    val got = section.linesIterator
+      .filter(l => l.startsWith("| ") && !l.startsWith("| rk") && !l.contains("---"))
+      .map(_.split("\\|")(2).trim).toSet
+    assert(got.size == 2, s"ranking must carry exactly top-2 categories: $got")
+    // dial typos fail fast (same contract as unknown flows): top-0
+    // would silently blank every category panel
+    intercept[IllegalArgumentException] { TradeParams(nTop = Some(0)) }
+  }
+
+  test("real-data observatory honors the UI params: year range, categories, top-N") {
+    // app.py's sliders filter the LOADED kpi frame client-side
+    // (pandas df[df.year...] after a full parquet read) — the
+    // faithful analog filters the collected golden frames. Window:
+    // 2010-2012 with a top-3 dial.
+    val md = graft.Dashboard.renderReference(spark,
+      TradeParams(Some(2010), Some(2012), None, None, Some(3)))
+    assert(md.contains("Filtros: años 2010–2012 · top 3"))
+    // the series tail must stay inside the window
+    val yearsShown = """\| (\d{4}) \|""".r.findAllMatchIn(md)
+      .map(_.group(1).toInt).toSet
+    assert(yearsShown.nonEmpty && yearsShown.forall(y => y >= 2010 && y <= 2012),
+      s"series rows escaped the year window: $yearsShown")
+    // top list respects the dial
+    val topLines = md.split("Top categorías por exportación")(1)
+      .split("###")(0).linesIterator.count(_.startsWith("- "))
+    assert(topLines == 3, s"top list must carry exactly 3 entries, got $topLines")
+    // and the latest-year basis is the WINDOW's latest year, not 2025
+    assert(md.contains("(CUODE, 2012)"),
+      "category basis year must follow the filtered window")
   }
 
   test("tile currency formatting matches the reference's format_currency") {

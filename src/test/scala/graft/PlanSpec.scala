@@ -117,7 +117,13 @@ class PlanSpec extends AnyFunSuite {
     // sf: graph_triangles; pagerank's collapse shows up only via its
     // zero-keyed-exchange guard because its iteration body hides the
     // requirement behind the checkpointed rank frames)
-    val audited = Set("graph_pagerank", "graph_triangles")
+    // ref_eda_stats: audited r13 — its aggregates run over the
+    // 156-row balance-non-null window of the committed 239-row
+    // kpi_monthly golden file (calendar-bounded serving probe, like
+    // the Report/Dashboard collects); the SinglePartition child is
+    // the global-ordered 156-row pct_change window, bounded by the
+    // reference's own calendar, never by fact volume
+    val audited = Set("graph_pagerank", "graph_triangles", "ref_eda_stats")
     val offenders = scala.collection.mutable.SortedMap.empty[String, Seq[String]]
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, sf).queryExecution.executedPlan
