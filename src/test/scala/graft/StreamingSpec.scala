@@ -343,6 +343,176 @@ class StreamingSpec extends AnyFunSuite {
         s"extra=${(got -- want).take(3)}")
   }
 
+  test("windowed top-k composition survives a mid-stream crash and restart, exactly-once") {
+    // stream_topk's production decomposition: the watermark-bounded
+    // windowed COUNT is the stateful operator (stream_windowed_agg),
+    // the rank is a per-trigger window function over the closed
+    // buckets. The recovery surface this pins: append-mode WINDOW
+    // EVICTION across a checkpoint resume — a closed (bucket, type)
+    // row must be emitted exactly once over the whole crash/restart
+    // history, and the converged ranking must equal the batch oracle.
+    // Same recipe as the upsert/outer-join restart specs:
+    // maxFilesPerTrigger=1, injected sink crash at batch 1, restart
+    // from the same checkpoint; a far-future sentinel pair closes
+    // every real bucket.
+    import spark.implicits._
+    import org.apache.spark.sql.{Dataset, Row}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-topk-restart")
+    val (src, out, ckpt) = (s"$tmp/src", s"$tmp/out", s"$tmp/ckpt")
+    val all = Tables(spark, sf).events
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventsStream.Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    all.grouped(math.max(1, (all.length + 3) / 4)).foreach(chunk =>
+      chunk.toDS().coalesce(1).write.mode("append").parquet(src))
+    val maxTs = all.map(_.ts.getTime).max
+    // two sentinel files: the first advances the watermark past every
+    // real bucket's close (2h watermark), the second gives the
+    // post-advance trigger in which eviction emits them
+    (1 to 2).foreach { i =>
+      Seq(EventsStream.Event(-1L * i,
+          new java.sql.Timestamp(maxTs + i * 6L * 3600 * 1000),
+          -1L, "sentinel", 0.0))
+        .toDS().coalesce(1).write.mode("append").parquet(src)
+    }
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start() = {
+      val events = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[EventsStream.Event]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+      EventsStream.windowedAggStreaming(events)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: Dataset[Row], id: Long) =>
+          if (id >= 1 && crashArmed.compareAndSet(true, false))
+            throw new RuntimeException("injected mid-stream crash")
+          df.write.mode("overwrite").parquet(s"$out/b_$id")
+        }
+        .start()
+    }
+    val q1 = start()
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(died.getMessage.contains("injected mid-stream crash"))
+    assert(!crashArmed.get, "the crash must actually have fired")
+    def batchDirs() = new java.io.File(out).list()
+      .filter(_.startsWith("b_")).toSet
+    assert(batchDirs() == Set("b_0"),
+      s"crash point wrong: ${batchDirs()} present after the kill")
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(batchDirs().size >= 5, s"restart did not drain: ${batchDirs()}")
+    val emitted = spark.read.parquet(s"$out/b_*")
+      .filter($"event_type" =!= "sentinel").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+    // exactly-once: a closed bucket row never re-emitted after recovery
+    val keys = emitted.map(e => (e._1, e._2))
+    assert(keys.length == keys.distinct.length,
+      s"${keys.length - keys.distinct.length} bucket rows re-emitted across restart")
+    // converged ranking over everything emitted == the batch oracle
+    val got = emitted.groupBy(_._1).toSeq.flatMap { case (bucket, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+        .map { case (r, i) => (bucket, i + 1, r._2, r._3) }
+    }.toSet
+    val want = SparkEntry.queries("stream_topk")(spark, sf).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got == want,
+      s"stream=${got.size} batch=${want.size} " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("event-time-timeout sessionize survives a mid-stream crash and restart, exactly-once") {
+    // The EventTimeTimeout sessionizer's recovery surface is the
+    // riskiest of the stateful family: sessions are emitted BOTH by
+    // in-batch gap detection and by watermark-driven timeouts, and a
+    // checkpoint resume must recover per-user state, the watermark,
+    // AND the registered timeout timestamps — losing any of the
+    // three drops or duplicates a session. Crash at batch 1,
+    // restart, drain; sentinels push the watermark past every real
+    // session's (last + gap) so the converged emission is TOTAL and
+    // comparable to the batch oracle as set equality.
+    import spark.implicits._
+    import org.apache.spark.sql.Dataset
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess-restart")
+    val (src, out, ckpt) = (s"$tmp/src", s"$tmp/out", s"$tmp/ckpt")
+    val all = Tables(spark, sf).events
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventsStream.Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    all.grouped(math.max(1, (all.length + 3) / 4)).foreach(chunk =>
+      chunk.toDS().coalesce(1).write.mode("append").parquet(src))
+    val maxTs = all.map(_.ts.getTime).max
+    (1 to 2).foreach { i =>
+      Seq(EventsStream.Event(-1L * i,
+          new java.sql.Timestamp(maxTs + i * 6L * 3600 * 1000),
+          -1L, "sentinel", 0.0))
+        .toDS().coalesce(1).write.mode("append").parquet(src)
+    }
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def start() = {
+      val events = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[EventsStream.Event]].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .as[EventsStream.Event]
+      EventsStream.sessionizeEventTime(events)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: Dataset[EventsStream.Session], id: Long) =>
+          if (id >= 1 && crashArmed.compareAndSet(true, false))
+            throw new RuntimeException("injected mid-stream crash")
+          df.write.mode("overwrite").parquet(s"$out/b_$id")
+        }
+        .start()
+    }
+    val q1 = start()
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination()
+    }
+    assert(died.getMessage.contains("injected mid-stream crash"))
+    assert(!crashArmed.get, "the crash must actually have fired")
+    def batchDirs() = new java.io.File(out).list()
+      .filter(_.startsWith("b_")).toSet
+    assert(batchDirs() == Set("b_0"),
+      s"crash point wrong: ${batchDirs()} present after the kill")
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(batchDirs().size >= 5, s"restart did not drain: ${batchDirs()}")
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val emitted = spark.read.parquet(s"$out/b_*").as[EventsStream.Session]
+      .collect().filter(_.user_id >= 0)
+      .map(s => (s.user_id, us(s.session_start), us(s.session_end),
+        s.n_events) -> s.total_value)
+    // exactly-once: no session emitted twice across the crash history
+    // (covers both emission paths — gap-closed and timeout-closed)
+    assert(emitted.length == emitted.map(_._1).distinct.length,
+      s"${emitted.length - emitted.map(_._1).distinct.length} sessions re-emitted across restart")
+    val want = SparkEntry.queries("stream_sessionize")(spark, sf)
+      .select($"user_id", $"session_start", $"session_end",
+        $"n_events", $"total_value").collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), us(r.getTimestamp(2)),
+        r.getLong(3)) -> r.getDouble(4)).toMap
+    val got = emitted.toMap
+    assert(got.keySet == want.keySet,
+      s"stream=${got.size} batch=${want.size} " +
+        s"missing=${(want.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- want.keySet).take(3)}")
+    // totals: the stateful fold accumulates doubles in event order,
+    // the batch oracle sums in exact decimal (Det.dsum) — identical
+    // sessions can differ in the last ulp (60.92999…9 vs 60.93), so
+    // structure is exact above and the value check is a tight epsilon
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) <= 1e-6 * math.max(1.0, math.abs(want(k))),
+        s"session $k total diverged: $v vs ${want(k)}")
+    }
+  }
+
   test("event-time-timeout sessionize closes idle sessions via watermark") {
     import spark.implicits._
     val all = Tables(spark, sf).events
