@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession, Column}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
 
 /** One engine operator: a Spark plan plus (when SQL-expressible) a
   * DuckDB oracle query over the same parquet tables. The driver's
@@ -869,10 +869,38 @@ private[graft] object Out {
 object Det {
   private val Dec = DecimalType(18, 6)
 
-  /** Exact decimal sum, surfaced as double. SQL twin: dsumSql. */
-  def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+  /** Exact decimal sum, surfaced as double. SQL twin: dsumSql.
+    *
+    * BOTH boundary casts are pinned to SHORTEST-STRING semantics —
+    * the one value representation the two engines implement
+    * identically (r13, found by the first sf1 crosscheck):
+    *
+    *  - double → DECIMAL(18,6) (per input value): Spark's native
+    *    cast rounds the shortest decimal representation HALF_UP
+    *    (Decimal goes through BigDecimal.valueOf → Double.toString).
+    *    DuckDB's native cast instead rounds the BINARY value of a
+    *    double product — for inputs with short decimal structure
+    *    (sums of 2-dp prices / 1e6 land exactly on "…5" 7th-digit
+    *    ties) the two rules diverge by one 6th-decimal unit. The
+    *    SQL twin therefore routes through VARCHAR: DuckDB's
+    *    double→VARCHAR is the same shortest round-trip
+    *    representation, and its VARCHAR→DECIMAL rounds HALF_UP —
+    *    verified identical to the Spark rule over 1.2M values
+    *    including exact-tie and near-tie sweeps.
+    *
+    *  - sum DECIMAL → double (per group): Spark's compact-decimal
+    *    toDouble double-rounds (long → double, then ÷ 10^scale) and
+    *    is off by one ulp once sums carry > 15 significant digits
+    *    (first seen at sf1 year totals ~4.7e10 with 6 decimals);
+    *    DuckDB's cast is correctly rounded. Pin both through a
+    *    string: decimal→string is exact on both engines, and
+    *    string→double (Double.parseDouble / strtod) is correctly
+    *    rounded on both. Costs one tiny string per GROUP.
+    */
+  def dsum(c: Column): Column =
+    sum(c.cast(Dec)).cast(StringType).cast(DoubleType)
   def dsumSql(e: String): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)"
 
   // NOTE: do NOT add a DECIMAL(38,6) variant for large squares —
   // DuckDB's double→wide-decimal cast runs through a lossier path
@@ -881,7 +909,21 @@ object Det {
 
   /** Exact mean: decimal sum / count, both deterministic. */
   def davg(c: Column): Column =
-    sum(c.cast(Dec)).cast(DoubleType) / count(c)
+    sum(c.cast(Dec)).cast(StringType).cast(DoubleType) / count(c)
   def davgSql(e: String): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE) / COUNT($e)"
+    s"CAST(CAST(SUM(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT($e)"
+
+  /** Pinned ROUND(e, 6), for outputs whose magnitude approaches the
+    * double ulp at the 6-decimal grid: plain ROUND(double, 6) is
+    * BINARY-based in DuckDB and shortest-STRING-based in Spark, and
+    * at 1e9+ the 1e-6 grid is only ~4 ulps wide, so the two rules
+    * disagree on a sizable fraction of values (first seen on the sf1
+    * OLS forecast at ~1.5e9). Same pinning as dsum: quantize the
+    * shortest string HALF_UP through DECIMAL(18,6) on both engines,
+    * surface as double through the exact-string route.
+    */
+  def dround6(c: Column): Column =
+    c.cast(Dec).cast(StringType).cast(DoubleType)
+  def dround6Sql(e: String): String =
+    s"CAST(CAST(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)"
 }

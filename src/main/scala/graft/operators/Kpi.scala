@@ -1244,16 +1244,20 @@ object Kpi {
       Det.dsum($"x" * $"export_usd" / 1000.0).as("sxyk_exp"),
       Det.dsum($"import_usd").as("sy_imp"),
       Det.dsum($"x" * $"import_usd" / 1000.0).as("sxyk_imp"))
+    // Det.dround6, not ROUND(x, 6): the fit values reach 1e9+ where
+    // the 6-decimal grid is ~4 double-ulps wide and the engines'
+    // plain ROUND rules (binary vs shortest-string) disagree on a
+    // sizable fraction of values — first seen at sf1 (core.scala)
     def fit(sy: String, sxyk: String, pfx: String) = {
       val sxy = s"(1000.0 * $sxyk)"
       Seq(
-        expr(s"ROUND((n * $sxy - sx * $sy) / (n * sxx - sx * sx), 6)")
+        Det.dround6(expr(s"(n * $sxy - sx * $sy) / (n * sxx - sx * sx)"))
           .as(s"${pfx}_slope"),
-        expr(s"ROUND(($sy - ((n * $sxy - sx * $sy) / (n * sxx - sx * sx)) * sx) / n, 6)")
+        Det.dround6(expr(s"($sy - ((n * $sxy - sx * $sy) / (n * sxx - sx * sx)) * sx) / n"))
           .as(s"${pfx}_intercept"),
-        expr(s"""ROUND((($sy - ((n * $sxy - sx * $sy) / (n * sxx - sx * sx)) * sx) / n)
-                | + ((n * $sxy - sx * $sy) / (n * sxx - sx * sx)) * (n + 1), 6)"""
-          .stripMargin).as(s"${pfx}_next"))
+        Det.dround6(expr(s"""(($sy - ((n * $sxy - sx * $sy) / (n * sxx - sx * sx)) * sx) / n)
+                | + ((n * $sxy - sx * $sy) / (n * sxx - sx * sx)) * (n + 1)"""
+          .stripMargin)).as(s"${pfx}_next"))
     }
     s.select(col("n") +: (fit("sy_exp", "sxyk_exp", "export") ++
       fit("sy_imp", "sxyk_imp", "import")): _*)
@@ -1264,9 +1268,9 @@ object Kpi {
       val sxy = s"(1000.0 * $sxyk)"
       val slope = s"((n * $sxy - sx * $sy) / (n * sxx - sx * sx))"
       val icept = s"(($sy - $slope * sx) / n)"
-      s"""ROUND($slope, 6) AS ${pfx}_slope,
-         |  ROUND($icept, 6) AS ${pfx}_intercept,
-         |  ROUND($icept + $slope * (n + 1), 6) AS ${pfx}_next""".stripMargin
+      s"""${Det.dround6Sql(slope)} AS ${pfx}_slope,
+         |  ${Det.dround6Sql(icept)} AS ${pfx}_intercept,
+         |  ${Det.dround6Sql(s"$icept + $slope * (n + 1)")} AS ${pfx}_next""".stripMargin
     }
     s"""WITH $baseSql,
        |xb AS (SELECT COALESCE(export_usd, 0) AS export_usd,

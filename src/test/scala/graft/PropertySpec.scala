@@ -35,6 +35,59 @@ class PropertySpec extends AnyFunSuite {
     }, 20)
   }
 
+  test("Det.dsum is the correctly-rounded double of the exact decimal sum (>15-digit sums)") {
+    // The r13 sf1 find: Spark's compact Decimal.toDouble double-
+    // rounds (long -> double, then / 10^scale) and is one ulp off
+    // once the sum carries more significant digits than a double
+    // holds. Det pins the output cast through a string; this pins
+    // the pinning against an exact BigDecimal model at exactly the
+    // magnitudes that exposed it (year totals ~4.7e10 with 6
+    // decimals = 17 significant digits).
+    val gen = Gen.listOfN(200, Gen.choose(1L, 999999999999L))
+    check(Prop.forAll(gen) { longs =>
+      // values with full 6-decimal structure, sums reaching 1e12+
+      val vals = longs.map(l => l / 1000000.0 * 100.0)
+      val got = vals.toDF("x").agg(Det.dsum(col("x"))).first().getDouble(0)
+      // model the INPUT cast as shortest-string + HALF_UP (the Det
+      // contract; new BigDecimal(v) would round the BINARY value and
+      // diverge at the exact tie class the contract exists for)
+      val exact = vals.map(v =>
+          new java.math.BigDecimal(java.lang.Double.toString(v))
+            .setScale(6, java.math.RoundingMode.HALF_UP))
+        .reduce(_.add(_))
+      val want = java.lang.Double.parseDouble(exact.toPlainString)
+      got == want
+    }, 10)
+    // the exact regression value from the first sf1 crosscheck: a
+    // SUM whose decimal result is 47254298703.894646 (17 digits)
+    // surfaced as 47254298703.89465 through the pre-r13 direct
+    // .cast(double); the string-pinned path must produce the
+    // correctly-rounded double
+    val viaString = java.lang.Double.parseDouble("47254298703.894646")
+    val got = Seq("40000000000.894646", "7254298703.000000").toDF("s")
+      .agg(sum(col("s").cast("decimal(18,6)")).cast("string").cast("double"))
+      .first().getDouble(0)
+    assert(got == viaString, s"string-pinned sum cast diverged: $got vs $viaString")
+  }
+
+  test("Det input cast rounds the shortest string HALF_UP (the 7th-digit tie class)") {
+    // the monthStats divergence class: sums-of-cents / 1e6 land
+    // exactly on "…5" 7th-decimal ties; the contract (core.scala Det
+    // note) is shortest-string + HALF_UP on BOTH engines — the
+    // DuckDB side is the VARCHAR route in dsumSql, the Spark side is
+    // the native cast pinned here
+    for ((v, want) <- Seq(
+        1564.3048765 -> "1564.304877",  // binary above tie; string tie -> UP
+        1706.0380785 -> "1706.038079",
+        12.7734245 -> "12.773425",
+        -7.2329825 -> "-7.232983")) {   // negative ties round away (HALF_UP on magnitude)
+      val got = Seq(v).toDF("x")
+        .select(col("x").cast("decimal(18,6)").cast("string"))
+        .first().getString(0)
+      assert(got == want, s"$v cast to (18,6): $got, want $want")
+    }
+  }
+
   test("TermCounts equals the multiset model on arbitrary token arrays") {
     // the model: group by token, count, sort by key via UTF-8 BYTE
     // order (what UTF8String.compareTo and Spark's string sort use —
