@@ -132,6 +132,212 @@ object Report {
     (md.toString, figures)
   }
 
+  /** Multi-series line chart (series share one y-scale), the SVG
+    * counterpart of eda.py's go.Scatter figures. Same frame geometry
+    * as [[lineSvg]]; a small legend renders series labels in their
+    * line colors. Deterministic bytes for deterministic input.
+    */
+  private[graft] def multiLineSvg(title: String,
+      series: Seq[(String, Seq[Double], String)]): String = {
+    val (w, h, pad) = (760, 300, 40)
+    val all = series.flatMap(_._2)
+    val lo = all.min; val hi = all.max
+    val span = if (hi == lo) 1.0 else hi - lo
+    val n = series.map(_._2.length).max
+    def pts(ys: Seq[Double]) = ys.zipWithIndex.map { case (y, i) =>
+      val px = pad + i.toDouble * (w - 2 * pad) / math.max(1, n - 1)
+      val py = h - pad - (y - lo) / span * (h - 2 * pad)
+      f"$px%.1f,$py%.1f"
+    }.mkString(" ")
+    val lines = series.map { case (_, ys, color) =>
+      s"""<polyline points="${pts(ys)}" fill="none" stroke="$color" stroke-width="1.5"/>"""
+    }.mkString("\n")
+    val legend = series.zipWithIndex.map { case ((label, _, color), i) =>
+      s"""<text x="${pad + i * 150}" y="${h - 8}" font-family="sans-serif" font-size="11" fill="$color">${esc(label)}</text>"""
+    }.mkString("\n")
+    s"""<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 $w $h">
+       |<rect width="$w" height="$h" fill="white"/>
+       |<text x="$pad" y="20" font-family="sans-serif" font-size="13">${esc(title)}</text>
+       |<line x1="$pad" y1="${h - pad}" x2="${w - pad}" y2="${h - pad}" stroke="#999"/>
+       |<line x1="$pad" y1="$pad" x2="$pad" y2="${h - pad}" stroke="#999"/>
+       |<text x="4" y="${h - pad}" font-family="sans-serif" font-size="10">${f"$lo%.2f"}</text>
+       |<text x="4" y="${pad + 4}" font-family="sans-serif" font-size="10">${f"$hi%.2f"}</text>
+       |$lines
+       |$legend
+       |</svg>
+       |""".stripMargin
+  }
+
+  /** Year × month heatmap — eda.py's px.imshow figure as a plain SVG
+    * rect grid with a green↔red ramp over the value range.
+    */
+  private[graft] def heatSvg(title: String, years: Seq[Long],
+      values: Map[(Long, Long), Double]): String = {
+    val (pad, cell) = (46, 16)
+    val w = pad * 2 + years.length * cell
+    val h = pad * 2 + 12 * cell
+    val vs = values.values
+    val lo = vs.min; val hi = vs.max
+    val span = if (hi == lo) 1.0 else hi - lo
+    def color(v: Double): String = {
+      val t = (v - lo) / span // 0 → red, 1 → green (RdYlGn direction)
+      f"rgb(${(230 - 180 * t).toInt}%d,${(60 + 160 * t).toInt}%d,60)"
+    }
+    val cells = (for {
+      (yr, xi) <- years.zipWithIndex
+      mon <- 1L to 12L
+      v <- values.get((yr, mon))
+    } yield {
+      val x = pad + xi * cell; val y = pad + (mon - 1) * cell
+      s"""<rect x="$x" y="$y" width="${cell - 1}" height="${cell - 1}" fill="${color(v)}"/>"""
+    }).mkString("\n")
+    val yrLabels = years.zipWithIndex.filter(_._1 % 5 == 0).map { case (yr, xi) =>
+      s"""<text x="${pad + xi * cell}" y="${pad + 12 * cell + 12}" font-family="sans-serif" font-size="9">$yr</text>"""
+    }.mkString("\n")
+    val monLabels = (1 to 12).map { m =>
+      s"""<text x="4" y="${pad + (m - 1) * cell + 11}" font-family="sans-serif" font-size="9">$m</text>"""
+    }.mkString("\n")
+    s"""<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 $w $h">
+       |<rect width="$w" height="$h" fill="white"/>
+       |<text x="$pad" y="20" font-family="sans-serif" font-size="13">${esc(title)}</text>
+       |$cells
+       |$yrLabels
+       |$monLabels
+       |</svg>
+       |""".stripMargin
+  }
+
+  /** Per-month min/quartile/median box glyphs — eda.py's px.box
+    * figure. Quartiles by the inclusive-linear-interpolation rule
+    * (cosmetic surface, not oracle-checked — the oracle-checked
+    * month statistics live in kpi_month_stats / ref_eda_stats).
+    */
+  private[graft] def boxSvg(title: String,
+      groups: Seq[(String, Seq[Double])]): String = {
+    val (w, h, pad) = (760, 300, 40)
+    val all = groups.flatMap(_._2)
+    val lo = all.min; val hi = all.max
+    val span = if (hi == lo) 1.0 else hi - lo
+    def py(v: Double) = h - pad - (v - lo) / span * (h - 2 * pad)
+    def quantile(sorted: Seq[Double], q: Double): Double = {
+      val pos = q * (sorted.length - 1)
+      val i = pos.toInt
+      if (i + 1 < sorted.length) sorted(i) + (pos - i) * (sorted(i + 1) - sorted(i))
+      else sorted(i)
+    }
+    val bw = (w - 2 * pad).toDouble / groups.length
+    val boxes = groups.zipWithIndex.map { case ((label, vs), i) =>
+      val s = vs.sorted
+      val (mn, q1, med, q3, mx) = (s.head, quantile(s, 0.25),
+        quantile(s, 0.5), quantile(s, 0.75), s.last)
+      val cx = pad + i * bw + bw / 2
+      f"""<line x1="$cx%.1f" y1="${py(mn)}%.1f" x2="$cx%.1f" y2="${py(mx)}%.1f" stroke="#666"/>
+         |<rect x="${cx - bw * 0.3}%.1f" y="${py(q3)}%.1f" width="${bw * 0.6}%.1f" height="${py(q1) - py(q3)}%.1f" fill="#9ecae1" stroke="#2a6fb0"/>
+         |<line x1="${cx - bw * 0.3}%.1f" y1="${py(med)}%.1f" x2="${cx + bw * 0.3}%.1f" y2="${py(med)}%.1f" stroke="#08306b" stroke-width="1.5"/>
+         |<text x="$cx%.1f" y="${h - pad + 12}" font-family="sans-serif" font-size="9" text-anchor="middle">${esc(label)}</text>""".stripMargin
+    }.mkString("\n")
+    s"""<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 $w $h">
+       |<rect width="$w" height="$h" fill="white"/>
+       |<text x="$pad" y="20" font-family="sans-serif" font-size="13">${esc(title)}</text>
+       |<line x1="$pad" y1="${h - pad}" x2="${w - pad}" y2="${h - pad}" stroke="#999"/>
+       |$boxes
+       |</svg>
+       |""".stripMargin
+  }
+
+  private def htmlPage(title: String, body: String): String =
+    s"""<!DOCTYPE html>
+       |<html lang="es"><head><meta charset="utf-8">
+       |<title>${esc(title)}</title></head>
+       |<body style="font-family:sans-serif;margin:16px">
+       |<h2>${esc(title)}</h2>
+       |$body
+       |</body></html>
+       |""".stripMargin
+
+  /** The six HTML report files eda.py publishes under reports/eda/
+    * (eda.py:84,109,117,150,191,240 — series_temporal,
+    * estacionalidad_heatmap, distribucion_mensual, tendencias,
+    * outliers, dashboard_eda), re-rendered as SELF-CONTAINED pages
+    * (inline SVG, zero script/library dependencies — the reference
+    * ships ~4 MB of plotly per file; these are a few KB and render
+    * the same real-data series) so a reference user's bookmarks
+    * into reports/eda keep working after migration.
+    * Every number behind every mark comes from the oracle-checked
+    * ref_kpi_monthly query filtered exactly as eda.py filters
+    * (balance IS NOT NULL — the same 156-month window the committed
+    * eda_summary.md describes). Returns (filename, html) pairs; the
+    * caller decides where they land, so specs render without disk.
+    */
+  def renderReferenceHtml(spark: SparkSession): Seq[(String, String)] = {
+    val km = SparkEntry.queries("ref_kpi_monthly")(spark, "").collect()
+      .filter(!_.isNullAt(5)) // balance IS NOT NULL — eda.py:27
+    def col(i: Int): Seq[Double] =
+      km.toSeq.map(r => if (r.isNullAt(i)) 0.0 else r.getDouble(i))
+    val exports = col(3); val imports = col(4); val balances = col(5)
+    val expB = exports.map(_ / 1e9); val impB = imports.map(_ / 1e9)
+    val balB = balances.map(_ / 1e9)
+    // rolling(12/24, min_periods=1).mean — eda.py:126-127
+    def ma(ys: Seq[Double], k: Int): Seq[Double] =
+      ys.indices.map(i => {
+        val w = ys.slice(math.max(0, i - k + 1), i + 1); w.sum / w.length
+      })
+    // pct_change outliers — eda.py:159-166
+    val pct = exports.indices.drop(1)
+      .map(i => (exports(i) / exports(i - 1) - 1.0) * 100.0)
+    val mu = pct.sum / pct.length
+    val sd = math.sqrt(pct.map(v => (v - mu) * (v - mu)).sum / (pct.length - 1))
+    val outlierIdx = pct.zipWithIndex.filter { case (v, _) =>
+      math.abs(v - mu) > 2 * sd }.map(_._2)
+    val years = km.map(_.getLong(0)).distinct.sorted.toSeq
+    val heat = km.map(r => (r.getLong(0), r.getLong(2)) ->
+      (if (r.isNullAt(3)) 0.0 else r.getDouble(3))).toMap
+    val monthNames = Seq("Enero", "Febrero", "Marzo", "Abril", "Mayo",
+      "Junio", "Julio", "Agosto", "Septiembre", "Octubre", "Noviembre",
+      "Diciembre")
+    val byMonth = monthNames.zipWithIndex.map { case (mn, i) =>
+      mn.take(3) -> km.toSeq.filter(_.getLong(2) == i + 1)
+        .map(r => if (r.isNullAt(3)) 0.0 else r.getDouble(3) / 1e9)
+    }.filter(_._2.nonEmpty)
+    val outlierMarks = {
+      val (w, h, pad) = (760, 300, 40)
+      val lo = pct.min; val hi = pct.max
+      val span = if (hi == lo) 1.0 else hi - lo
+      outlierIdx.map { i =>
+        val px = pad + i.toDouble * (w - 2 * pad) / math.max(1, pct.length - 1)
+        val py = h - pad - (pct(i) - lo) / span * (h - 2 * pad)
+        f"""<circle cx="$px%.1f" cy="$py%.1f" r="4" fill="none" stroke="red" stroke-width="1.5"/>"""
+      }.mkString("\n")
+    }
+    val serie = multiLineSvg("Comercio Exterior del Perú (miles de millones USD)",
+      Seq(("Exportaciones", expB, "#2ca02c"), ("Importaciones", impB, "#d62728"),
+        ("Balance", balB, "#1f77b4")))
+    val tend = multiLineSvg("Tendencias de Exportaciones con Medias Móviles",
+      Seq(("Exportaciones", expB, "#aec7e8"), ("Media Móvil 12m", ma(expB, 12), "#1f77b4"),
+        ("Media Móvil 24m", ma(expB, 24), "#08306b")))
+    val outliersSvg = multiLineSvg("Variaciones Mensuales y Outliers en Exportaciones (%)",
+      Seq(("Variación % Export", pct, "#2ca02c")))
+      .replace("</svg>", outlierMarks + "\n</svg>")
+    val heatSvgStr = heatSvg("Estacionalidad de Exportaciones (Heatmap)", years, heat)
+    val distSvg = boxSvg("Distribución de Exportaciones por Mes (B USD)", byMonth)
+    val seasonBar = barSvg("Promedio mensual de exportaciones (B USD)",
+      byMonth.map(_._1), byMonth.map(g => g._2.sum / g._2.length))
+    Seq(
+      "series_temporal.html" ->
+        htmlPage("Serie Temporal — Comercio Exterior del Perú", serie),
+      "estacionalidad_heatmap.html" ->
+        htmlPage("Estacionalidad de Exportaciones", heatSvgStr),
+      "distribucion_mensual.html" ->
+        htmlPage("Distribución de Exportaciones por Mes", distSvg),
+      "tendencias.html" ->
+        htmlPage("Análisis de Tendencias", tend),
+      "outliers.html" ->
+        htmlPage("Detección de Eventos Atípicos", outliersSvg),
+      "dashboard_eda.html" ->
+        htmlPage("Dashboard EDA — Observatorio Comercio Perú",
+          serie + "\n" + heatSvgStr + "\n" + tend + "\n" + seasonBar))
+  }
+
   /** The reference's committed `reports/eda/eda_summary.md`,
     * re-rendered byte-for-byte from the oracle-checked
     * `ref_eda_stats` query — the FIFTH golden file's adjudication
@@ -264,13 +470,18 @@ object Report {
       barSvg("Avg exports by month (USD)",
         season.map(_.getInt(0).toString).toSeq,
         season.map(_.getDouble(1)).toSeq))
-    // the drop-in replacement for the reference's committed report:
-    // same filename the reference publishes under reports/eda/, in
-    // its exact format, from the real data
-    Files.writeString(Paths.get(s"$outDir/eda_summary_reference.md"),
+    // the drop-in replacements for the reference's committed
+    // reports/eda/ surface: the summary in its exact format and the
+    // six HTML figures under their exact filenames, from the real
+    // data (self-contained SVG pages instead of plotly bundles)
+    Files.createDirectories(Paths.get(s"$outDir/eda"))
+    Files.writeString(Paths.get(s"$outDir/eda/eda_summary.md"),
       renderEdaSummaryGolden(spark))
+    renderReferenceHtml(spark).foreach { case (name, html) =>
+      Files.writeString(Paths.get(s"$outDir/eda/$name"), html)
+    }
     println(s"report written: $outDir/eda_summary.md (+2 SVG figures, " +
-      "+eda_summary_reference.md)")
+      s"+$outDir/eda: eda_summary.md and 6 HTML figures)")
     spark.stop()
   }
 }

@@ -145,6 +145,40 @@ class InsightsSpec extends AnyFunSuite {
     }
   }
 
+  test("the six reference HTML report files render self-contained from the real data") {
+    // eda.py publishes exactly six figure files under reports/eda/
+    // and eda_summary.md's "Archivos Generados" section names them;
+    // a migrating user's bookmarks must keep working. graft renders
+    // them as dependency-free SVG pages (the reference ships ~4 MB
+    // of plotly per file) from the same oracle-checked, balance-
+    // filtered 156-month window eda.py charts.
+    val files = graft.Report.renderReferenceHtml(spark)
+    val wantNames = Seq("series_temporal.html", "estacionalidad_heatmap.html",
+      "distribucion_mensual.html", "tendencias.html", "outliers.html",
+      "dashboard_eda.html")
+    assert(files.map(_._1) == wantNames, s"filenames: ${files.map(_._1)}")
+    // every name the committed summary promises is covered
+    val golden = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      "/root/reference/reports/eda/eda_summary.md"))
+    wantNames.foreach(n => assert(golden.contains(n),
+      s"$n not in the committed Archivos Generados list — inventory drifted"))
+    files.foreach { case (name, html) =>
+      assert(html.startsWith("<!DOCTYPE html>") && html.contains("</html>"),
+        s"$name not a complete page")
+      assert(html.contains("<svg") && html.contains("</svg>"), s"$name has no chart")
+      assert(!html.toLowerCase.contains("<script"),
+        s"$name must be dependency-free (no script tags)")
+      assert(html.length > 2000, s"$name suspiciously empty (${html.length}B)")
+    }
+    // the outliers page carries the 2-sigma markers (7 on this data —
+    // the count the golden summary publishes and ref_eda_stats checks)
+    val outHtml = files.toMap.apply("outliers.html")
+    assert(outHtml.split("stroke=\"red\"").length - 1 == 7,
+      "outlier marker count diverged from the published 7")
+    // deterministic bytes: a re-render is identical
+    assert(graft.Report.renderReferenceHtml(spark) == files)
+  }
+
   test("GOLDEN FILE 5: rendered EDA summary equals the committed reports/eda/eda_summary.md, line-exact") {
     // DATA-VINTAGE adjudication (r12 verdict item 1). The committed
     // file says "156 meses"; kpi_monthly.parquet has 239 rows — NOT
