@@ -282,9 +282,10 @@ object Dashboard {
     * data carries (the import flow's 2025 tiles render N/A — its
     * source book ends earlier, and the committed table holds nulls
     * there).
-    */
-  /** The real-data observatory, parameterized like the reference UI:
-    * app.py's year-range slider (app.py:165-172), category
+    *
+    * Parameterized like the reference UI: app.py's year-range slider
+    * (app.py:165-172), flow checkboxes (app.py:175-177 — they gate
+    * which flow columns render; balance needs both), category
     * multiselect and top-N dial (app.py:424-473) all operate
     * CLIENT-SIDE over the loaded KPI frame (pandas `df[df.year...]`
     * after a full parquet load) — so the faithful engine analog
@@ -301,13 +302,20 @@ object Dashboard {
       if (r.isNullAt(idx)) "—" else r.getLong(idx).toString
     def inYears(y: Long): Boolean =
       params.yearFrom.forall(y >= _) && params.yearTo.forall(y <= _)
+    // flows act as the reference UI's flow CHECKBOXES (app.py:175-177
+    // show_exports/show_imports toggle traces): they gate which flow
+    // columns render. Balance needs both sides, like the reference's
+    // balance trace needs both series loaded.
+    val showExp = params.flows.forall(_("export"))
+    val showImp = params.flows.forall(_("import"))
     val md = new StringBuilder
     md ++= "# Observatorio de Comercio Exterior del Perú — datos reales\n\n"
     if (!params.isEmpty) {
       val sel = ((params.yearFrom, params.yearTo) match {
         case (None, None) => None
         case (a, b) => Some(s"años ${a.getOrElse("…")}–${b.getOrElse("…")}")
-      }) ++ params.categories.map(c => s"categorías ${c.mkString(", ")}") ++
+      }) ++ params.flows.map(f => s"flujos ${f.toSeq.sorted.mkString("+")}") ++
+        params.categories.map(c => s"categorías ${c.mkString(", ")}") ++
         params.nTop.map(n => s"top $n")
       md ++= s"_Filtros: ${sel.mkString(" · ")}_\n\n"
     }
@@ -316,39 +324,50 @@ object Dashboard {
       .filter(r => inYears(r.getLong(0)))
     md ++= "## Análisis por País\n\n### Métricas Clave (último mes)\n"
     km.lastOption.foreach { r =>
-      md ++= s"- ${l(r, 0)}-${r.getString(1)}: Export ${usd(r, 3)} " +
-        s"(YoY ${d(r, 7, "%+.1f")}%), Import ${usd(r, 4)}, Balance ${usd(r, 5)}\n\n"
+      val parts =
+        (if (showExp) Seq(s"Export ${usd(r, 3)} (YoY ${d(r, 7, "%+.1f")}%)") else Nil) ++
+        (if (showImp) Seq(s"Import ${usd(r, 4)}") else Nil) ++
+        (if (showExp && showImp) Seq(s"Balance ${usd(r, 5)}") else Nil)
+      md ++= s"- ${l(r, 0)}-${r.getString(1)}: ${parts.mkString(", ")}\n\n"
     }
-    md ++= "### Serie Temporal (últimos 12 meses)\n"
-    md ++= "| año | mes | export | MA3 | YoY % |\n| --- | --- | --- | --- | --- |\n"
-    km.takeRight(12).foreach { r =>
-      md ++= s"| ${l(r, 0)} | ${r.getString(1)} | ${usd(r, 3)} | ${usd(r, 10)} | ${d(r, 7, "%+.1f")} |\n"
+    if (showExp) {
+      md ++= "### Serie Temporal (últimos 12 meses)\n"
+      md ++= "| año | mes | export | MA3 | YoY % |\n| --- | --- | --- | --- | --- |\n"
+      km.takeRight(12).foreach { r =>
+        md ++= s"| ${l(r, 0)} | ${r.getString(1)} | ${usd(r, 3)} | ${usd(r, 10)} | ${d(r, 7, "%+.1f")} |\n"
+      }
     }
 
     val kp = q("ref_kpi_prod_monthly").collect()
       .filter(r => inYears(r.getLong(0)) &&
         params.categories.forall(_.contains(r.getString(3))))
-    md ++= "\n## Análisis por Categorías\n\n### Top categorías por exportación (último año)\n"
+    md ++= "\n## Análisis por Categorías\n"
     if (kp.nonEmpty) {
       val lastYr = kp.iterator.map(_.getLong(0)).max
-      kp.iterator.filter(_.getLong(0) == lastYr)
-        .toSeq.groupBy(_.getString(3))
-        .view.mapValues(_.iterator
-          .map(r => if (r.isNullAt(4)) 0.0 else r.getDouble(4)).sum)
-        .toSeq.filter(_._2 > 0)
-        .sortBy { case (cat, e) => (-e, cat) }
-        .take(params.nTop.getOrElse(10))
-        .zipWithIndex.foreach { case ((cat, e), k) =>
-          md ++= s"- ${k + 1}. $cat: ${fmtUsd(e)}\n"
-        }
-      md ++= s"\n### Categorías de importación (CUODE, $lastYr)\n"
-      kp.iterator.filter(r => r.getLong(0) == lastYr && !r.isNullAt(5))
-        .toSeq.groupBy(_.getString(3))
-        .view.mapValues(_.iterator.map(_.getDouble(5)).sum)
-        .toSeq.sortBy { case (cat, v) => (-v, cat) }
-        .foreach { case (cat, v) => md ++= s"- $cat: ${fmtUsd(v)}\n" }
-    }
+      if (showExp) {
+        md ++= "\n### Top categorías por exportación (último año)\n"
+        kp.iterator.filter(_.getLong(0) == lastYr)
+          .toSeq.groupBy(_.getString(3))
+          .view.mapValues(_.iterator
+            .map(r => if (r.isNullAt(4)) 0.0 else r.getDouble(4)).sum)
+          .toSeq.filter(_._2 > 0)
+          .sortBy { case (cat, e) => (-e, cat) }
+          .take(params.nTop.getOrElse(10))
+          .zipWithIndex.foreach { case ((cat, e), k) =>
+            md ++= s"- ${k + 1}. $cat: ${fmtUsd(e)}\n"
+          }
+      }
+      if (showImp) {
+        md ++= s"\n### Categorías de importación (CUODE, $lastYr)\n"
+        kp.iterator.filter(r => r.getLong(0) == lastYr && !r.isNullAt(5))
+          .toSeq.groupBy(_.getString(3))
+          .view.mapValues(_.iterator.map(_.getDouble(5)).sum)
+          .toSeq.sortBy { case (cat, v) => (-v, cat) }
+          .foreach { case (cat, v) => md ++= s"- $cat: ${fmtUsd(v)}\n" }
+      }
+    } else md ++= "\n_sin datos bajo el filtro_\n"
 
+    if (showExp) {
     md ++= "\n### Reconciliación QA (libro vs suma de meses, export)\n"
     md ++= "| año | total libro | suma meses | Δ |\n| --- | --- | --- | --- |\n"
     q("ref_trade_export").collect()
@@ -361,6 +380,7 @@ object Dashboard {
           else fmtUsd(r.getDouble(3) - r.getDouble(4))
         md ++= s"| ${l(r, 0)} | ${usd(r, 3)} | ${usd(r, 4)} | $delta |\n"
       }
+    }
     md.toString
   }
 }

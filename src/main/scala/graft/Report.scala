@@ -272,6 +272,11 @@ object Report {
   def renderReferenceHtml(spark: SparkSession): Seq[(String, String)] = {
     val km = SparkEntry.queries("ref_kpi_monthly")(spark, "").collect()
       .filter(!_.isNullAt(5)) // balance IS NOT NULL — eda.py:27
+    // fail loudly instead of publishing six NaN-coordinate charts: a
+    // <2-row window makes every series min/max/pct_change degenerate
+    require(km.length >= 2,
+      s"EDA charts need >= 2 balance-complete months, got ${km.length} — " +
+        "the committed kpi_monthly window changed?")
     def col(i: Int): Seq[Double] =
       km.toSeq.map(r => if (r.isNullAt(i)) 0.0 else r.getDouble(i))
     val exports = col(3); val imports = col(4); val balances = col(5)
@@ -358,12 +363,17 @@ object Report {
   def renderEdaSummaryGolden(spark: SparkSession,
       now: java.time.LocalDateTime = java.time.LocalDateTime.now()): String = {
     val r = SparkEntry.queries("ref_eda_stats")(spark, "").collect().head
-    val meanS = f"${r.getDouble(0)}%.1f"
-    val stdS = f"${r.getDouble(1)}%.1f"
-    val maxS = f"${r.getDouble(2) / 1e9}%.1f"
+    // Locale.ROOT explicitly (not just the GraftSession default-
+    // locale pin): this is the byte-parity surface, and a caller
+    // with their own session on a decimal-comma host must still get
+    // '4.6', never '4,6'
+    def f1(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val meanS = f1(r.getDouble(0))
+    val stdS = f1(r.getDouble(1))
+    val maxS = f1(r.getDouble(2) / 1e9)
     val maxYm = r.getString(3)
     val surplus = r.getLong(4); val total = r.getLong(5)
-    val pctS = f"${surplus.toDouble / total * 100.0}%.1f"
+    val pctS = f1(surplus.toDouble / total * 100.0)
     val peak = r.getString(6); val valley = r.getString(7)
     val outliers = r.getLong(8)
     val ts = now.format(

@@ -21,7 +21,17 @@ final case class Q(
   * of being mutated as side effects inside table loaders.
   */
 object GraftSession {
-  def builder(cpus: String): SparkSession.Builder =
+  def builder(cpus: String): SparkSession.Builder = {
+    // Pin the JVM default locale before anything formats a number:
+    // the f"" interpolator is String.format under the DEFAULT
+    // locale, so on a decimal-comma host (es_PE — the observatory's
+    // own locale) every rendered report/SVG coordinate would emit
+    // '4,7' instead of '4.7' — breaking the golden-file line parity
+    // and producing invalid polyline points. Dashboard.fmtUsd pins
+    // Locale.ROOT per-call; this pins the remaining f""-interpolated
+    // surfaces for every main and the test harness (which all build
+    // sessions here).
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -84,6 +94,7 @@ object GraftSession {
       // with the measured row count.
       .config("spark.sql.maxSinglePartitionBytes", Long.MaxValue.toString)
       .config("spark.ui.enabled", "false")
+  }
 
   /** Dev A/B hook: SPARK_GRAFT_CONF="k=v;k=v" lands as session confs
     * LAST (overriding the defaults above) so config experiments — AQE
@@ -639,7 +650,14 @@ object Tables {
       // linger from sessions that predate the current key format.
       // Sweep them once per JVM (metadata-only, same locks) so an
       // existing environment heals without waiting for a source
-      // regeneration.
+      // regeneration. Transition caveat (r13 review): an equal-stamp
+      // LEGACY dir is still valid input for a concurrently running
+      // PRE-upgrade JVM, and this sweep would pull it out from under
+      // that reader — accepted because the old key format and old
+      // builds cannot coexist with this code in practice (one repo,
+      // one build per round; the sweep exists precisely to retire
+      // the old format), and a torn reader fails loudly, never
+      // silently serves wrong rows.
       withLocks {
         listSibs()
           .filter(p => siblingMtime(p.getFileName.toString) <= myMtime)
@@ -919,11 +937,18 @@ object Det {
     * at 1e9+ the 1e-6 grid is only ~4 ulps wide, so the two rules
     * disagree on a sizable fraction of values (first seen on the sf1
     * OLS forecast at ~1.5e9). Same pinning as dsum: quantize the
-    * shortest string HALF_UP through DECIMAL(18,6) on both engines,
-    * surface as double through the exact-string route.
+    * shortest string HALF_UP, surface as double through the
+    * exact-string route. Width (30,6), NOT the accumulator's
+    * (18,6): this wraps OUTPUTS that scale with data volume (the
+    * OLS fit reaches ~1.5e9 at sf1 and would cross (18,6)'s 1e12
+    * ceiling around sf1000, nulling on Spark and erroring on
+    * DuckDB) — and unlike native double→wide-decimal casts (the
+    * note above), the STRING route's rounding is digit-based and
+    * width-independent: verified identical across both engines at
+    * (30,6) over a 900k-value sweep spanning ±1e15.
     */
   def dround6(c: Column): Column =
-    c.cast(Dec).cast(StringType).cast(DoubleType)
+    c.cast(DecimalType(30, 6)).cast(StringType).cast(DoubleType)
   def dround6Sql(e: String): String =
-    s"CAST(CAST(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE)"
+    s"CAST(CAST(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(30,6)) AS VARCHAR) AS DOUBLE)"
 }

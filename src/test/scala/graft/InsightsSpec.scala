@@ -307,6 +307,21 @@ class InsightsSpec extends AnyFunSuite {
     // and the latest-year basis is the WINDOW's latest year, not 2025
     assert(md.contains("(CUODE, 2012)"),
       "category basis year must follow the filtered window")
+    // flow checkboxes gate which flow columns render (app.py:175-177)
+    // and are DISCLOSED — an export-only view must neither show
+    // import/balance tiles nor render an empty Filtros line
+    val exp = graft.Dashboard.renderReference(spark,
+      TradeParams(flows = Some(Set("export"))))
+    assert(exp.contains("Filtros: flujos export"), "flows must be disclosed")
+    assert(exp.contains("Export") && !exp.contains("Import $") &&
+      !exp.contains("Balance $"), "import/balance tiles must be hidden")
+    assert(!exp.contains("Categorías de importación"),
+      "import category section must be hidden under export-only flows")
+    val imp = graft.Dashboard.renderReference(spark,
+      TradeParams(flows = Some(Set("import"))))
+    assert(imp.contains("Categorías de importación"))
+    assert(!imp.contains("Serie Temporal"),
+      "the export series table must be hidden under import-only flows")
   }
 
   test("tile currency formatting matches the reference's format_currency") {

@@ -168,6 +168,11 @@ if os.path.exists(sf1_spark_p) and os.path.exists(sf1_duck_p):
     c1 = sorted(set(sq1) & set(dq1))
     if d1.get("failed"):
         sys.exit(f"sf1 DuckDB side has failures: {d1['failed']}")
+    if any(v < 0 for v in sq1.values()):
+        # graft.Bench records a failed query as a negative time —
+        # summing it would silently deflate the published totals
+        sys.exit("sf1 Spark side has failed queries: "
+                 + ", ".join(q for q, v in sorted(sq1.items()) if v < 0))
     st1 = sum(sq1[q] for q in c1); dt1 = sum(dq1[q] for q in c1)
     h1 = [q for q in c1 if dq1[q] >= HEAVY_CUT]
     l1 = [q for q in c1 if dq1[q] < HEAVY_CUT]

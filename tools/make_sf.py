@@ -51,13 +51,19 @@ for tbl, col in [("customer", "c_custkey"), ("orders", "o_orderkey"),
         f"SELECT max({col}) + 1 FROM read_parquet('{src}/{tbl}.parquet')"
     ).fetchone()[0]
 
-def tile(tbl, select_expr):
+def tile(tbl, select_expr, order_key):
+    # ORDER BY must be TOTAL (tile, primary key), not just the tile
+    # index: DuckDB's parallel scan delivers source rows in
+    # nondeterministic order, and sorting only on r.i would let two
+    # invocations produce byte-different parquets — breaking the
+    # deterministic-regeneration claim and churning (size, mtime)
+    # fixture keys
     con.execute(f"""
         COPY (
           SELECT {select_expr}
           FROM read_parquet('{src}/{tbl}.parquet') t
           CROSS JOIN range({N}) r(i)
-          ORDER BY r.i
+          ORDER BY r.i, {order_key}
         ) TO '{out}/{tbl}.parquet' (FORMAT parquet)
     """)
     n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/{tbl}.parquet')").fetchone()[0]
@@ -69,24 +75,24 @@ for tbl in ("region", "nation"):
                     TO '{out}/{tbl}.parquet' (FORMAT parquet)""")
     print(f"{tbl}: copied")
 
-tile("customer", f"""
+tile("customer", order_key="t.c_custkey", select_expr=f"""
     CAST(c_custkey + i * {K['customer']} AS BIGINT) AS c_custkey,
     c_name, c_nationkey, c_acctbal, c_mktsegment""")
 
-tile("part", f"""
+tile("part", order_key="t.p_partkey", select_expr=f"""
     CAST(p_partkey + i * {K['part']} AS BIGINT) AS p_partkey,
     p_name, p_brand, p_type, p_size, p_retailprice""")
 
-tile("supplier", f"""
+tile("supplier", order_key="t.s_suppkey", select_expr=f"""
     CAST(s_suppkey + i * {K['supplier']} AS BIGINT) AS s_suppkey,
     s_name, s_nationkey, s_acctbal""")
 
-tile("orders", f"""
+tile("orders", order_key="t.o_orderkey", select_expr=f"""
     CAST(o_orderkey + i * {K['orders']} AS BIGINT) AS o_orderkey,
     CAST(o_custkey + i * {K['customer']} AS BIGINT) AS o_custkey,
     o_orderstatus, o_totalprice, o_orderdate, o_orderpriority""")
 
-tile("lineitem", f"""
+tile("lineitem", order_key="t.l_orderkey, t.l_linenumber", select_expr=f"""
     CAST(l_orderkey + i * {K['orders']} AS BIGINT) AS l_orderkey,
     CAST(l_partkey + i * {K['part']} AS BIGINT) AS l_partkey,
     CAST(l_suppkey + i * {K['supplier']} AS BIGINT) AS l_suppkey,
@@ -95,7 +101,7 @@ tile("lineitem", f"""
 
 # events.user_id references customer keys (stream_enrich joins
 # user_id = c_custkey), so users offset by the CUSTOMER keyspace
-tile("events", f"""
+tile("events", order_key="t.event_id", select_expr=f"""
     CAST(event_id + i * {K['events']} AS BIGINT) AS event_id,
     ts,
     CAST(user_id + i * {K['customer']} AS BIGINT) AS user_id,
@@ -103,7 +109,7 @@ tile("events", f"""
 
 # documents: per-tile token suffix (tile 0 verbatim), n_chars kept
 # equal to len(text) as in the source
-tile("documents", f"""
+tile("documents", order_key="t.doc_id", select_expr=f"""
     CAST(doc_id + i * {K['documents']} AS BIGINT) AS doc_id,
     CASE WHEN i = 0 THEN text
          ELSE regexp_replace(text, '(\\S+)', '\\1' || CAST(i AS VARCHAR), 'g')
