@@ -49,7 +49,11 @@ object GraftExtensions {
     "byte_sum" -> arity("byte_sum", 1)(exprs => ByteSum(exprs.head)),
     "byte_energy" -> arity("byte_energy", 1)(exprs => ByteEnergy(exprs.head)),
     "term_counts" -> arity("term_counts", 1)(exprs =>
-      graft.functions.TermCounts(exprs.head))
+      graft.functions.TermCounts(exprs.head)),
+    "canonical_text" -> arity("canonical_text", 1)(exprs =>
+      graft.functions.CanonicalText(exprs.head)),
+    "canonical_url" -> arity("canonical_url", 1)(exprs =>
+      graft.functions.CanonicalUrl(exprs.head))
   )
 
   // install()'s functionExists idempotency check consults the SESSION

@@ -130,11 +130,25 @@ object GraftSession {
     * s/stage; only dedup_simhash (+0.06 s) regressed. Constants:
     * ~2 MB of compressed source per reduce partition (≈ 10-20 MB
     * in-flight) lands sf0.1 at 9 — the measured optimum's
-    * neighborhood — and GROWS linearly with the dir, reaching the
-    * core count near sf1 and the 32·cpus cap only past ~10 GB local
-    * input, where local[N] stops being the design point anyway.
-    * Floor 4 keeps partition-crossing semantics exercised at test
-    * SFs.
+    * neighborhood — and GROWS linearly with the dir UP TO THE CORE
+    * COUNT. Floor 4 keeps partition-crossing semantics exercised at
+    * test SFs.
+    *
+    * Cap = cpus, NOT 32·cpus (measured, r14): on a single JVM only
+    * `cpus` reduce tasks ever run at once — width beyond the core
+    * count buys zero parallelism. The uncapped dial gave sf1
+    * (220 MB) 110-wide reduces and was the entire "super-linear
+    * growth" of the posting-join family: at sf1 dedup_incremental
+    * 7.20→1.60 s, llm_containment 5.91→1.37 s, llm_decontaminate
+    * 4.62→1.10 s just by dialing 110→32, reproduced interleaved
+    * (ABWIDTH_SF1.md). All three now beat their DuckDB twins at sf1.
+    * The penalty is NOT linear in task count (256-wide ran 1.4-2.0 s,
+    * AQE-on 3.1-4.3 s) — same SMJ plan at every width, so it is a
+    * per-task constant regime, not a strategy flip; the cap dodges
+    * the whole regime. Per-partition data at the cap stays modest
+    * for any dir a local session should serve (sf10 ≈ 2.2 GB →
+    * ~70 MB/partition); a CLUSTER session never takes this path and
+    * sizes by executor count with AQE coalescing ON.
     */
   private[graft] def measuredShuffleParts(dir: String, cpus: Int): Option[Int] = try {
     val root = java.nio.file.Paths.get(dir.takeWhile(_ != '#'))
@@ -152,7 +166,7 @@ object GraftSession {
         // still exceeds Int range, and a degenerate cpus value must
         // not push the cap below the floor of 4. The cap also bounds
         // the result into Int range before toInt.
-        val cap = math.min(math.max(4L, 32L * math.max(cpus, 0).toLong),
+        val cap = math.min(math.max(4L, math.max(cpus, 0).toLong),
           Int.MaxValue.toLong)
         Some(math.min(math.max(Tables.ceilDiv2MB(bytes), 4L), cap).toInt)
       }

@@ -47,6 +47,13 @@ object Dedup {
   // dedup_exact.
 
   private[graft] def canonical(c: org.apache.spark.sql.Column) =
+    graft.functions.CanonicalText.canonical_text(c)
+
+  /** The regexp_replace form [[canonical]] fuses (kept as the
+    * cross-engine reference: PropertySpec pins kernel == this form;
+    * the DuckDB oracle stays on [[canonicalSqlExpr]]).
+    */
+  private[graft] def canonicalRegex(c: org.apache.spark.sql.Column) =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
 
   /** DuckDB twin of [[canonical]] (global-flag regex replaces). */
@@ -123,12 +130,20 @@ object Dedup {
 
   private val trackingParam = "(utm_[a-z0-9_]+|session|ref)"
 
+  /** URL canonicalization — the fused single-scan kernel
+    * ([[graft.functions.Canonicalize.canonicalUrl]]); the regex chain
+    * it replaces lives on as [[canonicalUrlRegex]] (the equality
+    * reference) and as the DuckDB oracle's SQL ([[canonicalUrlSql]]).
+    */
+  private[graft] def canonicalUrl(c: org.apache.spark.sql.Column) =
+    graft.functions.CanonicalUrl.canonical_url(c)
+
   /** The canonicalization chain. Order matters: mid-list tracking
     * params go first (so a leading tracking param becomes leading-
     * and-only or leading-with-successor, handled next), then the
     * path/query seam (`/?` → `?`) and the trailing slash.
     */
-  private[graft] def canonicalUrl(c: org.apache.spark.sql.Column) = {
+  private[graft] def canonicalUrlRegex(c: org.apache.spark.sql.Column) = {
     val steps: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = Seq(
       lower(_),
       regexp_replace(_, "^https?://", ""),

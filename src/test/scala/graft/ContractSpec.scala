@@ -30,8 +30,12 @@ class ContractSpec extends AnyFunSuite {
     val f = new java.io.RandomAccessFile(tmp.resolve("big.bin").toFile, "rw")
     try f.setLength(200L << 20) finally f.close() // sparse 200 MB
     try {
-      assert(GraftSession.measuredShuffleParts(tmp.toString, 2).contains(64),
-        "200 MB at cpus=2 must hit the 32*cpus cap")
+      // cap = cpus (r14 A/B, ABWIDTH_SF1.md): width past the core
+      // count is pure per-task overhead on a single JVM
+      assert(GraftSession.measuredShuffleParts(tmp.toString, 2).contains(4),
+        "200 MB at cpus=2 must hit the core-count cap (floored at 4)")
+      assert(GraftSession.measuredShuffleParts(tmp.toString, 8).contains(8),
+        "200 MB at cpus=8 must hit the core-count cap")
       assert(GraftSession.measuredShuffleParts(tmp.toString, 0).contains(4),
         "cap must never fall below the floor of 4")
     } finally {

@@ -160,6 +160,49 @@ class PropertySpec extends AnyFunSuite {
     }, 10)
   }
 
+  test("canonical_text kernel equals the regexp_replace chain on arbitrary strings") {
+    // the fused kernel replaced lower→strip→collapse→trim regex
+    // chains in dedup_canonical AND llm_split's split key — a silent
+    // divergence would both split dedup groups and MOVE documents
+    // between train/test. Generator mixes ASCII runs, space runs,
+    // punctuation, and the non-ASCII classes where lowercase is
+    // interesting (ß has no 1-char lower, Kelvin K lowers INTO the
+    // kept [a-z] class, İ lowers to i + combining dot).
+    val token = Gen.frequency(
+      6 -> Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString),
+      2 -> Gen.oneOf("  ", "   ", "\t", "\n"),
+      2 -> Gen.oneOf("É", "ß", "中", "K", "İ", "ſ", " ", "😀", "Ñü"))
+    val gen = Gen.listOf(token).map(_.mkString.take(200))
+    check(Prop.forAll(Gen.listOfN(12, gen)) { texts =>
+      val rows = texts.toDF("t").select(
+        graft.operators.Dedup.canonical(col("t")).as("kernel"),
+        graft.operators.Dedup.canonicalRegex(col("t")).as("regex"))
+        .collect()
+      rows.forall(r => r.getString(0) == r.getString(1))
+    }, 15)
+  }
+
+  test("canonical_url kernel equals the regexp_replace chain on adversarial fragments") {
+    // beyond the well-formed URL generator above: random splices of
+    // the chain's OWN trigger fragments (tracking names without '=',
+    // empty values, ?& runs, nested www, double slashes, trailing
+    // seams) — exactly the inputs where hand-rolled replaceAll
+    // semantics could drift from java.util.regex
+    val frag = Gen.oneOf(
+      "http://", "https://", "httpx://", "www.", "w.", "WWW.",
+      "?", "&", "/", "=", "utm_", "utm_a", "utm_a_b", "session", "ref",
+      "sess", "refx", "a1", "page", "rss", "//", "?&", "&&", "/?",
+      "?ref=", "&utm_=", "&ref", "x=1", "s", ".")
+    val gen = Gen.listOf(frag).map(_.mkString.take(120))
+    check(Prop.forAll(Gen.listOfN(12, gen)) { urls =>
+      val rows = urls.toDF("u").select(
+        graft.operators.Dedup.canonicalUrl(col("u")).as("kernel"),
+        graft.operators.Dedup.canonicalUrlRegex(col("u")).as("regex"))
+        .collect()
+      rows.forall(r => r.getString(0) == r.getString(1))
+    }, 15)
+  }
+
   test("llm_split keys are stable under corpus growth (pure content function)") {
     // the split key must depend on the document TEXT alone: appending
     // new documents to the corpus can never move an old document

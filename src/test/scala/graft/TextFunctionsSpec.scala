@@ -105,6 +105,41 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalize kernels equal the regex forms on the corpus and compile under codegen") {
+    // the kernels sit on the dedup_canonical / dedup_url / llm_split
+    // hot paths; with fallback disabled a janino failure throws
+    // instead of silently running interpreted. Equality on the real
+    // corpus complements PropertySpec's generated-input checks.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = Tables(spark, sf).documents.limit(200)
+      docs.select(
+        graft.operators.Dedup.canonical($"text").as("k"),
+        graft.operators.Dedup.canonicalRegex($"text").as("r"))
+        .collect()
+        .foreach(r => assert(r.getString(0) == r.getString(1)))
+      val urls = docs.select(
+        graft.operators.Dedup.crawlUrl($"doc_id", $"source").as("u"))
+      urls.select(
+        graft.operators.Dedup.canonicalUrl($"u").as("k"),
+        graft.operators.Dedup.canonicalUrlRegex($"u").as("r"))
+        .collect()
+        .foreach(r => assert(r.getString(0) == r.getString(1)))
+      // SQL surface: registered by GraftExtensions like the other kernels
+      assert(spark.sql("SELECT canonical_text(' A,b  C! ') AS c").first()
+        .getString(0) == "ab c")
+      assert(spark.sql(
+        "SELECT canonical_url('https://www.X.com/a/?ref=1&page=2') AS c")
+        .first().getString(0) == "x.com/a?page=2")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("token_set_count equals the HOF filter count and compiles under codegen") {
     // the native kernel must reproduce the MULTISET count (every
     // occurrence — array_intersect-style distinct counting would be a
