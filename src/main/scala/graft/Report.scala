@@ -22,6 +22,19 @@ object Report {
     case c => c.toString
   }
 
+  /** Locale-pinned float formatting for the SVG/label surfaces: the
+    * f"" interpolator follows the JVM default locale, so on a
+    * decimal-comma host a caller building its OWN SparkSession
+    * (bypassing GraftSession's Locale.ROOT default) would get
+    * "4,7" coordinates — invalid inside SVG point lists (r13
+    * ADVICE). Pin Locale.ROOT at the call sites instead of relying
+    * on the process-global default.
+    */
+  private def d1(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+  private def d2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
   /** Minimal line chart: points scaled into a fixed 640x240 viewBox
     * with a light axis frame and min/max labels. Deterministic bytes
     * for deterministic input.
@@ -33,15 +46,15 @@ object Report {
     val pts = ys.zipWithIndex.map { case (y, i) =>
       val px = pad + i.toDouble * (w - 2 * pad) / math.max(1, ys.length - 1)
       val py = h - pad - (y - lo) / span * (h - 2 * pad)
-      f"$px%.1f,$py%.1f"
+      d1(px) + "," + d1(py)
     }.mkString(" ")
     s"""<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 $w $h">
        |<rect width="$w" height="$h" fill="white"/>
        |<text x="$pad" y="20" font-family="sans-serif" font-size="13">${esc(title)}</text>
        |<line x1="$pad" y1="${h - pad}" x2="${w - pad}" y2="${h - pad}" stroke="#999"/>
        |<line x1="$pad" y1="$pad" x2="$pad" y2="${h - pad}" stroke="#999"/>
-       |<text x="4" y="${h - pad}" font-family="sans-serif" font-size="10">${f"$lo%.2f"}</text>
-       |<text x="4" y="${pad + 4}" font-family="sans-serif" font-size="10">${f"$hi%.2f"}</text>
+       |<text x="4" y="${h - pad}" font-family="sans-serif" font-size="10">${d2(lo)}</text>
+       |<text x="4" y="${pad + 4}" font-family="sans-serif" font-size="10">${d2(hi)}</text>
        |<polyline points="$pts" fill="none" stroke="#2a6fb0" stroke-width="1.5"/>
        |</svg>
        |""".stripMargin
@@ -57,14 +70,14 @@ object Report {
     val bars = ys.zipWithIndex.map { case (y, i) =>
       val bh = y / span * (h - 2 * pad)
       val x = pad + i * bw
-      f"""<rect x="$x%.1f" y="${h - pad - bh}%.1f" width="${bw * 0.8}%.1f" height="$bh%.1f" fill="#2a6fb0"/>
-         |<text x="${x + bw * 0.4}%.1f" y="${h - pad + 12}" font-family="sans-serif" font-size="9" text-anchor="middle">${esc(labels(i))}</text>""".stripMargin
+      s"""<rect x="${d1(x)}" y="${d1(h - pad - bh)}" width="${d1(bw * 0.8)}" height="${d1(bh)}" fill="#2a6fb0"/>
+         |<text x="${d1(x + bw * 0.4)}" y="${h - pad + 12}" font-family="sans-serif" font-size="9" text-anchor="middle">${esc(labels(i))}</text>""".stripMargin
     }.mkString("\n")
     s"""<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 $w $h">
        |<rect width="$w" height="$h" fill="white"/>
        |<text x="$pad" y="20" font-family="sans-serif" font-size="13">${esc(title)}</text>
        |<line x1="$pad" y1="${h - pad}" x2="${w - pad}" y2="${h - pad}" stroke="#999"/>
-       |<text x="4" y="${pad + 4}" font-family="sans-serif" font-size="10">${f"$hi%.2f"}</text>
+       |<text x="4" y="${pad + 4}" font-family="sans-serif" font-size="10">${d2(hi)}</text>
        |$bars
        |</svg>
        |""".stripMargin
@@ -147,7 +160,7 @@ object Report {
     def pts(ys: Seq[Double]) = ys.zipWithIndex.map { case (y, i) =>
       val px = pad + i.toDouble * (w - 2 * pad) / math.max(1, n - 1)
       val py = h - pad - (y - lo) / span * (h - 2 * pad)
-      f"$px%.1f,$py%.1f"
+      d1(px) + "," + d1(py)
     }.mkString(" ")
     val lines = series.map { case (_, ys, color) =>
       s"""<polyline points="${pts(ys)}" fill="none" stroke="$color" stroke-width="1.5"/>"""
@@ -160,8 +173,8 @@ object Report {
        |<text x="$pad" y="20" font-family="sans-serif" font-size="13">${esc(title)}</text>
        |<line x1="$pad" y1="${h - pad}" x2="${w - pad}" y2="${h - pad}" stroke="#999"/>
        |<line x1="$pad" y1="$pad" x2="$pad" y2="${h - pad}" stroke="#999"/>
-       |<text x="4" y="${h - pad}" font-family="sans-serif" font-size="10">${f"$lo%.2f"}</text>
-       |<text x="4" y="${pad + 4}" font-family="sans-serif" font-size="10">${f"$hi%.2f"}</text>
+       |<text x="4" y="${h - pad}" font-family="sans-serif" font-size="10">${d2(lo)}</text>
+       |<text x="4" y="${pad + 4}" font-family="sans-serif" font-size="10">${d2(hi)}</text>
        |$lines
        |$legend
        |</svg>
@@ -181,7 +194,7 @@ object Report {
     val span = if (hi == lo) 1.0 else hi - lo
     def color(v: Double): String = {
       val t = (v - lo) / span // 0 → red, 1 → green (RdYlGn direction)
-      f"rgb(${(230 - 180 * t).toInt}%d,${(60 + 160 * t).toInt}%d,60)"
+      s"rgb(${(230 - 180 * t).toInt},${(60 + 160 * t).toInt},60)"
     }
     val cells = (for {
       (yr, xi) <- years.zipWithIndex
@@ -231,10 +244,10 @@ object Report {
       val (mn, q1, med, q3, mx) = (s.head, quantile(s, 0.25),
         quantile(s, 0.5), quantile(s, 0.75), s.last)
       val cx = pad + i * bw + bw / 2
-      f"""<line x1="$cx%.1f" y1="${py(mn)}%.1f" x2="$cx%.1f" y2="${py(mx)}%.1f" stroke="#666"/>
-         |<rect x="${cx - bw * 0.3}%.1f" y="${py(q3)}%.1f" width="${bw * 0.6}%.1f" height="${py(q1) - py(q3)}%.1f" fill="#9ecae1" stroke="#2a6fb0"/>
-         |<line x1="${cx - bw * 0.3}%.1f" y1="${py(med)}%.1f" x2="${cx + bw * 0.3}%.1f" y2="${py(med)}%.1f" stroke="#08306b" stroke-width="1.5"/>
-         |<text x="$cx%.1f" y="${h - pad + 12}" font-family="sans-serif" font-size="9" text-anchor="middle">${esc(label)}</text>""".stripMargin
+      s"""<line x1="${d1(cx)}" y1="${d1(py(mn))}" x2="${d1(cx)}" y2="${d1(py(mx))}" stroke="#666"/>
+         |<rect x="${d1(cx - bw * 0.3)}" y="${d1(py(q3))}" width="${d1(bw * 0.6)}" height="${d1(py(q1) - py(q3))}" fill="#9ecae1" stroke="#2a6fb0"/>
+         |<line x1="${d1(cx - bw * 0.3)}" y1="${d1(py(med))}" x2="${d1(cx + bw * 0.3)}" y2="${d1(py(med))}" stroke="#08306b" stroke-width="1.5"/>
+         |<text x="${d1(cx)}" y="${h - pad + 12}" font-family="sans-serif" font-size="9" text-anchor="middle">${esc(label)}</text>""".stripMargin
     }.mkString("\n")
     s"""<svg xmlns="http://www.w3.org/2000/svg" viewBox="0 0 $w $h">
        |<rect width="$w" height="$h" fill="white"/>
@@ -311,7 +324,7 @@ object Report {
       outlierIdx.map { i =>
         val px = pad + i.toDouble * (w - 2 * pad) / math.max(1, pct.length - 1)
         val py = h - pad - (pct(i) - lo) / span * (h - 2 * pad)
-        f"""<circle cx="$px%.1f" cy="$py%.1f" r="4" fill="none" stroke="red" stroke-width="1.5"/>"""
+        s"""<circle cx="${d1(px)}" cy="${d1(py)}" r="4" fill="none" stroke="red" stroke-width="1.5"/>"""
       }.mkString("\n")
     }
     val serie = multiLineSvg("Comercio Exterior del Perú (miles de millones USD)",
@@ -355,8 +368,8 @@ object Report {
     * line-by-line against `/root/reference/reports/eda/
     * eda_summary.md`. Formatting note: Python's `{:.1f}` rounds
     * half-even, Java's `%.1f` half-up — equal everywhere off a
-    * .x5 tie, and the spec proves none of the five formatted values
-    * sits on one.
+    * .x5 tie, and the spec proves none of the four formatted values
+    * (mean, std, max-in-billions, surplus-pct) sits on one.
     *
     * `now` is injectable so specs render deterministically.
     */

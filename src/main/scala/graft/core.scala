@@ -588,10 +588,23 @@ object Tables {
     // or old-format dirs linger forever and an oracle that GLOBS the
     // fixture root reads both layouts' rows (observed as an exact
     // src_n-fold row duplication when the format changed).
+    // The legacy capture must be EXACT: a legacy dir of a different
+    // logical source whose sanitized name merely extends this
+    // legacyPrefix ('orders.parquet' vs 'orders.parquet_v2') would
+    // otherwise be swept/stale-tripped as a version sibling of the
+    // wrong fixture (r13 ADVICE), so the remainder after the prefix
+    // must parse as exactly '<size>_<mtime>' — two numeric fields,
+    // nothing else.
+    def isLegacyStamp(rest: String): Boolean = rest.split('_') match {
+      case Array(size, mtime) =>
+        size.toLongOption.isDefined && mtime.toLongOption.isDefined
+      case _ => false
+    }
     def isSibling(name: String): Boolean =
       name != key && !name.startsWith(".") &&
         (name.startsWith(prefix + "_") ||
-          (name.startsWith(legacyPrefix + "_") && !name.contains('@')))
+          (name.startsWith(legacyPrefix + "_") && !name.contains('@') &&
+            isLegacyStamp(name.stripPrefix(legacyPrefix + "_"))))
     def listSibs(): List[java.nio.file.Path] = {
       import scala.jdk.CollectionConverters._
       val kids = Files.list(out.getParent)

@@ -385,11 +385,18 @@ object Xlsx {
     * renamed non-xlsx file), which the strict reader would drop as
     * zero rows with no signal. Scale shape unchanged: one decode task
     * per book; the error branch allocates one row.
+    *
+    * Unlike the strict readers (parity-grade, curated FLAT inputs),
+    * this one descends nested directories (`recursiveFileLookup`): a
+    * lake's layout is rarely flat, and the zero-byte quarantine pass
+    * below must cover exactly the file set the decoder lists — both
+    * are recursive, spec-pinned on a two-level layout.
     */
   def readAllCellsTolerant(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
     val decoded = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xlsx")
+      .option("recursiveFileLookup", "true")
       .load(pathGlob)
       .select($"path", $"content")
       .as[(String, Array[Byte])]
@@ -424,11 +431,28 @@ object Xlsx {
     val hPath = new org.apache.hadoop.fs.Path(pathGlob)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val matched = Option(fs.globStatus(hPath)).map(_.toSeq).getOrElse(Seq.empty)
+    // Descend RECURSIVELY under matched directories (fs.listFiles,
+    // not a single listStatus level): the binaryFile scan's file
+    // index lists leaf files at any depth, so a 0-byte book nested
+    // two levels down reaches the decoder's listing but would have
+    // escaped a one-level quarantine pass — the exact silent class
+    // this pass exists to surface (r13 ADVICE). Qualify the path so
+    // the quarantine row's `book` string is URI-identical to
+    // binaryFile's `path` column for the same file.
+    def leafFiles(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!st.isDirectory) Seq(st)
+      else {
+        val it = fs.listFiles(st.getPath, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) buf += it.next()
+        buf.toSeq
+      }
     val empties = matched
-      .flatMap(st => if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st))
+      .flatMap(leafFiles)
       .filter(st => st.isFile && st.getLen == 0 &&
         st.getPath.getName.endsWith(".xlsx"))
-      .map(st => (st.getPath.toString, "", -1, -1, "", "empty file (0 bytes)"))
+      .map(st => (fs.makeQualified(st.getPath).toString,
+        "", -1, -1, "", "empty file (0 bytes)"))
     if (empties.isEmpty) decoded
     else decoded.unionAll(empties
       .toDF("book", "sheet", "row_num", "col_num", "val", "decode_error"))

@@ -77,6 +77,34 @@ class InsightsSpec extends AnyFunSuite {
     parse(graft.Report.barSvg("zero", Seq("a"), Seq(0.0)))
   }
 
+  test("SVG renderers are locale-independent (decimal-comma default locale)") {
+    // GraftSession pins Locale.ROOT process-wide, but a caller
+    // building their OWN SparkSession inherits the host default — on
+    // a decimal-comma host an f"" interpolation would emit "4,7"
+    // coordinates, which splits a point list's x,y pairs into garbage
+    // (r13 ADVICE). The renderers pin Locale.ROOT at every format
+    // call site; prove it by flipping the JVM default.
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val line = graft.Report.lineSvg("l", Seq(1.25, 3.75, 2.5))
+      val bar = graft.Report.barSvg("b", Seq("a", "b"), Seq(1.25, 2.75))
+      for (svg <- Seq(line, bar)) {
+        javax.xml.parsers.DocumentBuilderFactory.newInstance()
+          .newDocumentBuilder()
+          .parse(new java.io.ByteArrayInputStream(svg.getBytes("UTF-8")))
+        ()
+      }
+      // the polyline point list must be space-separated "x,y" pairs
+      // with DOT decimals — a comma decimal would add extra fields
+      val pts = """points="([^"]*)"""".r
+        .findFirstMatchIn(line).get.group(1).trim
+      assert(pts.split(" ").forall(_.count(_ == ',') == 1),
+        s"comma-decimal leaked into point list: $pts")
+      assert(pts.contains("."), s"expected dot decimals: $pts")
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("dashboard bundle renders every tab section from checked operators") {
     val md = graft.Dashboard.render(spark, sf)
     for (h <- Seq("Análisis por País", "Métricas Clave", "Serie Temporal",

@@ -273,6 +273,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(!Files.exists(legacy), "legacy-format twin must be swept")
     assert(Files.exists(java.nio.file.Paths.get(out2, "data.txt")))
     assert(Files.exists(other), "unrelated fixture swept by legacy prune")
+    // a legacy dir of a DIFFERENT logical source whose sanitized name
+    // merely EXTENDS this fixture's legacy prefix ('orders.parquet_v2'
+    // vs 'orders.parquet') is not a version sibling: with a newer
+    // stamp it must neither trip the stale-writer exception nor be
+    // swept — the remainder after the prefix must parse as exactly
+    // '<size>_<mtime>' to count as legacy (r13 ADVICE)
+    val extendeds = Seq(
+      java.nio.file.Paths.get(legacy.toString.stripSuffix("_2_2000000") +
+        "_v2_9_9999999"), // extra sanitized segment before the stamp
+      java.nio.file.Paths.get(legacy.toString.stripSuffix("_2_2000000") +
+        "_9_9999999_extra")) // extra segment after the stamp
+    extendeds.foreach(Files.createDirectories(_))
+    val out4 = publish() // newer-stamped colliding dirs present: must not throw
+    assert(out4 == out2, "reuse path must survive a colliding legacy-like dir")
+    assert(extendeds.forall(Files.exists(_)),
+      "colliding legacy-like dir of another source was swept")
   }
 
   test("a params-fragment session's prod fixture is invisible to the oracle's src_n match") {
@@ -325,20 +341,39 @@ class SourcesSpec extends AnyFunSuite {
     // throwing, so this is the silent-silent class — it must
     // quarantine too, not vanish (r12 ADVICE)
     Files.write(dir.resolve("empty.xlsx"), Array.empty[Byte])
+    // and the NESTED variant: the binaryFile scan's file index lists
+    // leaf files at any depth, so the quarantine listing must descend
+    // just as deep or a 0-byte book two levels down vanishes silently
+    // again (r13 ADVICE)
+    Files.createDirectories(dir.resolve("nested/deeper"))
+    writeBook("nested/deep_good.xlsx", "vN")
+    Files.write(dir.resolve("nested/deeper/empty_deep.xlsx"), Array.empty[Byte])
     val cells = graft.sources.Xlsx.readAllCellsTolerant(spark, dir.toString)
       .collect()
     val (bad, ok) = cells.partition(r => !r.isNullAt(5))
-    // every good book decoded fully (2 rows x 1 col each)
-    assert(ok.length == 3 * 2, s"good cells lost: ${ok.length}")
+    // every good book decoded fully (2 rows x 1 col each), incl. nested
+    assert(ok.length == 4 * 2, s"good cells lost: ${ok.length}")
     assert(ok.map(_.getString(0).split('/').last).toSet ==
-      (0 until 3).map(b => f"good_$b.xlsx").toSet)
+      ((0 until 3).map(b => f"good_$b.xlsx").toSet + "deep_good.xlsx"))
     // exactly one quarantine row per bad book, each naming its error
     val badByBook = bad.map(r => r.getString(0).split('/').last -> r.getString(5)).toMap
-    assert(badByBook.keySet == Set("truncated.xlsx", "junk.xlsx", "empty.xlsx"),
+    assert(badByBook.keySet ==
+      Set("truncated.xlsx", "junk.xlsx", "empty.xlsx", "empty_deep.xlsx"),
       s"quarantine set wrong: $badByBook")
     assert(badByBook("empty.xlsx").contains("empty file"))
+    assert(badByBook("empty_deep.xlsx").contains("empty file"))
     assert(badByBook.values.forall(_.nonEmpty))
     assert(bad.forall(r => r.getInt(2) == -1 && r.getInt(3) == -1))
+    // URI-form parity: a quarantine row's `book` string must be
+    // byte-identical to what binaryFile's `path` column would carry
+    // for the same file, or a downstream join on book silently
+    // splits the two row classes. Pin it against a decoded sibling
+    // in the same directory.
+    val okParent = ok.map(_.getString(0)).find(_.endsWith("good_0.xlsx")).get
+      .stripSuffix("good_0.xlsx")
+    val emptyPath = bad.map(_.getString(0)).find(_.endsWith("empty.xlsx")).get
+    assert(emptyPath == okParent + "empty.xlsx",
+      s"quarantine path URI form diverges from binaryFile's: $emptyPath vs $okParent")
   }
 
   test("sorted-within-partitions write keeps min/max stats tight") {
