@@ -33,6 +33,7 @@ import org.apache.spark.sql.Row
   *
   * Usage: graft.Dashboard [sfDir] [outDir] [yearFrom:yearTo]
   *          [flows(csv)] [categories(csv)] [nTop]
+  *          [view: abs|idx|pct] [analysis: export|import|balance|coverage]
   */
 object Dashboard {
 
@@ -66,6 +67,22 @@ object Dashboard {
   private def usd(r: Row, idx: Int): String =
     if (r.isNullAt(idx)) "N/A" else fmtUsd(r.getDouble(idx))
 
+  /** The reference UI's literal option labels for the two render
+    * dials (app.py:182, app.py:478), keyed by TradeParams' slugs —
+    * the Filtros line and section titles disclose the selection in
+    * the reference's own words. */
+  private[graft] def viewLabel(v: String): String = v match {
+    case "idx" => "Índices (2005=100)"
+    case "pct" => "Variaciones %"
+    case _ => "Valores Absolutos"
+  }
+  private[graft] def analysisLabel(a: String): String = a match {
+    case "import" => "Importaciones"
+    case "balance" => "Balance"
+    case "coverage" => "Cobertura (Exp/Imp)"
+    case _ => "Exportaciones"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("target/reports")
@@ -75,7 +92,9 @@ object Dashboard {
       yearTo = args.lift(2).flatMap(_.split(':').lift(1)).map(_.toInt),
       flows = args.lift(3).map(_.split(',').toSet),
       categories = args.lift(4).map(_.split(',').toSeq),
-      nTop = args.lift(5).map(_.toInt))
+      nTop = args.lift(5).map(_.toInt),
+      viewType = args.lift(6),
+      analysisType = args.lift(7))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = GraftSession.local(cpus, Some(sfDir))
     spark.sparkContext.setLogLevel("WARN")
@@ -158,7 +177,9 @@ object Dashboard {
       }
       val sel = yrs ++ params.flows.map(f => s"flujos ${f.toSeq.sorted.mkString("+")}") ++
         params.categories.map(c => s"categorías ${c.mkString(", ")}") ++
-        params.nTop.map(n => s"top $n")
+        params.nTop.map(n => s"top $n") ++
+        params.viewType.map(v => s"vista ${Dashboard.viewLabel(v)}") ++
+        params.analysisType.map(a => s"análisis ${Dashboard.analysisLabel(a)}")
       md ++= s"_Filtros: ${sel.mkString(" · ")}_\n\n"
     }
 
@@ -183,10 +204,31 @@ object Dashboard {
         s"(${d(y, 7, "%+.1f")}% vs año anterior)\n\n"
     }
 
-    md ++= "### Serie Temporal (últimos 12 meses, MA12)\n"
-    md ++= "| yr | mon | export (USD) | MA12 |\n| --- | --- | --- | --- |\n"
-    q("kpi_trend").collect().takeRight(12).foreach { r =>
-      md ++= s"| ${i(r, 0)} | ${i(r, 1)} | ${d(r, 2)} | ${d(r, 3)} |\n"
+    // view_type selector (app.py:178-183): the same country series
+    // rendered as absolute values, base-100 indices, or % changes.
+    // Each view is a different ORACLE-CHECKED operator over the same
+    // monthly model — the dial switches which one renders, it never
+    // recomputes client-side.
+    params.viewType.getOrElse("abs") match {
+      case "idx" =>
+        md ++= "### Serie Temporal — Índices (base=100, últimos 12 meses)\n"
+        md ++= "| yr | mon | idx export | idx import |\n| --- | --- | --- | --- |\n"
+        q("kpi_idx_base").collect().takeRight(12).foreach { r =>
+          md ++= s"| ${i(r, 0)} | ${i(r, 1)} | ${d(r, 2, "%.1f")} | ${d(r, 3, "%.1f")} |\n"
+        }
+      case "pct" =>
+        md ++= "### Serie Temporal — Variaciones % (últimos 12 meses)\n"
+        md ++= "| yr | mon | export MoM % | export YoY % | import MoM % | import YoY % |\n"
+        md ++= "| --- | --- | --- | --- | --- | --- |\n"
+        q("kpi_mom_yoy").collect().takeRight(12).foreach { r =>
+          md ++= s"| ${i(r, 0)} | ${i(r, 1)} | ${d(r, 3, "%+.1f")} | ${d(r, 4, "%+.1f")} | ${d(r, 5, "%+.1f")} | ${d(r, 6, "%+.1f")} |\n"
+        }
+      case _ =>
+        md ++= "### Serie Temporal (últimos 12 meses, MA12)\n"
+        md ++= "| yr | mon | export (USD) | MA12 |\n| --- | --- | --- | --- |\n"
+        q("kpi_trend").collect().takeRight(12).foreach { r =>
+          md ++= s"| ${i(r, 0)} | ${i(r, 1)} | ${d(r, 2)} | ${d(r, 3)} |\n"
+        }
     }
 
     md ++= "\n### Estacionalidad\n"
@@ -226,10 +268,71 @@ object Dashboard {
       }
     }
 
-    md ++= "\n### Ranking de Categorías\n"
+    // analysis_type selector (app.py:474-480): the category tab's
+    // temporal panel plots the SELECTED measure per category
+    // (app.py:537-557 picks value_col; coverage renders ×100 as a
+    // pct, app.py:551-552). The engine analog is a wide table over
+    // the oracle-checked per-category monthly model — the same
+    // client-side wide layout px.area builds from the long frame.
+    val analysis = params.analysisType.getOrElse("export")
+    md ++= s"\n### Análisis Temporal por Categorías — ${Dashboard.analysisLabel(analysis)}\n"
+    locally {
+      val measureIdx = analysis match {
+        case "import" => 4
+        case "balance" => 5
+        case "coverage" => 6
+        case _ => 3
+      }
+      val pm = qc("kpi_prod_monthly").collect()
+      if (pm.isEmpty) md ++= "_sin datos bajo el filtro_\n"
+      else {
+        val cats = pm.iterator.map(_.getString(0)).toSeq.distinct.sorted
+        val lastMonths = pm.iterator.map(r => (r.getInt(1), r.getInt(2)))
+          .toSeq.distinct.sorted.takeRight(6)
+        val byKey = pm.iterator
+          .map(r => ((r.getString(0), r.getInt(1), r.getInt(2)), r))
+          .toMap
+        md ++= "| yr | mon | " + cats.mkString(" | ") + " |\n"
+        md ++= "| --- | --- |" + cats.map(_ => " --- |").mkString + "\n"
+        lastMonths.foreach { case (yr, mon) =>
+          val cells = cats.map { c =>
+            byKey.get((c, yr, mon)) match {
+              case Some(r) if !r.isNullAt(measureIdx) =>
+                if (analysis == "coverage")
+                  "%.1f%%".format(r.getDouble(measureIdx) * 100.0)
+                else d(r, measureIdx, "%.0f")
+              case _ => "—"
+            }
+          }
+          md ++= s"| $yr | $mon | " + cells.mkString(" | ") + " |\n"
+        }
+      }
+    }
+
+    // ranking ordered by the selected metric (app.py:616-624's
+    // client-side sort_values over the aggregated frame) — same
+    // driver-side reduction here, over the oracle-checked ranking
+    // rows; rank renumbered to the chosen order
+    md ++= (if (params.analysisType.isDefined)
+      s"\n### Ranking de Categorías — por ${Dashboard.analysisLabel(analysis)}\n"
+    else "\n### Ranking de Categorías\n")
     md ++= "| rk | category | export | balance | coverage |\n| --- | --- | --- | --- | --- |\n"
-    rankingRows.foreach { r =>
-      md ++= s"| ${i(r, 0)} | ${r.getString(1)} | ${d(r, 2, "%.0f")} | ${d(r, 4, "%.0f")} | ${d(r, 5, "%.2f")} |\n"
+    val rankedRows = params.analysisType match {
+      case None => rankingRows.toSeq
+      case Some(a) =>
+        val mIdx = a match {
+          case "import" => 3
+          case "balance" => 4
+          case "coverage" => 5
+          case _ => 2
+        }
+        rankingRows.toSeq.sortBy(r =>
+          (if (r.isNullAt(mIdx)) Double.NegativeInfinity else -r.getDouble(mIdx),
+            r.getString(1)))
+    }
+    rankedRows.zipWithIndex.foreach { case (r, k) =>
+      val rk = if (params.analysisType.isDefined) (k + 1).toString else i(r, 0)
+      md ++= s"| $rk | ${r.getString(1)} | ${d(r, 2, "%.0f")} | ${d(r, 4, "%.0f")} | ${d(r, 5, "%.2f")} |\n"
     }
 
     md ++= "\n### Concentración ABC (Pareto)\n"
@@ -316,7 +419,9 @@ object Dashboard {
         case (a, b) => Some(s"años ${a.getOrElse("…")}–${b.getOrElse("…")}")
       }) ++ params.flows.map(f => s"flujos ${f.toSeq.sorted.mkString("+")}") ++
         params.categories.map(c => s"categorías ${c.mkString(", ")}") ++
-        params.nTop.map(n => s"top $n")
+        params.nTop.map(n => s"top $n") ++
+        params.viewType.map(v => s"vista ${viewLabel(v)}") ++
+        params.analysisType.map(a => s"análisis ${analysisLabel(a)}")
       md ++= s"_Filtros: ${sel.mkString(" · ")}_\n\n"
     }
 
@@ -331,10 +436,30 @@ object Dashboard {
       md ++= s"- ${l(r, 0)}-${r.getString(1)}: ${parts.mkString(", ")}\n\n"
     }
     if (showExp) {
-      md ++= "### Serie Temporal (últimos 12 meses)\n"
-      md ++= "| año | mes | export | MA3 | YoY % |\n| --- | --- | --- | --- | --- |\n"
-      km.takeRight(12).foreach { r =>
-        md ++= s"| ${l(r, 0)} | ${r.getString(1)} | ${usd(r, 3)} | ${usd(r, 10)} | ${d(r, 7, "%+.1f")} |\n"
+      // view_type over the REAL data: the committed kpi_monthly
+      // carries the selector's exact promise — idx2005_export/import
+      // (metrics.py's 2005=100 re-base) and the mom/yoy variations —
+      // so each view renders a different golden-parity column set
+      params.viewType.getOrElse("abs") match {
+        case "idx" =>
+          md ++= "### Serie Temporal — Índices (2005=100, últimos 12 meses)\n"
+          md ++= "| año | mes | idx export | idx import |\n| --- | --- | --- | --- |\n"
+          km.takeRight(12).foreach { r =>
+            md ++= s"| ${l(r, 0)} | ${r.getString(1)} | ${d(r, 13, "%.1f")} | ${d(r, 14, "%.1f")} |\n"
+          }
+        case "pct" =>
+          md ++= "### Serie Temporal — Variaciones % (últimos 12 meses)\n"
+          md ++= "| año | mes | export MoM % | export YoY % | import MoM % | import YoY % |\n"
+          md ++= "| --- | --- | --- | --- | --- | --- |\n"
+          km.takeRight(12).foreach { r =>
+            md ++= s"| ${l(r, 0)} | ${r.getString(1)} | ${d(r, 6, "%+.1f")} | ${d(r, 7, "%+.1f")} | ${d(r, 8, "%+.1f")} | ${d(r, 9, "%+.1f")} |\n"
+          }
+        case _ =>
+          md ++= "### Serie Temporal (últimos 12 meses)\n"
+          md ++= "| año | mes | export | MA3 | YoY % |\n| --- | --- | --- | --- | --- |\n"
+          km.takeRight(12).foreach { r =>
+            md ++= s"| ${l(r, 0)} | ${r.getString(1)} | ${usd(r, 3)} | ${usd(r, 10)} | ${d(r, 7, "%+.1f")} |\n"
+          }
       }
     }
 
@@ -345,16 +470,33 @@ object Dashboard {
     if (kp.nonEmpty) {
       val lastYr = kp.iterator.map(_.getLong(0)).max
       if (showExp) {
-        md ++= "\n### Top categorías por exportación (último año)\n"
+        // analysis_type switches the measure the category list ranks
+        // by (app.py:616-624), computed from the same per-category
+        // sums the reference's client-side groupby builds
+        val analysis = params.analysisType.getOrElse("export")
+        md ++= (if (params.analysisType.isDefined)
+          s"\n### Top categorías — ${analysisLabel(analysis)} (último año)\n"
+        else "\n### Top categorías por exportación (último año)\n")
+        def sumAt(rs: Seq[Row], idx: Int): Double = rs.iterator
+          .map(r => if (r.isNullAt(idx)) 0.0 else r.getDouble(idx)).sum
         kp.iterator.filter(_.getLong(0) == lastYr)
           .toSeq.groupBy(_.getString(3))
-          .view.mapValues(_.iterator
-            .map(r => if (r.isNullAt(4)) 0.0 else r.getDouble(4)).sum)
-          .toSeq.filter(_._2 > 0)
-          .sortBy { case (cat, e) => (-e, cat) }
+          .view.mapValues { rs =>
+            val (e, im) = (sumAt(rs, 4), sumAt(rs, 5))
+            analysis match {
+              case "import" => (im, fmtUsd(im))
+              case "balance" => (e - im, fmtUsd(e - im))
+              case "coverage" =>
+                val cov = if (im > 0) e / im * 100.0 else Double.NaN
+                (cov, if (cov.isNaN) "N/A" else "%.1f%%".format(cov))
+              case _ => (e, fmtUsd(e))
+            }
+          }
+          .toSeq.filter { case (_, (v, _)) => !v.isNaN && (analysis == "balance" || v > 0) }
+          .sortBy { case (cat, (v, _)) => (-v, cat) }
           .take(params.nTop.getOrElse(10))
-          .zipWithIndex.foreach { case ((cat, e), k) =>
-            md ++= s"- ${k + 1}. $cat: ${fmtUsd(e)}\n"
+          .zipWithIndex.foreach { case ((cat, (_, shown)), k) =>
+            md ++= s"- ${k + 1}. $cat: $shown\n"
           }
       }
       if (showImp) {

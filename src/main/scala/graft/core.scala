@@ -235,7 +235,18 @@ final case class TradeParams(
     yearTo: Option[Int] = None,
     flows: Option[Set[String]] = None,      // subset of {export, import}
     categories: Option[Seq[String]] = None,
-    nTop: Option[Int] = None) {             // app.py:437-445 top-N dial
+    nTop: Option[Int] = None,               // app.py:437-445 top-N dial
+    // render dials, not source filters: app.py:178-183 view_type
+    // selectbox ("Valores Absolutos" / "Índices (2005=100)" /
+    // "Variaciones %") and app.py:474-480 analysis_type selectbox
+    // (Exportaciones / Importaciones / Balance / Cobertura). They
+    // switch WHICH oracle-checked series the bundle renders — they
+    // never filter rows, so apply() deliberately leaves them OFF the
+    // dir fragment (a render dial must not mint a new source-fixture
+    // identity: a view-only fragment would publish a duplicate
+    // POSITIVE-src_n etl fixture the oracle's glob would read twice)
+    viewType: Option[String] = None,        // abs | idx | pct
+    analysisType: Option[String] = None) {  // export | import | balance | coverage
   // fail fast on an unknown flow name: flowFilter would otherwise
   // reduce to lit(false) and every dashboard panel would silently
   // render empty ("sin datos") on a CLI typo like `Export`
@@ -246,24 +257,31 @@ final case class TradeParams(
   // positivity is semantic (top-0 would blank every category panel
   // under a silent default)
   nTop.foreach(n => require(n >= 1, s"nTop must be >= 1, got $n"))
+  // same fail-fast contract as flows: a selectbox has no typo path in
+  // Streamlit, so the CLI analog must not silently fall back to abs
+  viewType.foreach(v => require(TradeParams.knownViews(v),
+    s"unknown view type '$v' — expected one of ${TradeParams.knownViews.toSeq.sorted.mkString(",")}"))
+  analysisType.foreach(a => require(TradeParams.knownAnalyses(a),
+    s"unknown analysis type '$a' — expected one of ${TradeParams.knownAnalyses.toSeq.sorted.mkString(",")}"))
 
   def isEmpty: Boolean =
     yearFrom.isEmpty && yearTo.isEmpty && flows.isEmpty &&
-      categories.isEmpty && nTop.isEmpty
+      categories.isEmpty && nTop.isEmpty &&
+      viewType.isEmpty && analysisType.isEmpty
 
   private def enc(s: String) =
     java.net.URLEncoder.encode(s, "UTF-8")
 
-  /** Decorate a table dir with this filter (identity when empty). */
-  def apply(dir: String): String =
-    if (isEmpty) dir
-    else {
-      val kv = yearFrom.map("yf=" + _) ++ yearTo.map("yt=" + _) ++
-        flows.map(f => "flow=" + f.toSeq.sorted.map(enc).mkString(",")) ++
-        categories.map(c => "cat=" + c.map(enc).mkString(",")) ++
-        nTop.map("ntop=" + _)
-      dir + "#" + kv.mkString("&")
-    }
+  /** Decorate a table dir with this filter (identity when empty).
+    * Render dials (viewType/analysisType) are intentionally NOT
+    * encoded — see their field comment. */
+  def apply(dir: String): String = {
+    val kv = yearFrom.map("yf=" + _) ++ yearTo.map("yt=" + _) ++
+      flows.map(f => "flow=" + f.toSeq.sorted.map(enc).mkString(",")) ++
+      categories.map(c => "cat=" + c.map(enc).mkString(",")) ++
+      nTop.map("ntop=" + _)
+    if (kv.isEmpty) dir else dir + "#" + kv.mkString("&")
+  }
 
   private def dateRange(c: Column): Column = {
     // upper bound is EXCLUSIVE next-year-start: the filtered columns
@@ -295,6 +313,13 @@ final case class TradeParams(
 object TradeParams {
   /** The flow vocabulary the reference UI's checkboxes expose. */
   val knownFlows: Set[String] = Set("export", "import")
+
+  /** app.py:182's three view options, as stable slugs: abs = Valores
+    * Absolutos, idx = Índices (2005=100), pct = Variaciones %. */
+  val knownViews: Set[String] = Set("abs", "idx", "pct")
+
+  /** app.py:478's four analysis options, as stable slugs. */
+  val knownAnalyses: Set[String] = Set("export", "import", "balance", "coverage")
 
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 

@@ -448,6 +448,73 @@ class InsightsSpec extends AnyFunSuite {
     assert(p.contains(s"In(p_type, [${cats.sorted.mkString(",")}])"), p)
   }
 
+  test("view_type dial switches the country series: absolute, indexed, pct-change") {
+    // app.py:178-183's selectbox ("Valores Absolutos" / "Índices
+    // (2005=100)" / "Variaciones %"): each view renders a DIFFERENT
+    // oracle-checked operator over the same monthly model — never a
+    // client-side recompute
+    val abs = graft.Dashboard.render(spark, sf, TradeParams())
+    assert(abs.contains("Serie Temporal (últimos 12 meses, MA12)"))
+    val idx = graft.Dashboard.render(spark, sf,
+      TradeParams(viewType = Some("idx")))
+    assert(idx.contains("Serie Temporal — Índices (base=100"),
+      "idx view must render the kpi_idx_base series")
+    assert(idx.contains("vista Índices (2005=100)"),
+      "the view selection must be disclosed in the Filtros line")
+    assert(!idx.contains("MA12"), "idx view must replace the absolute series")
+    val pct = graft.Dashboard.render(spark, sf,
+      TradeParams(viewType = Some("pct")))
+    assert(pct.contains("Serie Temporal — Variaciones %"),
+      "pct view must render the kpi_mom_yoy series")
+    assert(pct.contains("export YoY %") && pct.contains("vista Variaciones %"))
+    // real-data render: the committed kpi_monthly carries the exact
+    // idx2005_* columns the selector promises
+    val ridx = graft.Dashboard.renderReference(spark,
+      TradeParams(viewType = Some("idx")))
+    assert(ridx.contains("Índices (2005=100, últimos 12 meses)"))
+    val rpct = graft.Dashboard.renderReference(spark,
+      TradeParams(viewType = Some("pct")))
+    assert(rpct.contains("export MoM %"))
+    // a selectbox has no typo path in Streamlit; the CLI analog must
+    // fail fast, not silently fall back to absolute values
+    intercept[IllegalArgumentException](TradeParams(viewType = Some("Absolutos")))
+  }
+
+  test("analysis_type dial switches the category measure and re-ranks") {
+    // app.py:474-480's selectbox: the category temporal panel plots
+    // the selected measure (app.py:537-557) and the ranking table is
+    // sorted by it (app.py:616-624)
+    val default = graft.Dashboard.render(spark, sf, TradeParams())
+    assert(default.contains("Análisis Temporal por Categorías — Exportaciones"),
+      "default analysis measure is the selectbox's first option")
+    assert(default.contains("### Ranking de Categorías\n"),
+      "unparameterized ranking keeps the operator's export order")
+    val bal = graft.Dashboard.render(spark, sf,
+      TradeParams(analysisType = Some("balance")))
+    assert(bal.contains("Análisis Temporal por Categorías — Balance"))
+    assert(bal.contains("Ranking de Categorías — por Balance"))
+    assert(bal.contains("análisis Balance"), "Filtros must disclose the analysis")
+    // coverage: the reference renders the ratio ×100 as a pct
+    // (app.py:551-552) and sorts the ranking by it — parse the table
+    // and prove the coverage column is non-increasing
+    val cov = graft.Dashboard.render(spark, sf,
+      TradeParams(analysisType = Some("coverage")))
+    assert(cov.contains("Análisis Temporal por Categorías — Cobertura (Exp/Imp)"))
+    assert(cov.contains("%"), "coverage cells must render as percentages")
+    val covRows = cov.split("Ranking de Categorías — por Cobertura")(1)
+      .split("###")(0).linesIterator
+      .filter(l => l.startsWith("| ") && !l.startsWith("| rk") && !l.startsWith("| ---"))
+      .map(_.split('|')(5).trim.toDouble).toSeq
+    assert(covRows.nonEmpty && covRows.sliding(2).forall {
+      case Seq(a, b) => a >= b; case _ => true
+    }, s"ranking must be sorted by coverage desc: $covRows")
+    // real-data category list switches its measure too
+    val rbal = graft.Dashboard.renderReference(spark,
+      TradeParams(analysisType = Some("balance")))
+    assert(rbal.contains("Top categorías — Balance (último año)"))
+    intercept[IllegalArgumentException](TradeParams(analysisType = Some("Cobertura")))
+  }
+
   test("filtered dashboard bundle renders every section") {
     val md = graft.Dashboard.render(spark, sf,
       TradeParams(Some(1996), Some(1998), None, None))
