@@ -1071,34 +1071,49 @@ object Dedup {
   // occurrence is the canonical owner (same keeper rule as
   // dedup_exact's min doc_id).
   //
-  // Scale shape: chunking is row-local (one codegen pass), then ONE
-  // hash exchange on chunk_hash for the first-occurrence window and
-  // one on doc_id for the per-doc rollup. No self-join anywhere —
-  // unlike the pair-generating near-dup ops, counting duplicate
-  // occurrences is linear in corpus size, and a boilerplate chunk
-  // with df = 1e6 costs one skewed-but-linear window partition (AQE
-  // skew handling applies), never df² pairs.
+  // Scale shape: chunking is row-local (one codegen pass), then the
+  // COUNTING form of first-occurrence: min(struct(doc_id, chunk_idx))
+  // per chunk_hash — a hash AGGREGATE with map-side partial combine,
+  // not a window. The r13 window form (row_number over chunk_hash)
+  // paid a full (hash, doc, idx) sort-exchange of every chunk
+  // instance; the aggregate ships one combined (hash → min owner)
+  // pair per distinct hash per map partition and never sorts. A
+  // doc's duplicate count falls out arithmetically: exactly one
+  // instance per hash is globally first, so n_dup = n_chunks −
+  // #hashes this doc owns; n_chunks itself is ceil(n_tok/16) — pure
+  // row-local arithmetic on the document row, no explode needed for
+  // the denominator. No self-join anywhere — unlike the
+  // pair-generating near-dup ops, counting duplicate occurrences is
+  // linear in corpus size, and a boilerplate chunk with df = 1e6
+  // costs one hot-but-combinable aggregate key, never df² pairs.
 
   private[graft] val dupChunkSize = 16L
 
   private def dedupChunks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val wH = Window.partitionBy($"chunk_hash").orderBy($"doc_id", $"chunk_idx")
-    Tables(spark, dir).documents
+    val docs = Tables(spark, dir).documents
       .select($"doc_id", tokens($"text").as("toks"))
       .withColumn("n_tok", size($"toks").cast(LongType))
-      .select($"doc_id", $"toks", explode(sequence(lit(0L),
-        expr(s"(n_tok + ${dupChunkSize - 1}L) div ${dupChunkSize}L") - 1L))
-        .as("chunk_idx"))
+      .withColumn("n_chunks",
+        expr(s"(n_tok + ${dupChunkSize - 1}L) div ${dupChunkSize}L"))
+    val chunkHashes = docs
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0L), $"n_chunks" - 1L)).as("chunk_idx"))
       .select($"doc_id", $"chunk_idx",
         graft.functions.RollingHash.rolling_hash(array_join(
           expr(s"slice(toks, CAST(chunk_idx * $dupChunkSize + 1 AS INT), $dupChunkSize)"),
           " ")).as("chunk_hash"))
-      .withColumn("occ", row_number().over(wH))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when($"occ" > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+    // struct min = lexicographic (doc_id, chunk_idx) — identical
+    // tie-order to the window form's ORDER BY doc_id, chunk_idx
+    val owned = chunkHashes
+      .groupBy($"chunk_hash")
+      .agg(min(struct($"doc_id", $"chunk_idx")).as("own"))
+      .groupBy($"own.doc_id".as("doc_id"))
+      .agg(count(lit(1)).as("n_first"))
+    docs.select($"doc_id", $"n_chunks")
+      .join(owned, Seq("doc_id"), "left")
+      .withColumn("n_dup_chunks",
+        $"n_chunks" - coalesce($"n_first", lit(0L)))
       .select($"doc_id", $"n_chunks", $"n_dup_chunks",
         round($"n_dup_chunks".cast(DoubleType) / $"n_chunks", 6).as("dup_chunk_frac"))
       .resultOrder($"doc_id")

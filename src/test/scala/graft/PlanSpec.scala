@@ -453,17 +453,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("dedup_chunks counts duplicates without any self-join") {
-    // sequence-level dedup is linear: one window exchange on
-    // chunk_hash, one rollup exchange on doc_id — pair generation
-    // (a self-join) would be the O(df²) hazard the counting form avoids
+  test("dedup_chunks counts duplicates as aggregates: no chunk self-join, no window sort") {
+    // sequence-level dedup is linear: a map-side-combinable hash
+    // aggregate on chunk_hash (first-occurrence owner), a doc_id
+    // rollup, and one DOC-level join for the denominator. Two plan
+    // hazards guarded: a chunk-level self-join (the O(df²) pair
+    // generator) and the r13 window form's full (hash, doc, idx)
+    // sort-exchange of every chunk instance.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val p = plan("dedup_chunks")
-      assert(!p.contains("Join"), "dedup_chunks must not self-join")
       assert(p.contains("hashpartitioning(chunk_hash"),
-        "first-occurrence window must partition by chunk_hash")
+        "first-occurrence aggregate must partition by chunk_hash")
+      assert(!p.contains("Window"),
+        "counting form must not pay the window sort over chunk instances")
+      // the only join is the doc-level denominator join on doc_id —
+      // never a join keyed on chunk_hash (pair generation)
+      val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+      assert(joinLines.forall(_.contains("doc_id")),
+        s"unexpected non-doc-level join: $joinLines")
     } finally {
       restoreAqeDefault()
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
