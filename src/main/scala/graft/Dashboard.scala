@@ -312,11 +312,16 @@ object Dashboard {
     // ranking ordered by the selected metric (app.py:616-624's
     // client-side sort_values over the aggregated frame) — same
     // driver-side reduction here, over the oracle-checked ranking
-    // rows; rank renumbered to the chosen order
+    // rows; rank renumbered to the chosen order. All four measures
+    // render (app.py:627-636's display_ranking shows every column),
+    // so the sort key is always visible. Null measures sort LAST
+    // (pandas sort_values places NaN last) — a flow-filtered frame
+    // can null a whole measure column, and those rows must not crowd
+    // the top of the table.
     md ++= (if (params.analysisType.isDefined)
       s"\n### Ranking de Categorías — por ${Dashboard.analysisLabel(analysis)}\n"
     else "\n### Ranking de Categorías\n")
-    md ++= "| rk | category | export | balance | coverage |\n| --- | --- | --- | --- | --- |\n"
+    md ++= "| rk | category | export | import | balance | coverage |\n| --- | --- | --- | --- | --- | --- |\n"
     val rankedRows = params.analysisType match {
       case None => rankingRows.toSeq
       case Some(a) =>
@@ -327,12 +332,12 @@ object Dashboard {
           case _ => 2
         }
         rankingRows.toSeq.sortBy(r =>
-          (if (r.isNullAt(mIdx)) Double.NegativeInfinity else -r.getDouble(mIdx),
+          (if (r.isNullAt(mIdx)) Double.PositiveInfinity else -r.getDouble(mIdx),
             r.getString(1)))
     }
     rankedRows.zipWithIndex.foreach { case (r, k) =>
       val rk = if (params.analysisType.isDefined) (k + 1).toString else i(r, 0)
-      md ++= s"| $rk | ${r.getString(1)} | ${d(r, 2, "%.0f")} | ${d(r, 4, "%.0f")} | ${d(r, 5, "%.2f")} |\n"
+      md ++= s"| $rk | ${r.getString(1)} | ${d(r, 2, "%.0f")} | ${d(r, 3, "%.0f")} | ${d(r, 4, "%.0f")} | ${d(r, 5, "%.2f")} |\n"
     }
 
     md ++= "\n### Concentración ABC (Pareto)\n"

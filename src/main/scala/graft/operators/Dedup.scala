@@ -1096,6 +1096,11 @@ object Dedup {
       .withColumn("n_tok", size($"toks").cast(LongType))
       .withColumn("n_chunks",
         expr(s"(n_tok + ${dupChunkSize - 1}L) div ${dupChunkSize}L"))
+      // a null-text doc has null n_chunks: the explode branch drops
+      // it (as the oracle's UNNEST(range(NULL)) does), so the
+      // denominator join must drop it too or the left join would
+      // resurrect it as an all-null output row the oracle never emits
+      .filter($"n_chunks".isNotNull)
     val chunkHashes = docs
       .select($"doc_id", $"toks",
         explode(sequence(lit(0L), $"n_chunks" - 1L)).as("chunk_idx"))

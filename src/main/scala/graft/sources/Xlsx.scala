@@ -431,26 +431,29 @@ object Xlsx {
     val hPath = new org.apache.hadoop.fs.Path(pathGlob)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val matched = Option(fs.globStatus(hPath)).map(_.toSeq).getOrElse(Seq.empty)
-    // Descend RECURSIVELY under matched directories (fs.listFiles,
-    // not a single listStatus level): the binaryFile scan's file
-    // index lists leaf files at any depth, so a 0-byte book nested
-    // two levels down reaches the decoder's listing but would have
-    // escaped a one-level quarantine pass — the exact silent class
-    // this pass exists to surface (r13 ADVICE). Qualify the path so
-    // the quarantine row's `book` string is URI-identical to
+    // Descend RECURSIVELY under matched directories: the
+    // recursiveFileLookup scan lists leaf files at any depth, so a
+    // 0-byte book nested two levels down reaches the decoder's
+    // listing but would have escaped a one-level quarantine pass —
+    // the exact silent class this pass exists to surface (r13
+    // ADVICE). The walk applies Spark's OWN hidden-path filter
+    // (InMemoryFileIndex skips any '_'/'.'-prefixed component), so
+    // the quarantine covers exactly the decoder's file set — a
+    // 0-byte book under `_staging/` is invisible to the scan and
+    // must not produce a spurious quarantine row either. Qualify the
+    // path so the quarantine row's `book` string is URI-identical to
     // binaryFile's `path` column for the same file.
+    def visible(name: String): Boolean =
+      !name.startsWith("_") && !name.startsWith(".")
     def leafFiles(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
       if (!st.isDirectory) Seq(st)
-      else {
-        val it = fs.listFiles(st.getPath, true)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
-        while (it.hasNext) buf += it.next()
-        buf.toSeq
-      }
+      else fs.listStatus(st.getPath).toSeq
+        .filter(c => visible(c.getPath.getName))
+        .flatMap(leafFiles)
     val empties = matched
       .flatMap(leafFiles)
       .filter(st => st.isFile && st.getLen == 0 &&
-        st.getPath.getName.endsWith(".xlsx"))
+        visible(st.getPath.getName) && st.getPath.getName.endsWith(".xlsx"))
       .map(st => (fs.makeQualified(st.getPath).toString,
         "", -1, -1, "", "empty file (0 bytes)"))
     if (empties.isEmpty) decoded

@@ -35,6 +35,23 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.values.map(_._2).sum > 0, "no duplicate chunks in corpus")
   }
 
+  test("dedup_chunks drops null-text docs instead of resurrecting them via the denominator join") {
+    // the counting form's doc-level left join could re-emit a
+    // null-text doc as an all-null row the window form (and the
+    // oracle's UNNEST over a NULL range) never produced — the
+    // denominator side must drop null n_chunks
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nulltext").toString
+    Seq((0L, "a b c"), (1L, null: String), (2L, "a b c"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("dedup_chunks")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(0L, 2L),
+      s"null-text doc must be absent, got ${rows.mkString(";")}")
+    assert(rows.forall(r => r.getLong(1) == 1L),
+      "both non-null docs chunk to one 16-token window")
+  }
+
   test("dedup_url collapses both syntactic crawl-URL forms to one canonical form") {
     val rows = q("dedup_url").collect()
     val nDocs = Tables(spark, sf).documents.count()

@@ -504,7 +504,7 @@ class InsightsSpec extends AnyFunSuite {
     val covRows = cov.split("Ranking de Categorías — por Cobertura")(1)
       .split("###")(0).linesIterator
       .filter(l => l.startsWith("| ") && !l.startsWith("| rk") && !l.startsWith("| ---"))
-      .map(_.split('|')(5).trim.toDouble).toSeq
+      .map(_.split('|')(6).trim.toDouble).toSeq
     assert(covRows.nonEmpty && covRows.sliding(2).forall {
       case Seq(a, b) => a >= b; case _ => true
     }, s"ranking must be sorted by coverage desc: $covRows")

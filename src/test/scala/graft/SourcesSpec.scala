@@ -348,6 +348,13 @@ class SourcesSpec extends AnyFunSuite {
     Files.createDirectories(dir.resolve("nested/deeper"))
     writeBook("nested/deep_good.xlsx", "vN")
     Files.write(dir.resolve("nested/deeper/empty_deep.xlsx"), Array.empty[Byte])
+    // hidden-path parity: Spark's file index skips '_'/'.'-prefixed
+    // components, so a 0-byte book under _staging/ (or a dot-file) is
+    // INVISIBLE to the decoder and must not get a quarantine row
+    // either — the quarantine covers exactly the decoder's file set
+    Files.createDirectories(dir.resolve("_staging"))
+    Files.write(dir.resolve("_staging/empty_hidden.xlsx"), Array.empty[Byte])
+    Files.write(dir.resolve(".empty_dot.xlsx"), Array.empty[Byte])
     val cells = graft.sources.Xlsx.readAllCellsTolerant(spark, dir.toString)
       .collect()
     val (bad, ok) = cells.partition(r => !r.isNullAt(5))

@@ -4,15 +4,21 @@ SQL in DuckDB over the sfDir parquet tables and compare against the
 parquet that graft.Verify dumped. Sorts columns by name, sorts rows,
 compares values (exact for ints/strings, tiny-eps report for floats).
 
-Usage: tools/crosscheck.py [sfDir] [verifyOut]
+Usage: tools/crosscheck.py [sfDir] [verifyOut] [timesJson]
+
+The optional third arg writes per-query DuckDB oracle seconds (one
+cold-ish pass, the compare run itself) to a JSON file — the growth
+audit across SFs reads these.
 """
-import json, sys, glob, os
+import json, sys, glob, os, time
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+times_path = sys.argv[3] if len(sys.argv) > 3 else None
+times = {}
 
 con = duckdb.connect()
 for f in glob.glob(f"{sf}/*.parquet"):
@@ -32,7 +38,9 @@ for qname in sorted(oracles):
     got = pd.concat([pq.read_table(f).to_pandas() for f in files],
                     ignore_index=True)
     try:
+        t0 = time.perf_counter()
         exp = con.sql(sql).df()
+        times[qname] = round(time.perf_counter() - t0, 3)
     except Exception as e:
         print(f"FAIL {qname}: oracle error {e}");  fails += 1;  continue
     gcols, ecols = sorted(got.columns), sorted(exp.columns)
@@ -69,4 +77,7 @@ for qname in sorted(oracles):
     else:
         print(f"OK   {qname} ({len(g)} rows, {len(gcols)} cols)")
 print(f"\n{len(oracles) - fails}/{len(oracles)} queries match")
+if times_path:
+    json.dump(times, open(times_path, "w"), indent=0, sort_keys=True)
+    print(f"oracle timings -> {times_path}")
 sys.exit(1 if fails else 0)
