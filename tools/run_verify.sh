@@ -15,7 +15,9 @@ ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.nio.cs=ALL-UNNAMED"
 ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.security.action=ALL-UNNAMED"
 ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 shift $(( $# > 3 ? 3 : $# ))
-exec java $ADD_OPENS -Xmx8g \
+# GRAFT_XMX: 8g covers the bench SFs; sf10 runs (60M-row lineitem,
+# 32-thread shuffles) need ~48g or executor tasks OOM mid-shuffle
+exec java $ADD_OPENS -Xmx${GRAFT_XMX:-8g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$MAIN" "$SF" "$OUT" "$@"
