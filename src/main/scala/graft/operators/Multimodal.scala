@@ -338,6 +338,15 @@ object Multimodal {
   // recall contract. Scale shape: band keys are 12 bits wide → bucket
   // sizes n/4096 in expectation; the join is shuffled on the band
   // key, nothing is broadcast, and the verify is row-local popcount.
+  // The FIXED 4096-bucket keyspace is the corpus-size dial here, and
+  // it saturates like any pinned LSH width: past ~10⁶ images the
+  // n/4096 buckets make candidate pairs grow quadratically (measured:
+  // sf1→sf10 Spark wall 2.0→47.6 s for 10× rows). The production
+  // answer is a LONGER signature with wider bands (64-bit phash,
+  // 4×16-bit bands — same ≤3-dirty-bit pigeonhole recall, 16× the
+  // buckets), exactly how dedup_embedding's lshPlanesFor grows its
+  // plane count with corpusCount; the widths are pinned here because
+  // the DuckDB twin embeds them in static SQL.
 
   private[graft] val mmDedupThreshold = 10L
 

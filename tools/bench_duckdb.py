@@ -9,7 +9,11 @@ Run back-to-back with graft.Bench on a quiet host (never while sbt
 or another bench is running); accept the pair only when the Spark
 run's floor_per_stage_sec <= 0.25.
 
-Usage: tools/bench_duckdb.py [sfDir] [verifyOut] [passes]
+Usage: tools/bench_duckdb.py [sfDir] [verifyOut] [passes] [--no-warmup]
+
+--no-warmup skips the warmup pass — for SFs where one full pass is
+an hour-plus and the page cache is already warm from a crosscheck
+run; disclose the protocol in the artifact that cites the numbers.
 """
 import json, sys, glob, os, time
 import duckdb
@@ -19,6 +23,7 @@ out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 # default matches graft.Bench's min-of-3 so neither engine gets an
 # extra chance to discard a noisy pass in the published ratio
 passes = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+warmup = "--no-warmup" not in sys.argv
 
 con = duckdb.connect()
 con.execute("SET threads TO 32")
@@ -35,9 +40,10 @@ def run_once(sql):
     return time.perf_counter() - t0
 
 # warmup pass (page cache, view binding), then measured passes
-for q in names:
-    try: run_once(oracles[q])
-    except Exception as e: print(f"[warmup] {q} FAILED: {e}", file=sys.stderr)
+if warmup:
+    for q in names:
+        try: run_once(oracles[q])
+        except Exception as e: print(f"[warmup] {q} FAILED: {e}", file=sys.stderr)
 
 results = {}
 for p in range(passes):
@@ -63,7 +69,8 @@ record = {
     "failed": sorted(failed),
     "threads": 32,
     "sf": sf,
-    "mode": f"min of {passes} passes, warm views",
+    "mode": f"min of {passes} passes, " +
+        ("warm views" if warmup else "NO warmup pass (page cache pre-warmed externally)"),
     "queries": dict(sorted(results.items())),
 }
 with open("BASELINE_DUCKDB.json", "w") as fh:

@@ -21,6 +21,13 @@ times_path = sys.argv[3] if len(sys.argv) > 3 else None
 times = {}
 
 con = duckdb.connect()
+# explicit full-width threading: at sf10 some oracle plans are
+# minutes-long and the default can under-thread in container envs
+con.execute(f"SET threads TO {os.cpu_count()}")
+# the compare sorts rows, so insertion order is irrelevant — and
+# preserving it roughly doubles DuckDB's spill footprint on the
+# 100M-row window sorts at sf10 (observed: disk-full at 72 GB)
+con.execute("SET preserve_insertion_order=false")
 for f in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(f)[:-8]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
@@ -32,7 +39,7 @@ for qname in sorted(oracles):
     pdir = f"{out}/{qname}"
     files = sorted(glob.glob(f"{pdir}/*.parquet"))
     if not files:
-        print(f"FAIL {qname}: no spark output");  fails += 1;  continue
+        print(f"FAIL {qname}: no spark output", flush=True);  fails += 1;  continue
     # read EVERY part file: Verify coalesces to 1 today, but if that
     # ever changes a files[0] read would silently diff a row subset
     got = pd.concat([pq.read_table(f).to_pandas() for f in files],
@@ -42,14 +49,14 @@ for qname in sorted(oracles):
         exp = con.sql(sql).df()
         times[qname] = round(time.perf_counter() - t0, 3)
     except Exception as e:
-        print(f"FAIL {qname}: oracle error {e}");  fails += 1;  continue
+        print(f"FAIL {qname}: oracle error {e}", flush=True);  fails += 1;  continue
     gcols, ecols = sorted(got.columns), sorted(exp.columns)
     if gcols != ecols:
-        print(f"FAIL {qname}: cols spark={gcols} duck={ecols}");  fails += 1;  continue
+        print(f"FAIL {qname}: cols spark={gcols} duck={ecols}", flush=True);  fails += 1;  continue
     g = got[gcols].sort_values(gcols).reset_index(drop=True)
     e = exp[ecols].sort_values(ecols).reset_index(drop=True)
     if len(g) != len(e):
-        print(f"FAIL {qname}: rows spark={len(g)} duck={len(e)}");  fails += 1;  continue
+        print(f"FAIL {qname}: rows spark={len(g)} duck={len(e)}", flush=True);  fails += 1;  continue
     bad = []
     for c in gcols:
         gv, ev = g[c], e[c]
@@ -72,10 +79,10 @@ for qname in sorted(oracles):
                 i = neq.idxmax()
                 bad.append(f"{c}[{i}]: spark={gv[i]!r} duck={ev[i]!r}")
     if bad:
-        print(f"FAIL {qname}: {len(bad)} col diffs; e.g. " + " | ".join(bad[:3]))
+        print(f"FAIL {qname}: {len(bad)} col diffs; e.g. " + " | ".join(bad[:3]), flush=True)
         fails += 1
     else:
-        print(f"OK   {qname} ({len(g)} rows, {len(gcols)} cols)")
+        print(f"OK   {qname} ({len(g)} rows, {len(gcols)} cols)", flush=True)
 print(f"\n{len(oracles) - fails}/{len(oracles)} queries match")
 if times_path:
     json.dump(times, open(times_path, "w"), indent=0, sort_keys=True)
