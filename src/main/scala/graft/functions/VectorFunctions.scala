@@ -136,6 +136,45 @@ object VectorFunctions {
       lshSigns.take(bands * planes), planes, bands))
   }
 
+  /** Banded signatures with a FIXED per-band sign-row stride: band b
+    * uses pool rows [b·stride, b·stride+planes). With the stride
+    * pinned at build time, growing `planes` with the corpus never
+    * moves a band onto different sign rows — every narrower
+    * signature is a bit-prefix of the wider one, which is what lets
+    * the DuckDB twin compute the max-width signature once and mask
+    * (`sig % (1 << p)`) with a COUNT(*)-derived width instead of
+    * re-deriving plane literals per scale factor.
+    */
+  def lshBandSigsStrided(e: Column, planes: Int, bands: Int, stride: Int): Column = {
+    require(planes <= stride, s"planes $planes exceed the band stride $stride")
+    require(bands * stride <= lshSignRows, s"sign pool exhausted: $bands×$stride")
+    val rows = Array.tabulate(bands * planes) { k =>
+      lshSigns((k / planes) * stride + (k % planes))
+    }
+    column(LshBandSigs(expression(toD(e)), rows, planes, bands))
+  }
+
+  /** The adaptive signature width as a SCALE-FACTOR-AGNOSTIC SQL
+    * scalar: min(maxPlanes, max(1, ceil_log2(ceil(n/target)))) as an
+    * exact integer CASE ladder over `nExpr` (no float log2, so the
+    * power-of-two boundaries land exactly where [[lshPlanesFor]]
+    * puts them — PropertySpec pins the two forms equal). The oracle
+    * string stays static; the WIDTH it selects follows the data.
+    */
+  def widthLadderSql(nExpr: String, target: Long, maxPlanes: Int): String = {
+    require(maxPlanes >= 1 && target >= 1)
+    val arms = (1 until maxPlanes)
+      .map(p => s"WHEN $nExpr <= ${target * (1L << p)} THEN $p")
+      .mkString(" ")
+    s"(CASE $arms ELSE $maxPlanes END)"
+  }
+
+  /** Scala twin of [[widthLadderSql]]: the width dial clamped to the
+    * band lane, exactly the value the ladder's CASE selects.
+    */
+  def widthFor(n: Long, target: Long, maxPlanes: Int): Int =
+    math.min(maxPlanes, lshPlanesFor(n, target))
+
   /** DuckDB twin of lshSigAt over a list column expression. */
   def lshSigAtSql(e: String, planes: Int, off: Int): String = {
     require(off + planes <= lshSignRows, s"sign pool exhausted: $off+$planes")

@@ -446,7 +446,7 @@ object CorpusSelect {
   // resuming a training job re-derives the identical data order.
 
   // Pinned at test scale because the DuckDB twin embeds the literal
-  // (the same convention as Dedup.embPlanes and ann_lsh's width): in
+  // (the same convention as ann_lsh's width): in
   // production the shard count is the dial that keeps PER-SHARD rows
   // bounded — each shard's position window is one reducer, so a fixed
   // 16 at 100 TB would sort ~6 TB per task. A real caller passes

@@ -969,7 +969,7 @@ object Dedup {
   // non-empty at every SF).
   //
   // Candidates come from equi-joins on (band, band-signature, label)
-  // — embBands independent embPlanes-bit sign signatures, a pair
+  // — embBands independent sign signatures, a pair
   // being a candidate if ANY band matches (the same OR-amplification
   // the minhash bands use: one AND-ed signature alone keeps only
   // (1-θ/π)^p of the true near-dups — ~29% at cosine 0.9 — while 8
@@ -979,13 +979,26 @@ object Dedup {
   // candidate work is O(bands·n·targetBucket) — NOT the O(n²/L)
   // all-pairs scan that blocking on the small-cardinality label
   // alone degenerates to at 100×. Label stays as a secondary filter
-  // (the reference's near-dup semantics are within-cluster). Widths
-  // are pinned (like ann_lsh's) because the DuckDB twin embeds the
-  // literal sign matrix in a static SQL string; a production caller
-  // passes lshPlanesFor(corpusCount).
+  // (the reference's near-dup semantics are within-cluster).
+  //
+  // The signature width FOLLOWS THE CORPUS (r14; the r13 form pinned
+  // 8 planes and saturated at sf10 — 0.8→21.4 s for 10× rows, the
+  // quadratic per-bucket growth any pinned LSH width develops). Both
+  // engines derive the same width from the same count: Spark passes
+  // lshPlanesFor(n) to the strided kernel; the DuckDB twin computes
+  // the MAX-width signature from the same static sign literals and
+  // masks (`sig % (1 << p)`) with a COUNT(*)-driven CASE ladder —
+  // sound because each band owns a FIXED 16-row slice of the sign
+  // pool, so a narrower signature is a bit-prefix of the wider one.
+  // At the bench corpus (2000 vectors) the dial lands on 8 planes —
+  // exactly the r13 pin, so sf0.1 numbers stay comparable.
 
-  private[graft] val embPlanes = 8 // per band
   private[graft] val embBands = 8
+  private[graft] val embStride = 16 // sign-pool rows reserved per band
+  private[graft] val embMaxPlanes = 16 // = embStride: lane-width ceiling
+  private[graft] val embTargetBucket = 8L
+  private[graft] def embPlanesFor(n: Long): Int =
+    VectorFunctions.widthFor(n, embTargetBucket, embMaxPlanes)
 
   /** Banded candidate pairs — a deterministic corpus artifact
     * (signatures + band self-join), cached like the minhash
@@ -1000,6 +1013,9 @@ object Dedup {
   private[graft] def embCandidatesPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val v = Similarity.lshIndex(spark, dir)
+    // corpus-count width dial: a parquet-metadata count (row-group
+    // stats, no data scan) picks the plane count both engines use
+    val planes = embPlanesFor(Tables(spark, dir).embeddings.count())
     // The 8 band signatures come from the native LshBandSigs kernel
     // (one array<long> per vector): the unrolled-Column stack (8 ×
     // 512-term sums inside one generator expression) exceeded
@@ -1008,7 +1024,8 @@ object Dedup {
     // fallback-disabled compile test). Same sign rows, same fold
     // order — bit-identical signatures, tiny generated loop.
     val bandSigs = v.select($"vec_id", $"label",
-      posexplode(VectorFunctions.lshBandSigs($"embedding", embPlanes, embBands)))
+      posexplode(VectorFunctions.lshBandSigsStrided(
+        $"embedding", planes, embBands, embStride)))
       .select($"vec_id", $"label", $"pos".as("band_idx"), $"col".as("band_sig"))
     bandSigs.select($"band_idx", $"band_sig", $"label", $"vec_id".as("a_id"))
       .join(bandSigs.select($"band_idx".as("b_bi"), $"band_sig".as("b_bs"),
@@ -1034,11 +1051,19 @@ object Dedup {
   }
 
   private val dedupEmbeddingSql = {
+    // max-width signature from the static sign literals, masked to
+    // the COUNT(*)-selected width (wp CTE) — see the width-dial note
+    // above; the string is still scale-factor-agnostic
     val arms = (0 until embBands).map(b =>
       s"SELECT vec_id, label, $b AS band_idx, " +
-        s"${VectorFunctions.lshSigAtSql("e", embPlanes, b * embPlanes)} AS band_sig FROM v")
+        s"${VectorFunctions.lshSigAtSql("e", embMaxPlanes, b * embStride)}" +
+        s" % (CAST(1 AS BIGINT) << wp.p) AS band_sig FROM v, wp")
       .mkString("\n  UNION ALL ")
-    s"""WITH v AS (
+    s"""WITH wp AS (
+       |  SELECT ${VectorFunctions.widthLadderSql(
+                    "(SELECT COUNT(*) FROM embeddings)",
+                    embTargetBucket, embMaxPlanes)} AS p),
+       |v AS (
        |  SELECT vec_id, label, embedding AS e,
        |    ${VectorFunctions.normSql("embedding")} AS nrm
        |  FROM embeddings),

@@ -180,8 +180,14 @@ object Multimodal {
   // deployment-real. Row-local, one whole-stage-codegen pass (ByteSum
   // is a native codegen Expression), zero shuffle.
 
-  private[graft] val phashBits = 48L
-  private[graft] val phashBandBits = 12
+  // 60-bit signature in 4 × 15-bit lanes (r14; was 48/12): the widest
+  // layout whose bits and lane keys all stay strictly positive in a
+  // signed 64-bit word on BOTH engines (DuckDB raises on 1<<63, and a
+  // sign bit would drag arithmetic-shift semantics into the band
+  // extraction). mm_dedup masks each lane down to a corpus-sized
+  // width, so the LANE is the ceiling, not the operating point.
+  private[graft] val phashBits = 60L
+  private[graft] val phashBandBits = 15
 
   /** The phash columns for any frame with (text) — private[graft] so
     * the spec can run the planted-pair band join on a synthetic frame.
@@ -335,54 +341,94 @@ object Multimodal {
   // re-encodes, same contract as dedup_simhash's block-pair tables.
   // Both engines derive candidates from the identical band tables, so
   // the output is exactly hash-checked despite the probabilistic
-  // recall contract. Scale shape: band keys are 12 bits wide → bucket
-  // sizes n/4096 in expectation; the join is shuffled on the band
+  // recall contract. Scale shape: the join is shuffled on the band
   // key, nothing is broadcast, and the verify is row-local popcount.
-  // The FIXED 4096-bucket keyspace is the corpus-size dial here, and
-  // it saturates like any pinned LSH width: past ~10⁶ images the
-  // n/4096 buckets make candidate pairs grow quadratically (measured:
-  // sf1→sf10 Spark wall 2.0→47.6 s for 10× rows). The production
-  // answer is a LONGER signature with wider bands (64-bit phash,
-  // 4×16-bit bands — same ≤3-dirty-bit pigeonhole recall, 16× the
-  // buckets), exactly how dedup_embedding's lshPlanesFor grows its
-  // plane count with corpusCount; the widths are pinned here because
-  // the DuckDB twin embeds them in static SQL.
+  //
+  // The band-key WIDTH follows the corpus (r14; the r13 form pinned
+  // 4×12-bit keys and saturated at sf10: n/4096 buckets → quadratic
+  // pair growth, measured 2.0→47.6 s for 10× rows). Each 15-bit lane
+  // is masked down to w = widthFor(nDocs) bits — the same
+  // one-bit-per-corpus-doubling dial as dedup_embedding, computed
+  // from COUNT(*) by both engines (Spark: a parquet-metadata count;
+  // DuckDB: the static CASE ladder in the wp CTE), so bucket
+  // population holds near-constant until the lane ceiling. Masking
+  // low bits of a lane keeps the pigeonhole contract (4 disjoint bit
+  // ranges, ≤3 dirty bits still leave ≥1 clean band); the 15-bit
+  // ceiling itself saturates past ~10⁶ images, where the production
+  // layout is a longer multi-word signature with the same masking.
+  //
+  // Each qualifying pair is emitted from its FIRST matching band only
+  // (r14): both phashes ride the join row, so "no earlier band also
+  // matched" is a row-local mask comparison, and the candidate stream
+  // is exactly-once BY CONSTRUCTION — no DISTINCT. That matters
+  // because this corpus's aHash is low-entropy (word-salad brightness
+  // oscillates, so hamming-close pairs are genuinely dense: 22.4M
+  // output pairs at sf10): with Ω(output) work unavoidable, the
+  // distinct was a second full exchange of the ~4×-multiplied pair
+  // stream — measured at sf10, dropping it and filtering before any
+  // shuffle is the difference between 43 s and the join's raw cost.
 
   private[graft] val mmDedupThreshold = 10L
+  private[graft] val mmDedupTargetBucket = 8L
+  private[graft] def mmBandWidthFor(n: Long): Int =
+    graft.functions.VectorFunctions.widthFor(
+      n, mmDedupTargetBucket, phashBandBits)
 
   private def mmDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = phashDocs(spark, dir)
+    val w = mmBandWidthFor(Tables(spark, dir).documents.count())
     val keys = docs.select($"doc_id", $"phash",
       posexplode(array(bandCols.map(col): _*)))
       .withColumnRenamed("pos", "band_idx")
-      .withColumnRenamed("col", "band_key")
+      .withColumn("band_key", col("col") % (1L << w))
+      .drop("col")
     val a = keys.select($"band_idx", $"band_key",
       $"doc_id".as("a_id"), $"phash".as("a_ph"))
     val b = keys.select($"band_idx".as("b_idx"), $"band_key".as("b_key"),
       $"doc_id".as("b_id"), $"phash".as("b_ph"))
+    // masked lane b of a signature (non-negative, so % == bit mask)
+    def lane(ph: org.apache.spark.sql.Column, i: Int) =
+      shiftright(ph, i * phashBandBits) % (1L << w)
+    // the first band where the two masked lanes agree — this join row
+    // survives only if it IS that band, making the pair exactly-once
+    val firstMatch = (0 until bandCols.size).foldRight(lit(-1)) {
+      case (i, rest) => when(lane($"a_ph", i) === lane($"b_ph", i), lit(i))
+        .otherwise(rest)
+    }
     a.join(b, $"band_idx" === $"b_idx" && $"band_key" === $"b_key" &&
         $"a_id" < $"b_id")
+      .filter($"band_idx" === firstMatch &&
+        bit_count($"a_ph".bitwiseXOR($"b_ph")) <= mmDedupThreshold)
       .select($"a_id", $"b_id",
         bit_count($"a_ph".bitwiseXOR($"b_ph")).cast(LongType).as("hamming"))
-      .distinct()
-      .filter($"hamming" <= mmDedupThreshold)
       .resultOrder($"a_id", $"b_id")
   }
 
   private val mmDedupSql: String = {
     val bandArms = bandCols.zipWithIndex.map { case (name, i) =>
-      s"SELECT doc_id, phash, $i AS band_idx, $name AS band_key FROM pb" }
+      s"SELECT doc_id, phash, $i AS band_idx, " +
+        s"$name % (CAST(1 AS BIGINT) << wp.p) AS band_key FROM pb, wp" }
       .mkString("\n  UNION ALL ")
-    s"""WITH $phashSqlCtes,
+    s"""WITH wp AS (
+       |  SELECT ${graft.functions.VectorFunctions.widthLadderSql(
+                    "(SELECT COUNT(*) FROM documents)",
+                    mmDedupTargetBucket, phashBandBits)} AS p),
+       |$phashSqlCtes,
        |bands AS (
        |  $bandArms),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |    a.phash AS a_ph, b.phash AS b_ph
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       |      AND a.doc_id < b.doc_id)
+       |      AND a.doc_id < b.doc_id, wp
+       |  WHERE a.band_idx = (CASE
+       |    ${bandCols.indices.map(i =>
+               s"WHEN ((a.phash >> ${i * phashBandBits}) % (CAST(1 AS BIGINT) << wp.p)) = " +
+               s"((b.phash >> ${i * phashBandBits}) % (CAST(1 AS BIGINT) << wp.p)) THEN $i")
+             .mkString("\n    ")}
+       |    ELSE -1 END))
        |SELECT a_id, b_id,
        |  CAST(bit_count(xor(a_ph, b_ph)) AS BIGINT) AS hamming
        |FROM cand

@@ -301,10 +301,12 @@ class DedupSpec extends AnyFunSuite {
     val df = pairs.flatMap { case (i, v, w) =>
       Seq((2 * i, v.toSeq), (2 * i + 1, w.toSeq)) }
       .toDF("vid", "embedding")
+    // width as the operator would derive it for this 80-vector corpus
+    // (adaptive dial), bands on their strided sign-pool slices
+    val specPlanes = graft.operators.Dedup.embPlanesFor(pairs.size * 2L)
     val bandCols = (0 until graft.operators.Dedup.embBands).map(b =>
-      VectorFunctions.lshSigAt($"embedding",
-        graft.operators.Dedup.embPlanes,
-        b * graft.operators.Dedup.embPlanes).as(s"b$b"))
+      VectorFunctions.lshSigAt($"embedding", specPlanes,
+        b * graft.operators.Dedup.embStride).as(s"b$b"))
     val sigs = df.select(($"vid" +: bandCols): _*).collect()
       .map(r => r.getLong(0) -> (1 until r.length).map(r.getLong).toVector)
       .toMap

@@ -104,12 +104,36 @@ class LshSpec extends AnyFunSuite {
 
   test("the pinned oracle widths equal the dial at the bench corpus") {
     // embeddings.parquet has 2000 rows at sf0.1 (the driver's bench
-    // SF); the static DuckDB twins force a pinned constant, and this
-    // keeps the pin honest against the mechanism
+    // SF); ann_lsh's static DuckDB twin forces a pinned constant, and
+    // this keeps the pin honest against the mechanism. dedup_embedding
+    // is ADAPTIVE since r14 — its dial must land on the same 8 planes
+    // at the bench corpus (sf0.1 comparability), then keep growing.
     assert(graft.operators.Similarity.lshPlanes ==
       VectorFunctions.lshPlanesFor(2000))
-    assert(graft.operators.Dedup.embPlanes ==
+    assert(graft.operators.Dedup.embPlanesFor(2000) ==
       VectorFunctions.lshPlanesFor(2000))
+    assert(graft.operators.Dedup.embPlanesFor(200000) == 15,
+      "sf10 corpus must widen the signature (the r13 pin saturated there)")
+    assert(graft.operators.Dedup.embPlanesFor(100000000L) ==
+      graft.operators.Dedup.embMaxPlanes,
+      "the lane ceiling clamps the dial, it must not overrun the stride")
+  }
+
+  test("the SQL width ladder selects exactly the Scala dial at every boundary") {
+    // the ladder string is static; evaluate its CASE semantics in
+    // Scala (first arm whose threshold holds) against widthFor at the
+    // power-of-two pivots and their neighbors — the exact places a
+    // float log2 would put the boundary one plane off
+    val (t, maxP) = (8L, 16)
+    def ladder(n: Long): Int =
+      (1 until maxP).find(p => n <= t * (1L << p)).getOrElse(maxP)
+    val pivots = (1 until maxP).flatMap { p =>
+      val b = t * (1L << p); Seq(b - 1, b, b + 1)
+    } ++ Seq(1L, 2L, t, 10L * t * (1L << maxP))
+    pivots.foreach { n =>
+      assert(ladder(n) == VectorFunctions.widthFor(n, t, maxP),
+        s"ladder and dial disagree at n=$n")
+    }
   }
 
   test("measured bucket occupancy stays near-constant across SFs") {

@@ -76,13 +76,19 @@ class MultimodalSpec extends AnyFunSuite {
     // it lands in — the banding must still produce >= 1 shared key
     // (that is the candidate-generation contract), while unrelated
     // payloads should disagree on most bits
-    val base = (1 to 96).map(i => ('a' + i % 17).toChar.toString * 3).mkString(" ")
-    // base starts with 'b' (i=1 -> 'a'+1): the edit must substitute a
-    // DIFFERENT byte, and 'z' (far from the 'a'..'q' alphabet) moves
-    // the first slice's mean hard enough to actually flip its bit
-    val nearDup = "z" + base.substring(1)
+    // quadratic-mix payloads: NON-periodic brightness, because two
+    // short-period patterns alias against the 60-slice grid and can
+    // land hamming-close by construction (the r13 17/23-period pair
+    // measured hamming 5 at 60 slices while random pairs sit at ~27)
+    val base = (0 until 400)
+      .map(i => ('a' + (i * i * 7 + i * 3) % 26).toChar).mkString
+    // an 8-byte prefix edit: dirty bits stay inside slice 0's band
+    // (plus the global-mean shift), so ≥3 bands remain clean — the
+    // pigeonhole case the candidate join must recover
+    val nearDup = "z" * 8 + base.substring(8)
     assert(nearDup != base, "planted edit must change the payload")
-    val other = (1 to 96).map(i => ('a' + (i * 7 + 3) % 23).toChar.toString * 3).mkString(" ")
+    val other = (0 until 400)
+      .map(i => ('a' + (i * i * 11 + i * 5 + 13) % 26).toChar).mkString
     val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
     val got = Multimodal.withPhash(df)
       .select($"doc_id", $"phash", $"band0", $"band1", $"band2", $"band3")
@@ -117,11 +123,16 @@ class MultimodalSpec extends AnyFunSuite {
     // <= threshold, recomputed in the driver from the signature frame
     // itself — proves the banded equi-join loses no in-contract pair
     // and the verify filter is the exact popcount
-    val sig = graft.operators.Multimodal.phashDocsPlan(spark, sf)
+    val sig0 = graft.operators.Multimodal.phashDocsPlan(spark, sf)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1),
         Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
       .sortBy(_._1)
+    // the operator masks each lane to the corpus-derived width — the
+    // ground truth must block on the same masked keys
+    val w = graft.operators.Multimodal.mmBandWidthFor(sig0.length.toLong)
+    val sig = sig0.map { case (id, ph, lanes) =>
+      (id, ph, lanes.map(_ % (1L << w))) }
     val expected = (for {
       i <- sig.indices; j <- (i + 1) until sig.length
       if sig(i)._3.zip(sig(j)._3).exists { case (x, y) => x == y }
