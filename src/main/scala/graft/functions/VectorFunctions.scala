@@ -72,7 +72,7 @@ object VectorFunctions {
     * candidate recall, à la minhash bands) consumes `bands × planes`
     * distinct rows, so the pool is deeper than one signature's cap.
     */
-  val lshSignRows = 128
+  val lshSignRows = 256
 
   /** Deterministic ±1 hyperplane components, tabulated once to the
     * pool depth; a signature of p planes uses rows [off, off+p), so
@@ -170,10 +170,12 @@ object VectorFunctions {
   }
 
   /** Scala twin of [[widthLadderSql]]: the width dial clamped to the
-    * band lane, exactly the value the ladder's CASE selects.
+    * band lane, exactly the value the ladder's CASE selects (incl.
+    * n=0, where the ladder's first arm and the max(1,·) clamp both
+    * give 1 — an empty corpus must plan, not throw).
     */
   def widthFor(n: Long, target: Long, maxPlanes: Int): Int =
-    math.min(maxPlanes, lshPlanesFor(n, target))
+    math.min(maxPlanes, lshPlanesFor(math.max(1L, n), target))
 
   /** DuckDB twin of lshSigAt over a list column expression. */
   def lshSigAtSql(e: String, planes: Int, off: Int): String = {

@@ -971,34 +971,60 @@ object Dedup {
   // Candidates come from equi-joins on (band, band-signature, label)
   // — embBands independent sign signatures, a pair
   // being a candidate if ANY band matches (the same OR-amplification
-  // the minhash bands use: one AND-ed signature alone keeps only
-  // (1-θ/π)^p of the true near-dups — ~29% at cosine 0.9 — while 8
-  // OR-ed bands keep ~93%). Per-band bucket population is held
-  // near-constant by the width dial (VectorFunctions.lshPlanesFor),
-  // so pair work per bucket is a build-time constant and total
-  // candidate work is O(bands·n·targetBucket) — NOT the O(n²/L)
-  // all-pairs scan that blocking on the small-cardinality label
-  // alone degenerates to at 100×. Label stays as a secondary filter
-  // (the reference's near-dup semantics are within-cluster).
+  // the minhash bands use: a p-plane band alone keeps only (1-θ/π)^p
+  // of the true near-dups, so recall is carried by OR-ing bands).
+  // Per-band bucket population is held near-constant by the width
+  // dial (VectorFunctions.lshPlanesFor), so pair work per bucket is a
+  // build-time constant and total candidate work is
+  // O(bands·n·targetBucket) — NOT the O(n²/L) all-pairs scan that
+  // blocking on the small-cardinality label alone degenerates to at
+  // 100×. Label stays as a secondary filter (the reference's
+  // near-dup semantics are within-cluster).
   //
-  // The signature width FOLLOWS THE CORPUS (r14; the r13 form pinned
-  // 8 planes and saturated at sf10 — 0.8→21.4 s for 10× rows, the
-  // quadratic per-bucket growth any pinned LSH width develops). Both
-  // engines derive the same width from the same count: Spark passes
-  // lshPlanesFor(n) to the strided kernel; the DuckDB twin computes
-  // the MAX-width signature from the same static sign literals and
-  // masks (`sig % (1 << p)`) with a COUNT(*)-driven CASE ladder —
+  // BOTH LSH dials FOLLOW THE CORPUS (r14; the r13 form pinned
+  // 8 planes × 8 bands and saturated at sf10 — 0.8→21.4 s for 10×
+  // rows, the quadratic per-bucket growth any pinned LSH width
+  // develops):
+  //   - planes p = lshPlanesFor(n): one per corpus doubling, holding
+  //     bucket population near targetBucket;
+  //   - bands b = embBandsFor(p): enough OR-ed bands to keep planted
+  //     cos-0.9 recall ≥ ~93% as p grows (per-band match s^p falls
+  //     with p, so holding bands at 8 would quietly slide recall to
+  //     ~56% by p=15 — the S-curve drift a bands-fixed dial hides).
+  //     Bands cost linearly (work ≈ b·n·target, total ~n^1.2 for
+  //     constant recall — the accepted LSH price), and the 16-band
+  //     ceiling (sign pool depth) lets recall decline gently past
+  //     ~3M vectors; production deepens the pool the same way.
+  // Both engines derive both dials from the same COUNT(*): Spark
+  // passes them to the strided kernel; the DuckDB twin computes the
+  // MAX-width signature per band from the same static sign literals,
+  // masks it (`sig % (1 << p)`), and keeps arm b only when b < nb —
   // sound because each band owns a FIXED 16-row slice of the sign
   // pool, so a narrower signature is a bit-prefix of the wider one.
-  // At the bench corpus (2000 vectors) the dial lands on 8 planes —
-  // exactly the r13 pin, so sf0.1 numbers stay comparable.
+  // At the bench corpus (2000 vectors) the dials land on 8 planes ×
+  // 8 bands — exactly the r13 pin, so sf0.1 numbers stay comparable.
 
-  private[graft] val embBands = 8
   private[graft] val embStride = 16 // sign-pool rows reserved per band
   private[graft] val embMaxPlanes = 16 // = embStride: lane-width ceiling
+  private[graft] val embMinBands = 8
+  private[graft] val embMaxBands = 16 // × embStride = the 256-row pool
   private[graft] val embTargetBucket = 8L
   private[graft] def embPlanesFor(n: Long): Int =
     VectorFunctions.widthFor(n, embTargetBucket, embMaxPlanes)
+
+  /** OR-ed band count holding planted cos-0.9 recall ≥ ~93% at p
+    * planes per band: smallest b with 1-(1-s^p)^b ≥ 0.93 where
+    * s = 1-acos(0.9)/π, clamped to [embMinBands, embMaxBands]. Both
+    * engines consume the same Scala-computed table (the oracle gets
+    * it as a literal CASE over the selected p), so the float math
+    * here never crosses engines.
+    */
+  private[graft] def embBandsFor(planes: Int): Int = {
+    val s = 1.0 - math.acos(0.9) / math.Pi
+    val missPerBand = 1.0 - math.pow(s, planes)
+    val b = math.ceil(math.log(1.0 / 0.07) / -math.log(missPerBand)).toInt
+    math.min(embMaxBands, math.max(embMinBands, b))
+  }
 
   /** Banded candidate pairs — a deterministic corpus artifact
     * (signatures + band self-join), cached like the minhash
@@ -1013,9 +1039,10 @@ object Dedup {
   private[graft] def embCandidatesPlan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val v = Similarity.lshIndex(spark, dir)
-    // corpus-count width dial: a parquet-metadata count (row-group
-    // stats, no data scan) picks the plane count both engines use
+    // corpus-count dials: a parquet-metadata count (row-group stats,
+    // no data scan) picks the plane AND band counts both engines use
     val planes = embPlanesFor(Tables(spark, dir).embeddings.count())
+    val bands = embBandsFor(planes)
     // The 8 band signatures come from the native LshBandSigs kernel
     // (one array<long> per vector): the unrolled-Column stack (8 ×
     // 512-term sums inside one generator expression) exceeded
@@ -1025,7 +1052,7 @@ object Dedup {
     // order — bit-identical signatures, tiny generated loop.
     val bandSigs = v.select($"vec_id", $"label",
       posexplode(VectorFunctions.lshBandSigsStrided(
-        $"embedding", planes, embBands, embStride)))
+        $"embedding", planes, bands, embStride)))
       .select($"vec_id", $"label", $"pos".as("band_idx"), $"col".as("band_sig"))
     bandSigs.select($"band_idx", $"band_sig", $"label", $"vec_id".as("a_id"))
       .join(bandSigs.select($"band_idx".as("b_bi"), $"band_sig".as("b_bs"),
@@ -1052,17 +1079,22 @@ object Dedup {
 
   private val dedupEmbeddingSql = {
     // max-width signature from the static sign literals, masked to
-    // the COUNT(*)-selected width (wp CTE) — see the width-dial note
-    // above; the string is still scale-factor-agnostic
-    val arms = (0 until embBands).map(b =>
+    // the COUNT(*)-selected width; arm b participates only when the
+    // recall dial keeps it (b < wp.nb) — see the dials note above;
+    // the string is still scale-factor-agnostic
+    val arms = (0 until embMaxBands).map(b =>
       s"SELECT vec_id, label, $b AS band_idx, " +
         s"${VectorFunctions.lshSigAtSql("e", embMaxPlanes, b * embStride)}" +
-        s" % (CAST(1 AS BIGINT) << wp.p) AS band_sig FROM v, wp")
+        s" % (CAST(1 AS BIGINT) << wp.p) AS band_sig FROM v, wp WHERE $b < wp.nb")
       .mkString("\n  UNION ALL ")
-    s"""WITH wp AS (
-       |  SELECT ${VectorFunctions.widthLadderSql(
-                    "(SELECT COUNT(*) FROM embeddings)",
-                    embTargetBucket, embMaxPlanes)} AS p),
+    val nbCase = (1 to embMaxPlanes)
+      .map(p => s"WHEN ${if (p < embMaxPlanes) s"p = $p" else "TRUE"} THEN ${embBandsFor(p)}")
+      .mkString("CASE ", " ", " END")
+    s"""WITH nn AS (SELECT COUNT(*) AS c FROM embeddings),
+       |wp AS (
+       |  SELECT p, $nbCase AS nb FROM (
+       |    SELECT ${VectorFunctions.widthLadderSql(
+                      "nn.c", embTargetBucket, embMaxPlanes)} AS p FROM nn)),
        |v AS (
        |  SELECT vec_id, label, embedding AS e,
        |    ${VectorFunctions.normSql("embedding")} AS nrm

@@ -167,7 +167,8 @@ object Multimodal {
   // here the classic average-hash (aHash): split the payload into
   // `phashBits` slices, set bit j iff slice-j mean brightness exceeds
   // the global mean. Near-identical payloads differ in few bits, so
-  // candidate pairs come from equality on 12-bit hash BANDS — the
+  // candidate pairs come from equality on 15-bit hash band lanes
+  // (masked to a corpus-sized width in mm_dedup) — the
   // same banding trick minhash LSH uses, and the join stays an
   // equi-join on band keys (never a corpus self-join on hamming
   // distance). The comparison is exact integer cross-multiplication
@@ -198,7 +199,7 @@ object Multimodal {
     // non-negative and ≪ 2^53, so double-division + trunc-cast equals
     // the integer floor-div the oracle's // computes
     def fl(c: org.apache.spark.sql.Column) = (c.cast("double") / phashBits).cast(LongType)
-    // j is a build-time constant (the bit position), so the 48 slice
+    // j is a build-time constant (the bit position), so the 60 slice
     // tests unroll into one flat codegen expression — no per-row loop
     // bookkeeping, and each bit's weight 2^j is a literal
     val phash = (0 until phashBits.toInt).map { j =>
@@ -227,7 +228,7 @@ object Multimodal {
     (0 until phashBits.toInt / phashBandBits).map(b => s"band$b")
 
   /** Per-doc phash signatures + band keys, checkpointed and cached
-    * per (session, dir) — the 48-slice signature pass is the
+    * per (session, dir) — the 60-slice signature pass is the
     * expensive half of the phash pipeline and the signatures are a
     * deterministic corpus artifact like the minhash posting; mm_dedup
     * self-joins this frame, so without the checkpoint the doc scan
@@ -332,9 +333,9 @@ object Multimodal {
   // The operator mm_phash's band keys exist FOR: re-encoded copies of
   // the same image hash to nearby (not identical) signatures, so
   // byte-checksum dedup misses them. Candidates = pairs agreeing on
-  // ANY of the 4 × 12-bit bands — an equi-join on (band_idx,
+  // ANY of the 4 masked 15-bit band lanes — an equi-join on (band_idx,
   // band_key), never a corpus self-join on hamming distance; verify =
-  // exact popcount(xor) over the 48-bit signatures, kept iff ≤ 10.
+  // exact popcount(xor) over the 60-bit signatures, kept iff ≤ 10.
   // Pigeonhole gives EXACT recall to hamming ≤ 3 (3 dirty bits touch
   // ≤ 3 of 4 bands); beyond that, recall needs the differing bits to
   // cluster into ≤ 3 bands — the common case for locally-edited
@@ -410,10 +411,10 @@ object Multimodal {
       s"SELECT doc_id, phash, $i AS band_idx, " +
         s"$name % (CAST(1 AS BIGINT) << wp.p) AS band_key FROM pb, wp" }
       .mkString("\n  UNION ALL ")
-    s"""WITH wp AS (
+    s"""WITH nn AS (SELECT COUNT(*) AS c FROM documents),
+       |wp AS (
        |  SELECT ${graft.functions.VectorFunctions.widthLadderSql(
-                    "(SELECT COUNT(*) FROM documents)",
-                    mmDedupTargetBucket, phashBandBits)} AS p),
+                    "nn.c", mmDedupTargetBucket, phashBandBits)} AS p FROM nn),
        |$phashSqlCtes,
        |bands AS (
        |  $bandArms),

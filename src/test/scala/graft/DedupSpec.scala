@@ -274,9 +274,10 @@ class DedupSpec extends AnyFunSuite {
     // true near-dups (its top within-label cosine is ~0.45, where NO
     // sign-LSH discriminates). So the recall property is proven on
     // PLANTED pairs: 40 random unit vectors, each with a ~0.97-cosine
-    // perturbation. At cos 0.97 a single 8-plane band matches with
-    // p = (1-θ/π)^8 ≈ 0.52; 8 OR-ed bands ≈ 0.997 — near-total
-    // recall, where one AND-ed signature alone would lose half.
+    // perturbation, signed at the widths the adaptive dials pick for
+    // this 80-vector corpus (4 planes × 8 bands: per-band match
+    // (1-θ/π)^4 ≈ 0.72 at cos 0.97, 8 OR-ed bands ≈ 0.9998) — the
+    // same recall law embBandsFor holds as the plane dial grows.
     import spark.implicits._
     import graft.functions.VectorFunctions
     val rnd = new scala.util.Random(7)
@@ -301,10 +302,11 @@ class DedupSpec extends AnyFunSuite {
     val df = pairs.flatMap { case (i, v, w) =>
       Seq((2 * i, v.toSeq), (2 * i + 1, w.toSeq)) }
       .toDF("vid", "embedding")
-    // width as the operator would derive it for this 80-vector corpus
-    // (adaptive dial), bands on their strided sign-pool slices
+    // widths as the operator would derive them for this 80-vector
+    // corpus (adaptive dials), bands on their strided sign-pool slices
     val specPlanes = graft.operators.Dedup.embPlanesFor(pairs.size * 2L)
-    val bandCols = (0 until graft.operators.Dedup.embBands).map(b =>
+    val specBands = graft.operators.Dedup.embBandsFor(specPlanes)
+    val bandCols = (0 until specBands).map(b =>
       VectorFunctions.lshSigAt($"embedding", specPlanes,
         b * graft.operators.Dedup.embStride).as(s"b$b"))
     val sigs = df.select(($"vid" +: bandCols): _*).collect()

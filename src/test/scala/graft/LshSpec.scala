@@ -120,19 +120,50 @@ class LshSpec extends AnyFunSuite {
   }
 
   test("the SQL width ladder selects exactly the Scala dial at every boundary") {
-    // the ladder string is static; evaluate its CASE semantics in
-    // Scala (first arm whose threshold holds) against widthFor at the
-    // power-of-two pivots and their neighbors — the exact places a
+    // parse the GENERATED string back into (threshold, plane) arms —
+    // not a re-implementation, so an off-by-one in widthLadderSql's
+    // comparison or arm order fails here — and evaluate its
+    // first-matching-arm CASE semantics against widthFor at the
+    // power-of-two pivots and their neighbors, the exact places a
     // float log2 would put the boundary one plane off
     val (t, maxP) = (8L, 16)
+    val sql = VectorFunctions.widthLadderSql("n", t, maxP)
+    val armRe = """WHEN n <= (\d+) THEN (\d+)""".r
+    val arms = armRe.findAllMatchIn(sql)
+      .map(m => (m.group(1).toLong, m.group(2).toInt)).toList
+    val elseRe = """ELSE (\d+) END""".r
+    val elseP = elseRe.findFirstMatchIn(sql).get.group(1).toInt
+    assert(arms.nonEmpty && sql.indexOf("WHEN") < sql.indexOf("ELSE"))
+    assert(arms == arms.sortBy(_._1),
+      "CASE arms must ascend or first-match semantics break")
     def ladder(n: Long): Int =
-      (1 until maxP).find(p => n <= t * (1L << p)).getOrElse(maxP)
+      arms.find { case (thr, _) => n <= thr }.map(_._2).getOrElse(elseP)
     val pivots = (1 until maxP).flatMap { p =>
       val b = t * (1L << p); Seq(b - 1, b, b + 1)
-    } ++ Seq(1L, 2L, t, 10L * t * (1L << maxP))
+    } ++ Seq(0L, 1L, 2L, t, 10L * t * (1L << maxP))
     pivots.foreach { n =>
       assert(ladder(n) == VectorFunctions.widthFor(n, t, maxP),
         s"ladder and dial disagree at n=$n")
+    }
+  }
+
+  test("the recall dial grows bands as planes grow, within the sign pool") {
+    import graft.operators.Dedup
+    // at the bench corpus: the r13 operating point exactly
+    assert(Dedup.embBandsFor(Dedup.embPlanesFor(2000)) == 8)
+    // one band schedule per plane count, monotone, pool-bounded
+    val bs = (1 to Dedup.embMaxPlanes).map(Dedup.embBandsFor)
+    assert(bs == bs.sorted, s"band schedule must be monotone: $bs")
+    assert(bs.last == Dedup.embMaxBands &&
+      Dedup.embMaxBands * Dedup.embStride <= VectorFunctions.lshSignRows)
+    // the recall law itself: at every in-pool (p, b) point the
+    // planted cos-0.9 OR-recall stays >= 90% until the band ceiling
+    val s = 1.0 - math.acos(0.9) / math.Pi
+    (1 to Dedup.embMaxPlanes).foreach { p =>
+      val b = Dedup.embBandsFor(p)
+      val recall = 1.0 - math.pow(1.0 - math.pow(s, p), b)
+      if (b < Dedup.embMaxBands)
+        assert(recall >= 0.90, f"recall $recall%.3f at p=$p b=$b")
     }
   }
 

@@ -72,7 +72,7 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("phash: near-identical payloads collide on a band, distinct ones differ") {
-    // a one-byte brightness edit flips at most the bits of the slices
+    // a short prefix edit flips at most the bits of the slices
     // it lands in — the banding must still produce >= 1 shared key
     // (that is the candidate-generation contract), while unrelated
     // payloads should disagree on most bits
