@@ -268,6 +268,18 @@ object Similarity {
   // drops from O(corpus) to O(corpus/nlist) per query. Centroids are
   // exact decimal-accumulated dimension means, so the DuckDB oracle
   // reproduces the same floats and the same final ranking.
+  //
+  // nlist here is the corpus's LABEL CARDINALITY (a data property:
+  // 10 at every test SF), so per-query probe work is corpus/10 and
+  // the family's total grows quadratically across SFs — the same
+  // growth the DuckDB twin pays on the identical semantics, so the
+  // ratio holds, but the absolute wall is the label clustering's,
+  // not IVF's. The production dial is nlist ≈ √corpus from a real
+  // k-means (ann_kmeans_step is one Lloyd iteration of exactly that
+  // trainer; iterate it and cluster on its assignments instead of
+  // `label` to get corpus/√n-sized cells) — the same
+  // one-dial-per-corpus-doubling discipline the LSH family's
+  // widthFor/embBandsFor dials mechanize.
 
   /** The IVF index build — exact decimal-accumulated centroid per
     * cluster — cached per (session, corpus): production IVF builds
