@@ -139,8 +139,14 @@ class MultimodalSpec extends AnyFunSuite {
       h = java.lang.Long.bitCount(sig(i)._2 ^ sig(j)._2)
       if h <= graft.operators.Multimodal.mmDedupThreshold
     } yield (sig(i)._1, sig(j)._1, h.toLong)).toSet
-    val got = SparkEntry.queries("mm_dedup")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = SparkEntry.queries("mm_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = rows.toSet
+    // first-matching-band emission replaced the DISTINCT (r14): a
+    // multi-band pair must still appear exactly once — the Set
+    // compare below would silently absorb duplicate emissions
+    assert(rows.length == got.size,
+      s"pair emitted more than once: ${rows.length} rows, ${got.size} distinct")
     assert(expected.nonEmpty, "degenerate corpus: no near-dup pair in contract")
     assert(got == expected,
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")

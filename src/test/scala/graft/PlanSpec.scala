@@ -226,6 +226,11 @@ class PlanSpec extends AnyFunSuite {
       val sp = graft.operators.Multimodal.phashDocsPlan(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!sp.contains("hashpartitioning"), "phash signature pass shuffles on a key")
+      // pairs are exactly-once from their first matching band (r14):
+      // no distinct aggregate may reappear — on the dense hamming
+      // relation the dedup exchange was the bigger half of the wall
+      assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+        "mm_dedup re-grew a distinct/aggregate over the pair stream")
     } finally {
       restoreAqeDefault()
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
