@@ -1080,10 +1080,12 @@ object Similarity {
   }
 
   /** PQ codes per vector: argmin centroid per subspace via the packed
-    * integer min — (vec_id, code_0..code_{pqSubspaces-1}). The codes
-    * ARE the PQ index (what a deployment stores instead of vectors),
-    * so like lshIndex they are cached per (session, corpus): built
-    * once, served to every ADC query (ann_pq, ann_ivfpq).
+    * integer min — (vec_id, codes: array<int> of length pqSubspaces).
+    * The codes ARE the PQ index (what a deployment stores instead of
+    * vectors), so like lshIndex they are cached per (session, corpus):
+    * built once, served to every ADC query (ann_pq, ann_ivfpq). Packed
+    * into one int array (not pqSubspaces columns) because that is the
+    * shape [[graft.functions.AdcSum]] scores against.
     */
   private val pqCodesCache = new graft.PlanCache()
   private def pqCodes(spark: SparkSession, dir: String): DataFrame =
@@ -1094,8 +1096,8 @@ object Similarity {
       min(col(s"d_$m") * pqK + $"idx").as(s"p_$m"))
     dists.groupBy($"vec_id")
       .agg(packs.head, packs.tail: _*)
-      .select($"vec_id" +: (0 until pqSubspaces).map(m =>
-        (col(s"p_$m") % pqK).cast("int").as(s"code_$m")): _*)
+      .select($"vec_id", array((0 until pqSubspaces).map(m =>
+        (col(s"p_$m") % pqK).cast("int")): _*).as("codes"))
       .localCheckpoint()
   }
 
@@ -1113,42 +1115,45 @@ object Similarity {
       .localCheckpoint()
   }
 
-  /** Per-query ADC lookup tables as one flat map PER SUBSPACE
-    * (q_id, dmap_0..dmap_{pqSubspaces-1}) — one row per probe query.
-    * One hash aggregate builds all pqSubspaces maps side by side; the
-    * earlier nested-map form (stack to (m, d) rows, then TWO stacked
-    * groupBys) paid an extra full-width exchange per invocation for a
-    * structure the ADC lookup immediately unnested anyway.
+  /** Per-query ADC lookup table as ONE packed `array<long>` —
+    * (q_id, lut), entry m·n + idx = the query's distance to centroid
+    * idx of subspace m (subspace-major; n = centroid slots, derived
+    * from the seed count so SFs with fewer than pqK seeds stay
+    * consistent). One hash aggregate builds the sorted slot list; the
+    * flatten to subspace-major runs on the aggregate's ~query-count
+    * rows, never on a scan. Replaces the per-subspace map columns
+    * (dmap_m + element_at scoring): the flat array is what
+    * [[graft.functions.AdcSum]] reads with direct primitive indexing,
+    * and it rides the broadcast as one UnsafeArrayData instead of
+    * pqSubspaces boxed maps.
     */
-  private def pqQueryMaps(dists: DataFrame): DataFrame = {
+  private def pqQueryLut(dists: DataFrame): DataFrame = {
     import dists.sparkSession.implicits._
+    val slotFields = $"idx" +: (0 until pqSubspaces).map(m => col(s"d_$m"))
     dists.filter(queryFilter($"vec_id"))
       .groupBy($"vec_id".as("q_id"))
-      .agg(
-        map_from_entries(collect_list(struct($"idx", col("d_0")))).as("dmap_0"),
-        (1 until pqSubspaces).map(m =>
-          map_from_entries(collect_list(struct($"idx", col(s"d_$m"))))
-            .as(s"dmap_$m")): _*)
+      // array_sort on struct orders by leading field idx — slot i of
+      // the sorted list IS centroid i, making position arithmetic safe
+      .agg(array_sort(collect_list(struct(slotFields: _*))).as("slots"))
+      .select($"q_id", concat((0 until pqSubspaces).map(m =>
+        expr(s"transform(slots, x -> x.d_$m)")): _*).as("lut"))
   }
 
-  /** ADC distance: per-subspace lookups from the query's dmap_m
-    * against the row's code columns, summed — 4 map lookups per
-    * scored pair.
+  /** ADC distance: the fused lookup-table kernel — pqSubspaces direct
+    * array reads per scored pair (see [[graft.functions.AdcSum]]).
     */
   private def adcDist: Column =
-    (0 until pqSubspaces).map(m =>
-      element_at(col(s"dmap_$m"), col(s"code_$m")))
-      .reduceLeft(_ + _)
+    graft.functions.AdcSum.adc_sum(col("lut"), col("codes"))
 
   private def annPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val qv = pqQuantized(spark, dir)
     val dists = pqDists(spark, dir)
     val codes = pqCodes(spark, dir)
-    val qmaps = pqQueryMaps(dists)
+    val qluts = pqQueryLut(dists)
     val nQ = queryCount(spark, dir, qv.filter(queryFilter($"vec_id")))
     topKRanked(
-      codes.join(boundedProbeSide(qmaps, nQ), $"q_id" =!= $"vec_id")
+      codes.join(boundedProbeSide(qluts, nQ), $"q_id" =!= $"vec_id")
         .select($"q_id", $"vec_id", adcDist.as("adc_dist")),
       "adc_dist", descending = false)
       .resultOrder($"q_id", $"rk")
@@ -1203,7 +1208,7 @@ object Similarity {
   // shuffled hash join (probeSide's soft fallback CAN bind here),
   // closing exactly the contract hole the flat non-equi variants must
   // fail loudly on. Reuses the checked pieces: ivfCentroids (probe),
-  // pqQuantized/pqCodes (index), pqQueryMaps (ADC tables) — all
+  // pqQuantized/pqCodes (index), pqQueryLut (ADC tables) — all
   // integer-exact cross-engine; the probe ranking is the same float
   // cosine ann_ivf is oracle-green on.
 
@@ -1227,7 +1232,7 @@ object Similarity {
       .select($"q_id", $"c_label")
     // each probe row carries its query's ADC table; the scoring join
     // below is equi on the cluster key, ADC only within probed clusters
-    val probes = probed.join(pqQueryMaps(dists), "q_id")
+    val probes = probed.join(pqQueryLut(dists), "q_id")
     topKRanked(
       labeled.join(probeSide(probes, nQ * ivfPqNprobe),
           $"label" === $"c_label" && $"vec_id" =!= $"q_id")

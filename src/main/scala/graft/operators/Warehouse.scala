@@ -63,7 +63,15 @@ object Warehouse {
     import spark.implicits._
     val base = Tables(spark, dir).orders
       .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
-    base.join(cdcBatch(spark, dir), $"o_orderkey" === $"c_key", "full_outer")
+    // shuffle_hash, not sort-merge: full-outer SHJ builds one hash map
+    // over the batch partition (the ~30% change side) instead of
+    // sorting BOTH shuffled sides — the merge itself needs no order,
+    // and the deterministic output order is restored by resultOrder's
+    // range sort anyway. Same single-shuffle profile, two fewer
+    // per-partition sorts; at 100 TB the batch side of a MERGE is the
+    // small side by construction, exactly the SHJ build contract.
+    base.join(cdcBatch(spark, dir).hint("shuffle_hash"),
+        $"o_orderkey" === $"c_key", "full_outer")
       .filter($"op".isNull || $"op" =!= "D")
       .select(
         coalesce($"o_orderkey", $"c_key").as("o_orderkey"),

@@ -26,6 +26,50 @@ class LshSpec extends AnyFunSuite {
     assert(r.getLong(6) == 1000L * nVec / buckets)
   }
 
+  test("adc_sum kernel equals the per-subspace map lookups and compiles under codegen") {
+    // the kernel is the inner loop of ann_pq/ann_ivfpq's scoring join;
+    // with fallback disabled a janino failure throws instead of
+    // silently running interpreted. Equality target: the previous
+    // formulation Σ_m element_at(dmap_m, code_m), which remains the
+    // DuckDB oracle's shape.
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rnd = new scala.util.Random(7)
+      val slots = 8
+      val rows = (0 until 64).map { i =>
+        (i.toLong,
+          Seq.fill(4 * slots)(rnd.nextInt(1 << 20).toLong),
+          Seq.fill(4)(rnd.nextInt(slots)))
+      }
+      val df = rows.toDF("id", "lut", "codes")
+      val mapForm = (0 until 4).map(m =>
+        element_at(
+          map_from_arrays(
+            sequence(lit(0), lit(slots - 1)),
+            slice($"lut", m * slots + 1, slots)),
+          element_at($"codes", m + 1))).reduceLeft(_ + _)
+      df.select($"id",
+          graft.functions.AdcSum.adc_sum($"lut", $"codes").as("k"),
+          mapForm.as("m"))
+        .collect()
+        .foreach(r => assert(r.getLong(1) == r.getLong(2),
+          s"row ${r.getLong(0)}: kernel ${r.getLong(1)} != map ${r.getLong(2)}"))
+      // shape disagreements fail loudly, never null/garbage
+      val bad = Seq((Seq(1L, 2L, 3L), Seq(0, 0))).toDF("lut", "codes")
+      val e = intercept[Exception] {
+        bad.select(graft.functions.AdcSum.adc_sum($"lut", $"codes")).collect()
+      }
+      assert(e.getMessage != null)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("ann_pq matches a sequential product-quantization recompute") {
     val rows = Tables(spark, sf).embeddings.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
