@@ -63,14 +63,14 @@ object Warehouse {
     import spark.implicits._
     val base = Tables(spark, dir).orders
       .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
-    // shuffle_hash, not sort-merge: full-outer SHJ builds one hash map
-    // over the batch partition (the ~30% change side) instead of
-    // sorting BOTH shuffled sides — the merge itself needs no order,
-    // and the deterministic output order is restored by resultOrder's
-    // range sort anyway. Same single-shuffle profile, two fewer
-    // per-partition sorts; at 100 TB the batch side of a MERGE is the
-    // small side by construction, exactly the SHJ build contract.
-    base.join(cdcBatch(spark, dir).hint("shuffle_hash"),
+    // sort-merge, deliberately: a shuffle_hash hint was A/B'd here
+    // (r14, quiet host) on the theory that full-outer SHJ skips both
+    // per-partition sorts — measured SLOWER at scale (sf10 8.8 s vs
+    // SMJ 6.2 s; sf1 a wash), because Spark's full-outer SHJ pays
+    // matched-row bitset bookkeeping per probe while SMJ's sorts are
+    // cheap on the narrow 3-column rows. The general MERGE shape
+    // stays the planner's default join on the shuffled key.
+    base.join(cdcBatch(spark, dir),
         $"o_orderkey" === $"c_key", "full_outer")
       .filter($"op".isNull || $"op" =!= "D")
       .select(
