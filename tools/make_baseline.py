@@ -181,8 +181,8 @@ if os.path.exists(sf1_spark_p) and os.path.exists(sf1_duck_p):
     w(f"""
 ## Scaling point: sf1 (10× the bench SF — the first evidence above sf0.1)
 
-Same protocol (quiet window, back-to-back, min of 3 passes both
-sides, identical SQL), same host, over the deterministic 10× tiling
+Same protocol (quiet window, back-to-back, identical SQL; Spark
+{s1.get("mode")}; DuckDB {d1.get("mode")}), same host, over the deterministic 10× tiling
 of sf0.1 (`tools/make_sf.py`: FK-consistent key-offset tiles;
 documents perturbed per tile so dedup candidate work scales
 linearly; embeddings rotated orthogonally per tile). Correctness at
