@@ -5,7 +5,7 @@ import graft.Out._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
 
 /** The reference's KPI/trade-observatory surface re-expressed on the
   * testdata star schema.
@@ -71,16 +71,26 @@ object Kpi {
   /** Deterministic windowed mean: exact decimal sum over the frame
     * divided by the frame count (plain windowed AVG accumulates
     * doubles in engine-specific order).
+    *
+    * BOTH boundary casts ride the Det shortest-string contract
+    * (core.scala Det — input double→decimal via the shortest string
+    * HALF_UP, output decimal→double via the exact string), exactly
+    * like Det.dsum: the pre-r14 form used the NATIVE casts on both
+    * boundaries, which held up to sf1 but diverged at sf10 where a
+    * cumulative window sum first carried >15 significant digits
+    * (kpi_pareto's cum_exp at 8.02e11 with 6 decimals = 18 digits:
+    * Spark's compact Decimal.toDouble double-rounds, DuckDB's cast
+    * is correctly rounded — one ulp apart, hash mismatch).
     */
   private val Dec = DecimalType(18, 6)
   private def dMeanOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
-    sum(c.cast(Dec)).over(w).cast(DoubleType) / count(c).over(w)
+    sum(c.cast(Dec)).over(w).cast(StringType).cast(DoubleType) / count(c).over(w)
   private def dMeanOverSql(e: String, over: String): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) OVER $over AS DOUBLE) / COUNT($e) OVER $over"
+    s"CAST(CAST(SUM(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(18,6))) OVER $over AS VARCHAR) AS DOUBLE) / COUNT($e) OVER $over"
   private def dSumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
-    sum(c.cast(Dec)).over(w).cast(DoubleType)
+    sum(c.cast(Dec)).over(w).cast(StringType).cast(DoubleType)
   private def dSumOverSql(e: String, over: String): String =
-    s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) OVER $over AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(18,6))) OVER $over AS VARCHAR) AS DOUBLE)"
 
   // ---- kpi_trade_long: the ETL long-format fact (etl.py parse_book) ----
 

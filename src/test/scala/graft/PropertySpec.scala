@@ -70,6 +70,40 @@ class PropertySpec extends AnyFunSuite {
     assert(got == viaString, s"string-pinned sum cast diverged: $got vs $viaString")
   }
 
+  test("windowed decimal sums surface through the string pin (the sf10 cum-sum class)") {
+    // The r14 sf10 crosscheck find: kpi_pareto's cumulative window
+    // sum first reaches 16+ significant digits (cum_exp 8.02e11 with
+    // scale 6) and the two engines' NATIVE wide-decimal->double casts
+    // disagree there — DuckDB's (DECIMAL(38,6): hugeint scaled by
+    // 1e-6 in binary) surfaced the exact sum 802091524967.000000 as
+    // ...967.0001 and 1590572632210.000000 as ...209.9998, verified
+    // by direct repro; Spark's compact path has its own >15-digit
+    // double-rounding class (the r13 dsum find). The contract is the
+    // same as Det.dsum: BOTH engines surface the window sum through
+    // its exact decimal STRING. Here: the Spark route, on the real
+    // sf10 kpi_pareto values, must equal the correctly-rounded double
+    // of the exact decimal cumsum.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exps = Seq(268293995701.0, 267316748991.0, 266480780275.0,
+      265556885099.0, 261643999691.0, 261280222453.0)
+    val rows = exps.zipWithIndex.map { case (v, i) => (i, v) }
+    val got = rows.toDF("i", "x")
+      .withColumn("cum", sum(col("x").cast("decimal(18,6)")).over(w)
+        .cast("string").cast("double"))
+      .orderBy(col("i")).collect().map(_.getDouble(2))
+    var exact = java.math.BigDecimal.ZERO
+    for ((v, i) <- exps.zipWithIndex) {
+      exact = exact.add(
+        new java.math.BigDecimal(java.lang.Double.toString(v))
+          .setScale(6, java.math.RoundingMode.HALF_UP))
+      val want = java.lang.Double.parseDouble(exact.toPlainString)
+      assert(got(i) == want,
+        s"string-pinned window cast diverged at row $i: ${got(i)} vs $want")
+    }
+  }
+
   test("Det input cast rounds the shortest string HALF_UP (the 7th-digit tie class)") {
     // the monthStats divergence class: sums-of-cents / 1e6 land
     // exactly on "…5" 7th-decimal ties; the contract (core.scala Det

@@ -33,6 +33,27 @@ for f in glob.glob(f"{sf}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
 
 oracles = json.load(open(f"{out}/oracle_sql.json"))
+# GRAFT_QUERIES: comma-separated subset filter, for sharding a big-SF
+# crosscheck across parallel processes (the sf10 DuckDB pass is hours
+# single-file; the cheap ~130 queries shard to minutes). GRAFT_MEM:
+# optional DuckDB memory_limit per shard so N parallel shards cannot
+# overcommit the box (each defaults to 80% of RAM).
+subset = os.environ.get("GRAFT_QUERIES")
+if subset:
+    keep = set(subset.split(","))
+    missing = keep - set(oracles)
+    if missing:
+        sys.exit(f"GRAFT_QUERIES names unknown queries: {sorted(missing)}")
+    oracles = {q: s for q, s in oracles.items() if q in keep}
+if os.environ.get("GRAFT_MEM"):
+    con.execute(f"SET memory_limit='{os.environ['GRAFT_MEM']}'")
+# parallel shards MUST NOT share a spill directory: DuckDB's default
+# temp_directory is cwd/.tmp, and two processes there delete each
+# other's duckdb_temp_storage files mid-query (observed: IOException
+# killing a shard outright and an IO read error failing a query)
+if os.environ.get("GRAFT_TMP"):
+    os.makedirs(os.environ["GRAFT_TMP"], exist_ok=True)
+    con.execute(f"SET temp_directory='{os.environ['GRAFT_TMP']}'")
 fails = 0
 for qname in sorted(oracles):
     sql = oracles[qname]
