@@ -20,6 +20,18 @@ object Bench {
     // sink consumes every column of every row.
     def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // SPARK_GRAFT_ONLY: comma-separated subset for local A/B
+    // iteration on a single operator. Never set by the driver or the
+    // pair tooling — a subset total is meaningless as a suite figure,
+    // so the summary records the filter when active.
+    val onlyFilter = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val benchQueries = onlyFilter match {
+      case Some(keep) =>
+        val missing = keep -- SparkEntry.queries.keySet
+        require(missing.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: $missing")
+        SparkEntry.queries.view.filterKeys(keep).toMap
+      case None => SparkEntry.queries
+    }
     // One warmup pass (JIT, codegen caches, parquet footers), then
     // nPasses measured passes (SPARK_GRAFT_PASSES, default 3); the
     // reported figure is the per-query MIN of the measured passes.
@@ -29,7 +41,7 @@ object Bench {
     // whichever queries happened to run during the stall — min-of-k
     // is the standard noise-robust point estimate for a deterministic
     // workload.
-    SparkEntry.queries.foreach { case (name, fn) =>
+    benchQueries.foreach { case (name, fn) =>
       try run(fn) catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
@@ -80,11 +92,11 @@ object Bench {
     }.min
     val floorSamples = scala.collection.mutable.ArrayBuffer(stageFloorProbe())
     val passes = (1 to nPasses).map { _ =>
-      val p = SparkEntry.queries.map { case (name, fn) => name -> measure(fn, name) }
+      val p = benchQueries.map { case (name, fn) => name -> measure(fn, name) }
       floorSamples += stageFloorProbe()
       p
     }
-    val results = SparkEntry.queries.map { case (name, _) =>
+    val results = benchQueries.map { case (name, _) =>
       val ok = passes.map(_(name)).filter(_ >= 0)
       // min of the successful passes; -1 only if all failed
       name -> (if (ok.isEmpty) -1.0 else ok.min)
@@ -145,7 +157,7 @@ object Bench {
         s""""floor_per_stage_min_sec":${ms(floorShuffleMin)},""" +
         s""""floor_total_sec":${ms(floor * nOk)},""" +
         s""""value_minus_floor":${ms(dataValue)},""" +
-        s""""per_query":"$selfPath","sf":"$sfDir"}"""
+        s""""per_query":"$selfPath","sf":"$sfDir"${onlyFilter.map(f => ",\"only\":\"" + f.toSeq.sorted.mkString(",") + "\"").getOrElse("")}}"""
     // full record (summary fields + per-query map) — file only, so the
     // printed line stays a few hundred bytes. The repo-root
     // BENCH_SELF.json is one third of the committed (BENCH_SELF,

@@ -41,44 +41,56 @@ object Warehouse {
     */
   private val insOffset = 1000000000000L
 
-  /** The deterministic CDC batch: one column-pruned scan of orders,
-    * fanned into (c_key, op, c_status, c_price) by key residue.
-    */
-  private def cdcBatch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val m = $"o_orderkey" % 10
-    Tables(spark, dir).orders
-      .filter(m.isin(3, 5, 7))
-      .select(
-        when(m === 5, $"o_orderkey" + insOffset)
-          .otherwise($"o_orderkey").as("c_key"),
-        when(m === 7, "D").when(m === 3, "U").otherwise("I").as("op"),
-        when(m === 3, lit("X")).when(m === 5, lit("N"))
-          .otherwise(lit(null).cast("string")).as("c_status"),
-        when(m === 3, $"o_totalprice" * 2.0).when(m === 5, $"o_totalprice")
-          .otherwise(lit(null).cast("double")).as("c_price"))
-  }
-
   private def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = Tables(spark, dir).orders
-      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
-    // sort-merge, deliberately: a shuffle_hash hint was A/B'd here
+    // ONE scan + ONE keyed exchange (r15): base and batch both derive
+    // from the same key-partitioned frame, so the merge join reads a
+    // ReusedExchange on each side instead of shuffling two separate
+    // scans of orders. That works because the batch's join key is a
+    // pure ALIAS of o_orderkey — the insert-key offset (which would
+    // break co-partitioning) is materialized AFTER the join: insert
+    // keys are provably unmatched (key+insOffset is disjoint from the
+    // base key range), so a matched op='I' row fans out row-locally
+    // to (base row unchanged, inserted row) via one explode. Same
+    // MERGE output, two fewer stages (r14 shape: 2 scans + 2
+    // exchanges; measured 1.92 s at sf1 vs DuckDB 0.92).
+    //
+    // Still sort-merge, deliberately: a shuffle_hash hint was A/B'd
     // (r14, quiet host) on the theory that full-outer SHJ skips both
     // per-partition sorts — measured SLOWER at scale (sf10 8.8 s vs
-    // SMJ 6.2 s; sf1 a wash), because Spark's full-outer SHJ pays
-    // matched-row bitset bookkeeping per probe while SMJ's sorts are
-    // cheap on the narrow 3-column rows. The general MERGE shape
-    // stays the planner's default join on the shuffled key.
-    base.join(cdcBatch(spark, dir),
-        $"o_orderkey" === $"c_key", "full_outer")
+    // SMJ 6.2 s), because Spark's full-outer SHJ pays matched-row
+    // bitset bookkeeping per probe while SMJ's sorts are cheap on the
+    // narrow 3-column rows.
+    val src = Tables(spark, dir).orders
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .repartition($"o_orderkey")
+    val m = $"o_orderkey" % 10
+    // The batch is an UPSERT STREAM over the shared exchange: op NULL
+    // = no change (c_status/c_price carry the base values, so the
+    // projection consumes every scanned column — a narrower batch
+    // projection would let ColumnPruning re-derive a second pruned
+    // scan below the exchange and break the reuse; so would a
+    // pre-join residue filter, which PushDownPredicates moves through
+    // the repartition). The exactly-once MERGE row fan-out happens
+    // after the join.
+    val batch = src.select($"o_orderkey".as("c_key"),
+      when(m === 7, "D").when(m === 3, "U").when(m === 5, "I")
+        .otherwise(lit(null).cast("string")).as("op"),
+      when(m === 3, lit("X")).when(m === 5, lit("N"))
+        .otherwise($"o_orderstatus").as("c_status"),
+      when(m === 3, $"o_totalprice" * 2.0)
+        .otherwise($"o_totalprice").as("c_price"))
+    val keptRow = struct($"c_key".as("o_orderkey"),
+      $"c_status".as("o_orderstatus"), $"c_price".as("o_totalprice"))
+    val baseRow = struct($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val insRow = struct(($"c_key" + insOffset).as("o_orderkey"),
+      $"c_status".as("o_orderstatus"), $"c_price".as("o_totalprice"))
+    src.join(batch, $"o_orderkey" === $"c_key", "full_outer")
       .filter($"op".isNull || $"op" =!= "D")
-      .select(
-        coalesce($"o_orderkey", $"c_key").as("o_orderkey"),
-        when($"op".isNotNull, $"c_status").otherwise($"o_orderstatus")
-          .as("o_orderstatus"),
-        when($"op".isNotNull, $"c_price").otherwise($"o_totalprice")
-          .as("o_totalprice"))
+      .select(explode(
+        when($"op" === "I", array(baseRow, insRow))
+          .otherwise(array(keptRow))).as("r"))
+      .select($"r.o_orderkey", $"r.o_orderstatus", $"r.o_totalprice")
       .resultOrder($"o_orderkey")
   }
 

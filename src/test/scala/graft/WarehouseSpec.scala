@@ -33,6 +33,27 @@ class WarehouseSpec extends AnyFunSuite {
     assert(ins.filter(col("o_orderstatus") =!= "N").count() == 0)
   }
 
+  test("cdc_merge shuffles orders once: both merge sides reuse one keyed exchange") {
+    // the r15 single-exchange shape: base and batch derive from the
+    // same key-partitioned frame, the batch join key is a pure alias
+    // of o_orderkey, and the insert-key offset is materialized AFTER
+    // the join — so the full-outer SMJ must plan ONE hashpartitioning
+    // exchange plus a ReusedExchange, never a second scan+shuffle of
+    // orders (AQE off so the static plan text is assertable)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("cdc_merge")(spark, sf)
+        .queryExecution.executedPlan.toString
+      // a ReusedExchange node echoes the referenced exchange's
+      // description on its own line — count live exchange nodes only
+      val n = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+      assert(n == 1, s"expected exactly one keyed exchange, found $n:\n$p")
+      assert(p.contains("ReusedExchange"),
+        s"batch side does not reuse the base exchange:\n$p")
+    } finally restoreAqeDefault()
+  }
+
   test("scd2 versions are contiguous from 1 per entity") {
     val bad = scd.groupBy(col("user_id"))
       .agg(min(col("version")).as("vmin"), max(col("version")).as("vmax"),
