@@ -1051,15 +1051,32 @@ object Dedup {
     // fallback-disabled compile test). Same sign rows, same fold
     // order — bit-identical signatures, tiny generated loop.
     val bandSigs = v.select($"vec_id", $"label",
-      posexplode(VectorFunctions.lshBandSigsStrided(
-        $"embedding", planes, bands, embStride)))
-      .select($"vec_id", $"label", $"pos".as("band_idx"), $"col".as("band_sig"))
-    bandSigs.select($"band_idx", $"band_sig", $"label", $"vec_id".as("a_id"))
+        VectorFunctions.lshBandSigsStrided(
+          $"embedding", planes, bands, embStride).as("sigs"))
+      .select($"vec_id", $"label", $"sigs", posexplode($"sigs"))
+      .select($"vec_id", $"label", $"sigs",
+        $"pos".as("band_idx"), $"col".as("band_sig"))
+    // Each qualifying pair is emitted from its FIRST matching band
+    // only (r15, the mm_dedup pattern): both full signature arrays
+    // ride the join row, so "no earlier band also matched" is a
+    // row-local array compare and the candidate stream is
+    // exactly-once BY CONSTRUCTION — the old trailing DISTINCT was a
+    // second full exchange of the banded pair stream, cheap on this
+    // corpus's sparse embedding dups but exactly the scale hazard
+    // mm_dedup measured on its dense relation. The DuckDB twin keeps
+    // its DISTINCT: same pair set, hash-identical result.
+    val firstMatch = (0 until bands).foldRight(lit(-1)) { case (i, rest) =>
+      when(element_at($"a_sigs", i + 1) === element_at($"b_sigs", i + 1),
+        lit(i)).otherwise(rest)
+    }
+    bandSigs.select($"band_idx", $"band_sig", $"label",
+        $"vec_id".as("a_id"), $"sigs".as("a_sigs"))
       .join(bandSigs.select($"band_idx".as("b_bi"), $"band_sig".as("b_bs"),
-        $"label".as("b_label"), $"vec_id".as("b_id")),
+        $"label".as("b_label"), $"vec_id".as("b_id"), $"sigs".as("b_sigs")),
         $"band_idx" === $"b_bi" && $"band_sig" === $"b_bs" &&
           $"label" === $"b_label" && $"a_id" < $"b_id")
-      .select($"a_id", $"b_id").distinct()
+      .filter($"band_idx" === firstMatch)
+      .select($"a_id", $"b_id")
   }
 
   private def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {

@@ -361,6 +361,37 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding candidate pairs are exactly-once and complete across bands") {
+    // first-matching-band emission (r15): the banded join finds a
+    // pair once per agreeing band; the row-local first-match filter
+    // must keep exactly one emission AND lose none — ground truth is
+    // the all-pairs any-band-agrees relation over the same kernel
+    // signatures the operator blocks on
+    import spark.implicits._
+    val n = Tables(spark, sf).embeddings.count()
+    val planes = graft.operators.Dedup.embPlanesFor(n)
+    val bands = graft.operators.Dedup.embBandsFor(planes)
+    val sig = graft.operators.Similarity.lshIndex(spark, sf)
+      .select($"vec_id", $"label",
+        graft.functions.VectorFunctions.lshBandSigsStrided(
+          $"embedding", planes, bands, graft.operators.Dedup.embStride).as("sigs"))
+      .collect()
+      .map(r => (r.getLong(0), r.get(1), r.getSeq[Long](2)))
+      .sortBy(_._1)
+    val expected = (for {
+      i <- sig.indices; j <- (i + 1) until sig.length
+      if sig(i)._2 == sig(j)._2 &&
+        sig(i)._3.zip(sig(j)._3).exists { case (x, y) => x == y }
+    } yield (sig(i)._1, sig(j)._1)).toSet
+    assert(expected.nonEmpty, "degenerate corpus: no banded candidate pair")
+    val rows = graft.operators.Dedup.embCandidatesPlan(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.toSet.size,
+      s"pair emitted more than once: ${rows.length} rows, ${rows.toSet.size} distinct")
+    assert(rows.toSet == expected,
+      s"missing=${(expected -- rows.toSet).take(5)} extra=${(rows.toSet -- expected).take(5)}")
+  }
+
   test("llm_bloom never false-negatives: flags a superset of exact decontamination") {
     // Bloom membership has no false negatives, so every doc the
     // exact posting join flags must survive the pre-filter, with at

@@ -237,6 +237,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding candidate pairs are exactly-once — no distinct over the pair stream") {
+    // first-matching-band emission (r15, the mm_dedup pattern): the
+    // candidate derivation must end at the banded equi-join + the
+    // row-local first-match filter — a distinct/aggregate reappearing
+    // over the pair stream is a second full exchange of a
+    // band-multiplied relation, the exact shape mm_dedup measured as
+    // the bigger half of its wall on a dense-dup corpus
+    PlanCache.clearAll()
+    val p = graft.operators.Dedup.embCandidatesPlan(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      "embCandidates re-grew a distinct/aggregate over the pair stream")
+  }
+
   test("minhash verification never broadcasts candidate-derived frames") {
     // candIds / per-candidate sizes are O(duplicate count) ≈ O(corpus)
     // worst case. With the auto-broadcast threshold disabled, any
