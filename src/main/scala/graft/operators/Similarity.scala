@@ -24,10 +24,48 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Queries = every 50th vector: a small deterministic workload at
-    * any SF (10 queries at sf0.001, 1000 at sf0.1).
+  /** Queries = every `stride`-th vector: a deterministic probe
+    * workload at any SF (10 queries at sf0.001, 1000 at sf0.1).
+    *
+    * The stride FOLLOWS THE CORPUS above probeMaxQueries (r15): a
+    * fixed /50 probe set grows linearly with the corpus, so the flat
+    * oracle baselines (ann_bruteforce's M·N scan, ann_pq's
+    * full-code-scan ADC) grow SUPER-linearly — 75 s of the 341 s sf10
+    * campaign wall, hours at sf100 — and past maxBroadcastQueries the
+    * bounded-probe contract would fail loudly. Capping the probe set
+    * at a deterministic sample is the ann_recall_eval story ("at
+    * 100 TB this runs over a SAMPLED query set"), applied to the ONE
+    * shared probe-set definition so every ANN variant, the ground
+    * truth, and the recall figure stay mutually consistent. The
+    * widened stride keeps 50 as a divisor, so the capped probe set is
+    * a subset of the uncapped one, and the DuckDB twin re-derives the
+    * identical stride from COUNT(*) (integer ceil-div — see
+    * probeStrideSql): the oracle stays EXACT over the sampled set at
+    * every SF. Below the cap (all committed-gate SFs: sf0.001 through
+    * sf1 = 10..10k queries) the stride is exactly the historical 50.
     */
-  private def queryFilter(c: Column): Column = c % 50 === 0
+  private[graft] val probeBaseStride = 50L
+  private[graft] val probeMaxQueries = 10000L
+  private[graft] def probeStrideFor(n: Long): Long = {
+    val cap = probeBaseStride * probeMaxQueries
+    probeBaseStride * ((n + cap - 1) / cap)
+  }
+  /** The corpus-count-derived stride, via the same parquet-metadata
+    * count the LSH dials use (cached — one row-group-stats job).
+    */
+  private def probeStride(spark: SparkSession, dir: String): Long =
+    probeStrideFor(measuredCount(spark, dir, "corpus")(
+      Tables(spark, dir).embeddings))
+  private def queryFilter(spark: SparkSession, dir: String)(c: Column): Column =
+    c % probeStride(spark, dir) === 0
+  /** The DuckDB twin's stride: same integer ceil-div over COUNT(*),
+    * inlined as a scalar subquery so the SQL string stays
+    * scale-factor-agnostic.
+    */
+  private[graft] val probeStrideSql: String = {
+    val cap = probeBaseStride * probeMaxQueries
+    s"(SELECT $probeBaseStride * ((count(*) + ${cap - 1}) // $cap) FROM embeddings)"
+  }
 
   /** ANN's contract is a BOUNDED probe list against a huge corpus, so
     * the query-derived side of each scoring join is broadcast — but
@@ -83,7 +121,7 @@ object Similarity {
   private def annBruteCore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val v = lshIndex(spark, dir).select($"vec_id", $"embedding", $"nrm")
-    val q = v.filter(queryFilter($"vec_id"))
+    val q = v.filter(queryFilter(spark, dir)($"vec_id"))
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"), $"nrm".as("q_n"))
     val nQ = queryCount(spark, dir, q)
     topKRanked(
@@ -142,7 +180,7 @@ object Similarity {
        |  SELECT q.vec_id AS q_id, v.vec_id,
        |    ${dotSql("q.e", "v.e", 64)} / (q.nrm * v.nrm) AS cosine
        |  FROM v q JOIN v ON v.vec_id <> q.vec_id
-       |  WHERE q.vec_id % 50 = 0)
+       |  WHERE q.vec_id % ${probeStrideSql} = 0)
        |SELECT q_id, rk, vec_id AS neighbor_id, cosine FROM (
        |  SELECT q_id, vec_id, cosine,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
@@ -191,7 +229,7 @@ object Similarity {
     import spark.implicits._
     val v = lshIndex(spark, dir)
       .select($"vec_id", $"embedding", $"nrm", $"bucket")
-    val q = v.filter(queryFilter($"vec_id"))
+    val q = v.filter(queryFilter(spark, dir)($"vec_id"))
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"),
         $"nrm".as("q_n"), $"bucket".as("q_bucket"))
     val nQ = queryCount(spark, dir, q)
@@ -214,7 +252,7 @@ object Similarity {
        |  SELECT q.vec_id AS q_id, v.vec_id,
        |    ${dotSql("q.e", "v.e", 64)} / (q.nrm * v.nrm) AS cosine
        |  FROM v q JOIN v ON v.bucket = q.bucket AND v.vec_id <> q.vec_id
-       |  WHERE q.vec_id % 50 = 0)
+       |  WHERE q.vec_id % ${probeStrideSql} = 0)
        |SELECT q_id, rk, vec_id AS neighbor_id, cosine FROM (
        |  SELECT q_id, vec_id, cosine,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rk
@@ -317,7 +355,7 @@ object Similarity {
   private def ivfProbed(spark: SparkSession, dir: String): DataFrame =
       ivfProbedCache.getOrBuild(spark, dir) {
     import spark.implicits._
-    val q = lshIndex(spark, dir).filter(queryFilter($"vec_id"))
+    val q = lshIndex(spark, dir).filter(queryFilter(spark, dir)($"vec_id"))
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"), $"nrm".as("q_n"))
     val wC = Window.partitionBy($"q_id").orderBy($"c_cos".desc, $"c_label")
     q.crossJoin(broadcast(ivfCentroids(spark, dir)))
@@ -333,7 +371,7 @@ object Similarity {
     require(nprobe <= ivfProbeMax, s"nprobe $nprobe > cached ivfProbeMax $ivfProbeMax")
     val v = lshIndex(spark, dir)
       .select($"vec_id", $"label", $"embedding", $"nrm")
-    val q = v.filter(queryFilter($"vec_id"))
+    val q = v.filter(queryFilter(spark, dir)($"vec_id"))
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"), $"nrm".as("q_n"))
     val nQ = queryCount(spark, dir, q)
     val probed = ivfProbed(spark, dir).filter($"c_rk" <= nprobe)
@@ -379,7 +417,7 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
        |        ${dotSql("q.e", "c.cvec", 64)} / (q.nrm * c.c_nrm) DESC, c.c_label) AS c_rk
        |    FROM v q, cent2 c
-       |    WHERE q.vec_id % 50 = 0)
+       |    WHERE q.vec_id % ${probeStrideSql} = 0)
        |  WHERE c_rk <= $nprobe),
        |scored AS (
        |  SELECT p.q_id, v.vec_id,
@@ -1127,16 +1165,31 @@ object Similarity {
     * and it rides the broadcast as one UnsafeArrayData instead of
     * pqSubspaces boxed maps.
     */
-  private def pqQueryLut(dists: DataFrame): DataFrame = {
+  private def pqQueryLut(spark: SparkSession, dir: String, dists: DataFrame): DataFrame = {
     import dists.sparkSession.implicits._
     val slotFields = $"idx" +: (0 until pqSubspaces).map(m => col(s"d_$m"))
-    dists.filter(queryFilter($"vec_id"))
+    dists.filter(queryFilter(spark, dir)($"vec_id"))
       .groupBy($"vec_id".as("q_id"))
       // array_sort on struct orders by leading field idx — slot i of
-      // the sorted list IS centroid i, making position arithmetic safe
-      .agg(array_sort(collect_list(struct(slotFields: _*))).as("slots"))
-      .select($"q_id", concat((0 until pqSubspaces).map(m =>
-        expr(s"transform(slots, x -> x.d_$m)")): _*).as("lut"))
+      // the sorted list IS centroid i, making position arithmetic
+      // safe ONLY because seed idx values are contiguous 0..n-1. That
+      // precondition is ASSERTED per query row (max(idx)+1 == slot
+      // count; idx values are distinct non-negative by construction):
+      // a gap below the max seed id would otherwise silently map slot
+      // i to the i-th SMALLEST idx rather than idx i, and only codes
+      // past the compacted range would hit AdcSum's loud
+      // out-of-range check.
+      .agg(array_sort(collect_list(struct(slotFields: _*))).as("slots"),
+        max($"idx").as("max_idx"))
+      .select($"q_id",
+        when(size($"slots") === $"max_idx" + 1,
+          concat((0 until pqSubspaces).map(m =>
+            expr(s"transform(slots, x -> x.d_$m)")): _*))
+          .otherwise(raise_error(concat(
+            lit("pqQueryLut: non-contiguous seed idx — max(idx)+1 = "),
+            ($"max_idx" + 1).cast("string"), lit(" but "),
+            size($"slots").cast("string"), lit(" slots"))))
+          .as("lut"))
   }
 
   /** ADC distance: the fused lookup-table kernel — pqSubspaces direct
@@ -1150,8 +1203,8 @@ object Similarity {
     val qv = pqQuantized(spark, dir)
     val dists = pqDists(spark, dir)
     val codes = pqCodes(spark, dir)
-    val qluts = pqQueryLut(dists)
-    val nQ = queryCount(spark, dir, qv.filter(queryFilter($"vec_id")))
+    val qluts = pqQueryLut(spark, dir, dists)
+    val nQ = queryCount(spark, dir, qv.filter(queryFilter(spark, dir)($"vec_id")))
     topKRanked(
       codes.join(boundedProbeSide(qluts, nQ), $"q_id" =!= $"vec_id")
         .select($"q_id", $"vec_id", adcDist.as("adc_dist")),
@@ -1183,7 +1236,7 @@ object Similarity {
        |  SELECT vec_id, m, CAST(MIN(d * $pqK + idx) % $pqK AS INTEGER) AS code
        |  FROM dists GROUP BY vec_id, m),
        |dtab AS (SELECT vec_id AS q_id, m, idx AS c, d FROM dists
-       |         WHERE vec_id % 50 = 0),
+       |         WHERE vec_id % ${probeStrideSql} = 0),
        |scored AS (
        |  SELECT dt.q_id, c.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc_dist
        |  FROM codes c JOIN dtab dt ON dt.m = c.m AND dt.c = c.code
@@ -1219,7 +1272,7 @@ object Similarity {
     val dists = pqDists(spark, dir)
     val labeled = labeledCodes(spark, dir)
     val v = lshIndex(spark, dir).select($"vec_id", $"embedding", $"nrm")
-    val q = v.filter(queryFilter($"vec_id"))
+    val q = v.filter(queryFilter(spark, dir)($"vec_id"))
       .select($"vec_id".as("q_id"), $"embedding".as("q_e"), $"nrm".as("q_n"))
     val nQ = queryCount(spark, dir, q)
     // probe routing shared with ann_ivf/_multiprobe (see ivfProbed)
@@ -1232,7 +1285,7 @@ object Similarity {
       .select($"q_id", $"c_label")
     // each probe row carries its query's ADC table; the scoring join
     // below is equi on the cluster key, ADC only within probed clusters
-    val probes = probed.join(pqQueryLut(dists), "q_id")
+    val probes = probed.join(pqQueryLut(spark, dir, dists), "q_id")
     topKRanked(
       labeled.join(probeSide(probes, nQ * ivfPqNprobe),
           $"label" === $"c_label" && $"vec_id" =!= $"q_id")
@@ -1268,7 +1321,7 @@ object Similarity {
        |  SELECT vec_id, m, CAST(MIN(d * $pqK + idx) % $pqK AS INTEGER) AS code
        |  FROM dists GROUP BY vec_id, m),
        |dtab AS (SELECT vec_id AS q_id, m, idx AS c, d FROM dists
-       |         WHERE vec_id % 50 = 0),
+       |         WHERE vec_id % ${probeStrideSql} = 0),
        |fv AS (
        |  SELECT vec_id, label, embedding AS e, ${normSql("embedding")} AS nrm
        |  FROM embeddings),
@@ -1287,7 +1340,7 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
        |        ${dotSql("q.e", "c.cvec", 64)} / (q.nrm * c.c_nrm) DESC, c.c_label) AS c_rk
        |    FROM fv q, cent2 c
-       |    WHERE q.vec_id % 50 = 0)
+       |    WHERE q.vec_id % ${probeStrideSql} = 0)
        |  WHERE c_rk <= $ivfPqNprobe),
        |scored AS (
        |  SELECT p.q_id, c.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc_dist
@@ -1326,7 +1379,7 @@ object Similarity {
     // evaluation falls back to a shuffled hash join.
     val truth = bruteTruth(spark, dir)
     val nQ = queryCount(spark, dir,
-      lshIndex(spark, dir).filter(queryFilter($"vec_id")).select($"vec_id"))
+      lshIndex(spark, dir).filter(queryFilter(spark, dir)($"vec_id")).select($"vec_id"))
     val approx = annLshCore(spark, dir)
       .select($"q_id".as("a_q"), $"neighbor_id".as("a_n"))
     truth

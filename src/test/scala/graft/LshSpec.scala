@@ -146,6 +146,27 @@ class LshSpec extends AnyFunSuite {
     }
   }
 
+  test("probe stride caps the query set at probeMaxQueries and never moves below the cap") {
+    import graft.operators.Similarity.{probeBaseStride, probeMaxQueries, probeStrideFor}
+    // below the cap the stride is exactly the historical 50: every
+    // committed-gate SF (sf0.001..sf1 = 500..500k vectors) unchanged
+    for (n <- Seq(500L, 2000L, 50000L, 500000L))
+      assert(probeStrideFor(n) == probeBaseStride, s"n=$n")
+    // above it, query count stays ≤ probeMaxQueries, the stride stays
+    // a multiple of the base (so the capped probe set is a SUBSET of
+    // the uncapped one), and it is the smallest such multiple
+    for (n <- Seq(500001L, 5000000L, 50000000L, 1L << 40)) {
+      val s = probeStrideFor(n)
+      assert(s % probeBaseStride == 0, s"n=$n stride=$s not a base multiple")
+      // dense 0-based ids: queries = floor((n-1)/s) + 1
+      assert((n - 1) / s + 1 <= probeMaxQueries, s"n=$n stride=$s over cap")
+      val prev = s - probeBaseStride
+      assert(prev == 0 || (n - 1) / prev + 1 > probeMaxQueries,
+        s"n=$n stride=$s not minimal")
+    }
+    assert(probeStrideFor(5000000L) == 500L, "sf10 must sample every 500th")
+  }
+
   test("the pinned oracle widths equal the dial at the bench corpus") {
     // embeddings.parquet has 2000 rows at sf0.1 (the driver's bench
     // SF); ann_lsh's static DuckDB twin forces a pinned constant, and
