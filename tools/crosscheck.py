@@ -46,12 +46,20 @@ if subset:
         sys.exit(f"GRAFT_QUERIES names unknown queries: {sorted(missing)}")
     oracles = {q: s for q, s in oracles.items() if q in keep}
 if os.environ.get("GRAFT_MEM"):
-    con.execute(f"SET memory_limit='{os.environ['GRAFT_MEM']}'")
+    # interpolated into SQL inside quotes — validate the shape first so
+    # a typo'd value fails with a clear message, not a DuckDB parse error
+    import re as _re
+    _mem = os.environ["GRAFT_MEM"]
+    if not _re.fullmatch(r"\d+(\.\d+)?\s*[KMGT]i?B", _mem, _re.IGNORECASE):
+        sys.exit(f"GRAFT_MEM must be a memory size like 24GB, got {_mem!r}")
+    con.execute(f"SET memory_limit='{_mem}'")
 # parallel shards MUST NOT share a spill directory: DuckDB's default
 # temp_directory is cwd/.tmp, and two processes there delete each
 # other's duckdb_temp_storage files mid-query (observed: IOException
 # killing a shard outright and an IO read error failing a query)
 if os.environ.get("GRAFT_TMP"):
+    if "'" in os.environ["GRAFT_TMP"]:
+        sys.exit("GRAFT_TMP must not contain single quotes")
     os.makedirs(os.environ["GRAFT_TMP"], exist_ok=True)
     con.execute(f"SET temp_directory='{os.environ['GRAFT_TMP']}'")
 fails = 0
