@@ -42,10 +42,13 @@ object Similarity {
     * identical stride from COUNT(*) (integer ceil-div — see
     * probeStrideSql): the oracle stays EXACT over the sampled set at
     * every SF. Below the cap (all committed-gate SFs: sf0.001 through
-    * sf1 = 10..10k queries) the stride is exactly the historical 50.
+    * sf1 = 10..400 queries) the stride is exactly the historical 50;
+    * it first binds at sf10 (200k vectors -> stride 200, 1000
+    * queries) where the flat scans were ~75 s of the 341 s campaign
+    * wall, and keeps sf100's 2M-vector corpus at the same 1000.
     */
   private[graft] val probeBaseStride = 50L
-  private[graft] val probeMaxQueries = 10000L
+  private[graft] val probeMaxQueries = 1000L
   private[graft] def probeStrideFor(n: Long): Long = {
     val cap = probeBaseStride * probeMaxQueries
     probeBaseStride * ((n + cap - 1) / cap)

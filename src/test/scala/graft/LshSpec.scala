@@ -149,13 +149,13 @@ class LshSpec extends AnyFunSuite {
   test("probe stride caps the query set at probeMaxQueries and never moves below the cap") {
     import graft.operators.Similarity.{probeBaseStride, probeMaxQueries, probeStrideFor}
     // below the cap the stride is exactly the historical 50: every
-    // committed-gate SF (sf0.001..sf1 = 500..500k vectors) unchanged
-    for (n <- Seq(500L, 2000L, 50000L, 500000L))
+    // committed-gate SF (sf0.001..sf1 = 500..20k vectors) unchanged
+    for (n <- Seq(500L, 2000L, 20000L, 50000L))
       assert(probeStrideFor(n) == probeBaseStride, s"n=$n")
     // above it, query count stays ≤ probeMaxQueries, the stride stays
     // a multiple of the base (so the capped probe set is a SUBSET of
     // the uncapped one), and it is the smallest such multiple
-    for (n <- Seq(500001L, 5000000L, 50000000L, 1L << 40)) {
+    for (n <- Seq(50001L, 200000L, 2000000L, 50000000L, 1L << 40)) {
       val s = probeStrideFor(n)
       assert(s % probeBaseStride == 0, s"n=$n stride=$s not a base multiple")
       // dense 0-based ids: queries = floor((n-1)/s) + 1
@@ -164,7 +164,8 @@ class LshSpec extends AnyFunSuite {
       assert(prev == 0 || (n - 1) / prev + 1 > probeMaxQueries,
         s"n=$n stride=$s not minimal")
     }
-    assert(probeStrideFor(5000000L) == 500L, "sf10 must sample every 500th")
+    assert(probeStrideFor(200000L) == 200L, "sf10 must sample every 200th")
+    assert(probeStrideFor(2000000L) == 2000L, "sf100 must sample every 2000th")
   }
 
   test("the pinned oracle widths equal the dial at the bench corpus") {
