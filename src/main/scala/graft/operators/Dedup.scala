@@ -366,7 +366,7 @@ object Dedup {
        |  FROM posting a JOIN posting b
        |    ON a.sh = b.sh AND ($pred)
        |  GROUP BY $aAlias, $bAlias),
-       |jpairs AS (
+       |jpairs AS MATERIALIZED (
        |  SELECT $aAlias, $bAlias,
        |    CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
        |  FROM common
@@ -551,20 +551,34 @@ object Dedup {
     * ngram / minhash / cluster-walk oracles so every oracle sees the
     * exact shingle universe the Spark side computes (the cap is the
     * same [[shingleDfCap]] constant, spliced in).
+    *
+    * Spill discipline (r15): shingles come straight from array
+    * indexing over the split-token list and the df-cap is a grouped
+    * HAVING + semi-join, NOT window functions. The original
+    * LEAD-over-(doc_id, ord) / COUNT-over-(sh) forms each force
+    * DuckDB to SORT the full token/posting stream (~150M string rows
+    * at sf10) — measured spilling past the box's ~74 GB temp ceiling
+    * and killing the sf10 oracle pass for every posting-family query.
+    * Same shingle universe, same df cut, provably: toks[ord..ord+2]
+    * is LEAD by construction, and HAVING COUNT(*) <= cap selects
+    * exactly the shingles the windowed sh_df filter kept.
+    *
+    * posting0/posting are AS MATERIALIZED: the minhash/cluster-walk
+    * oracles reference them 3-4 times each, and DuckDB's inline
+    * expansion otherwise runs the whole split→unnest→distinct
+    * pipeline per reference CONCURRENTLY — at sf10 the overlapping
+    * hash tables were the remaining spill bomb after the window fix.
     */
   private[graft] val postingSqlCtes: String =
     s"""sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |tok AS (SELECT doc_id, toks[ord] AS t, ord
-       |        FROM sp, UNNEST(range(1, len(toks) + 1)) AS r(ord)),
        |shg AS (SELECT doc_id,
-       |        t || ' ' || LEAD(t, 1) OVER w || ' ' || LEAD(t, 2) OVER w AS sh,
-       |        LEAD(t, 2) OVER w IS NOT NULL AS ok
-       |      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
-       |posting0 AS (SELECT DISTINCT doc_id, sh FROM shg WHERE ok),
-       |posting AS (SELECT doc_id, sh FROM (
-       |    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS sh_df
-       |    FROM posting0)
-       |  WHERE sh_df <= $shingleDfCap)""".stripMargin
+       |        toks[ord] || ' ' || toks[ord + 1] || ' ' || toks[ord + 2] AS sh
+       |      FROM sp, UNNEST(range(1, len(toks) - 1)) AS r(ord)),
+       |posting0 AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM shg),
+       |keptsh AS (SELECT sh FROM posting0 GROUP BY sh
+       |           HAVING COUNT(*) <= $shingleDfCap),
+       |posting AS MATERIALIZED (
+       |  SELECT doc_id, sh FROM posting0 JOIN keptsh USING (sh))""".stripMargin
 
   /** The recursive-CTE chain computing (id, cluster_id) per clustered
     * doc — shared by the dedup_clusters oracle and the corpus-select
@@ -582,7 +596,7 @@ object Dedup {
       |  UNION
       |  SELECT e.src, w.root FROM walk w JOIN edges e ON e.dst = w.id
       |  WHERE w.root < e.src OR w.root < w.id),
-      |comp AS (SELECT id, MIN(root) AS cluster_id FROM walk GROUP BY id)""".stripMargin
+      |comp AS MATERIALIZED (SELECT id, MIN(root) AS cluster_id FROM walk GROUP BY id)""".stripMargin
 
   private val dedupClustersSql =
     s"""WITH RECURSIVE
@@ -749,11 +763,11 @@ object Dedup {
       .map(b => s"SELECT doc_id, $b AS band_idx, m${2 * b} AS v1, m${2 * b + 1} AS v2 FROM sigs")
       .mkString("\n  UNION ALL ")
     s"""$postingSqlCtes,
-       |vh AS (
+       |vh AS MATERIALIZED (
        |  SELECT sh,
        |    $hashCols
        |  FROM (SELECT DISTINCT sh FROM posting)),
-       |sigs AS (
+       |sigs AS MATERIALIZED (
        |  SELECT doc_id, $minCols
        |  FROM posting JOIN vh USING (sh) GROUP BY doc_id),
        |bands AS (
@@ -935,9 +949,8 @@ object Dedup {
           s"((sig >> ${simBlockBits * i}) & $mask) * ${1L << simBlockBits} + " +
           s"((sig >> ${simBlockBits * j}) & $mask) AS cv FROM sigs" }
       .mkString("\n  UNION ALL ")
-    s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |tok AS (SELECT doc_id, toks[ord] AS t
-       |        FROM sp, UNNEST(range(1, len(toks) + 1)) AS r(ord)),
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
        |vh AS (
        |  SELECT t,
        |    ${seededSql(101, "h")} AS ha,
@@ -948,18 +961,18 @@ object Dedup {
        |  SELECT doc_id,
        |    $voteCols
        |  FROM tok JOIN vh USING (t) GROUP BY doc_id),
-       |sigs AS (SELECT doc_id, $sigExpr AS sig FROM votes),
+       |sigs AS MATERIALIZED (SELECT doc_id, $sigExpr AS sig FROM votes),
        |chunks AS (
        |  $chunkArms),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
        |    a.sig AS a_sig, b.sig AS b_sig
        |  FROM chunks a JOIN chunks b
-       |    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= $simThreshold)
        |SELECT a_id, b_id,
        |  CAST(bit_count(xor(a_sig, b_sig)) AS BIGINT) AS hamming
        |FROM cand
-       |WHERE bit_count(xor(a_sig, b_sig)) <= $simThreshold
        |ORDER BY a_id, b_id""".stripMargin
   }
 
