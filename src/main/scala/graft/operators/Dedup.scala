@@ -588,8 +588,9 @@ object Dedup {
     s"""$postingSqlCtes,
       |${jaccardPairSqlCtes("a_id", "b_id", "a.doc_id < b.doc_id")},
       |pairs AS (SELECT a_id, b_id FROM jpairs),
-      |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-      |          UNION ALL SELECT b_id, a_id FROM pairs),
+      |edges AS MATERIALIZED (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION ALL SELECT b_id, a_id FROM pairs),
       |nodes AS (SELECT DISTINCT src AS id FROM edges),
       |walk(id, root) AS (
       |  SELECT id, id FROM nodes

@@ -689,12 +689,14 @@ object Similarity {
   }
 
   private lazy val dedupSemanticSql =
-    s"""WITH RECURSIVE knn AS ($annKnnGraphSql),
-       |sedges AS (SELECT DISTINCT least(vec_id, neighbor_id) AS a_id,
+    s"""WITH RECURSIVE knn AS MATERIALIZED ($annKnnGraphSql),
+       |sedges AS MATERIALIZED (
+       |  SELECT DISTINCT least(vec_id, neighbor_id) AS a_id,
        |    greatest(vec_id, neighbor_id) AS b_id
        |  FROM knn WHERE cosine >= $semTau),
-       |edges AS (SELECT a_id AS src, b_id AS dst FROM sedges
-       |          UNION ALL SELECT b_id, a_id FROM sedges),
+       |edges AS MATERIALIZED (
+       |  SELECT a_id AS src, b_id AS dst FROM sedges
+       |  UNION ALL SELECT b_id, a_id FROM sedges),
        |nodes AS (SELECT DISTINCT src AS id FROM edges),
        |walk(id, root) AS (
        |  SELECT id, id FROM nodes
