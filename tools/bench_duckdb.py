@@ -27,6 +27,24 @@ warmup = "--no-warmup" not in sys.argv
 
 con = duckdb.connect()
 con.execute("SET threads TO 32")
+# Same big-SF spill discipline as crosscheck.py: the timing pass
+# must survive the same ~74 GB temp ceiling the oracle pass does.
+# Insertion order is irrelevant here (fetchall, no compare) and
+# preserving it roughly doubles the spill footprint of the sf10
+# window sorts; GRAFT_MEM/GRAFT_TMP bound memory and isolate the
+# spill dir exactly as the crosscheck protocol does.
+con.execute("SET preserve_insertion_order=false")
+if os.environ.get("GRAFT_MEM"):
+    import re as _re
+    _mem = os.environ["GRAFT_MEM"]
+    if not _re.fullmatch(r"\d+(\.\d+)?\s*[KMGT]i?B", _mem, _re.IGNORECASE):
+        sys.exit(f"GRAFT_MEM must be a memory size like 24GB, got {_mem!r}")
+    con.execute(f"SET memory_limit='{_mem}'")
+if os.environ.get("GRAFT_TMP"):
+    if "'" in os.environ["GRAFT_TMP"]:
+        sys.exit("GRAFT_TMP must not contain single quotes")
+    os.makedirs(os.environ["GRAFT_TMP"], exist_ok=True)
+    con.execute(f"SET temp_directory='{os.environ['GRAFT_TMP']}'")
 for f in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(f)[:-8]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
