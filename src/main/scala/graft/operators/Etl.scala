@@ -434,38 +434,91 @@ object Etl {
     graft.MeasuredCkpt(graft.sources.Xlsx.readAllCells(spark, out))
   }
 
-  /** parse_book (etl_products.py:23-96) re-expressed relationally
-    * over ANY (book, sheet, row_num, col_num, val) cell grid — shared
-    * by the parse entry, the QA entry, and the real-book spec (which
-    * feeds it the reference's actual Excel-written cdro_F1/G1 books
-    * through the same Xlsx decode path).
+  /** parse_book (etl_products.py:23-96) re-expressed over ANY
+    * (book, sheet, row_num, col_num, val) cell grid — shared by the
+    * parse entry, the QA entry, and the real-book spec (which feeds
+    * it the reference's actual Excel-written cdro_F1/G1 books through
+    * the same Xlsx decode path).
+    *
+    * Shape (r15): ONE exchange — the same typed per-(book, sheet)
+    * group pass [[parseTotalsBookCells]] already uses, for the same
+    * measured reason: the relational first cut (header aggregate +
+    * colmap/cats/cells self-joins) planned 9 stages ≈ 9 scheduling
+    * floors on ref_trade_prod for a few-thousand-row result
+    * (StageAudit r15: 0.95 s of which ~0.85 floor). A sheet is an
+    * independent, calendar-bounded parse unit, so header search,
+    * month-column map, category-row list and value extraction run in
+    * one traversal of the group's cells, parallel across books ×
+    * sheets — the identical 100 TB story (a lake of books groups by
+    * (book, sheet) keys) with a ninth of the fixed cost. The VALUE
+    * parse stays in Catalyst (TRY_CAST + NaN/zero skip below), so
+    * cell-text→double semantics are bit-identical to the relational
+    * form the oracle re-expresses.
+    *
+    * Scala-side string ops replicate the Column forms exactly:
+    * [[strim]] is Spark's trim (0x20 only — Java's String.trim also
+    * eats control chars, which would diverge from the oracle's TRIM).
     */
+  private def strim(s: String): String = {
+    var i = 0; var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    s.substring(i, j)
+  }
+
   private[graft] def parseBookCells(grid: DataFrame): DataFrame = {
     val spark = grid.sparkSession
     import spark.implicits._
-    val cells = grid
-      .filter($"sheet".rlike("^[0-9]{4}$")) // year sheets only (:31-32)
-    val hdr = cells.filter(trim($"val") === "Enero") // header search (:38-44)
-      .groupBy($"book", $"sheet").agg(min($"row_num").as("head_idx"))
-    val colmap = cells.join(hdr, Seq("book", "sheet")) // month cols (:46-52)
-      .filter($"row_num" === $"head_idx" &&
-        trim($"val").isInCollection(meses :+ "Total"))
-      .select($"book", $"sheet", $"col_num", trim($"val").as("month"))
-    val cats = cells.join(hdr, Seq("book", "sheet")) // category rows (:58-74)
-      .filter($"col_num" === 2 && $"row_num" >= $"head_idx" + 3)
-      .select($"book", $"sheet", $"row_num", trim($"val").as("category"))
-      .filter(length($"category") >= 3 &&
-        !lower($"category").startsWith("incluye") &&
-        !lower($"category").startsWith("total") &&
-        !lower($"category").isin("nan", "none"))
-    cats
-      .join(colmap, Seq("book", "sheet"))
-      .join(cells.select($"book", $"sheet", $"row_num", $"col_num", $"val"),
-        Seq("book", "sheet", "row_num", "col_num"))
-      .select($"sheet".cast("int").as("year"), $"month",
-        when($"book".contains("F1"), "import").otherwise("export").as("flow"),
-        $"category",
-        expr("TRY_CAST(val AS DOUBLE)").as("usd")) // float() (:79-84)
+    val mesOrTotal = (meses :+ "Total").toSet
+    grid.filter($"sheet".rlike("^[0-9]{4}$")) // year sheets only (:31-32)
+      .select($"book", $"sheet", $"row_num", $"col_num", $"val")
+      .as[(String, String, Int, Int, String)]
+      .groupByKey { case (b, s, _, _, _) => (b, s) }
+      .flatMapGroups { (key: (String, String),
+          it: Iterator[(String, String, Int, Int, String)]) =>
+        val (book, sheet) = key
+        // the sheet's sparse grid: row → (col → val); bounded by the
+        // sheet's calendar × category grid whatever the lake size
+        val rows = scala.collection.mutable.Map
+          .empty[Int, scala.collection.mutable.Map[Int, String]]
+        it.foreach { case (_, _, r, c, v) =>
+          rows.getOrElseUpdate(r, scala.collection.mutable.Map.empty) += c -> v
+        }
+        val year = sheet.toInt
+        val flow = if (book.contains("F1")) "import" else "export"
+        // header row = MIN row with a cell whose trimmed text is
+        // 'Enero' (:38-44) — min over matching cells ≡ the relational
+        // MIN(row_num) aggregate
+        val headIdx = rows.iterator
+          .filter(_._2.values.exists(v => v != null && strim(v) == "Enero"))
+          .map(_._1).minOption
+        headIdx.iterator.flatMap { h =>
+          // month cols (:46-52): header-row cells in MONTHS+Total
+          val colmap = rows(h).iterator.collect {
+            case (c, v) if v != null && mesOrTotal(strim(v)) => (c, strim(v))
+          }.toSeq
+          // category rows (:58-74): col 2 at/below head+3, metadata
+          // filtered — same predicates as the relational form
+          // (length ≥ 3, not incluye%/total%, not nan/none)
+          val cats = rows.iterator.collect {
+            case (r, cs) if r >= h + 3 && cs.contains(2) && cs(2) != null =>
+              (r, strim(cs(2)))
+          }.filter { case (_, cat) =>
+            val lc = cat.toLowerCase
+            cat.length >= 3 && !lc.startsWith("incluye") &&
+              !lc.startsWith("total") && lc != "nan" && lc != "none"
+          }
+          for {
+            (r, category) <- cats
+            row = rows(r)
+            (c, month) <- colmap.iterator
+            raw <- row.get(c)
+          } yield (year, month, flow, category, raw)
+        }
+      }
+      .toDF("year", "month", "flow", "category", "raw")
+      .select($"year", $"month", $"flow", $"category",
+        expr("TRY_CAST(raw AS DOUBLE)").as("usd")) // float() (:79-84)
       // NaN/''/0 skip (:80-81). The explicit !isnan matters: a literal
       // 'nan' cell TRY_CASTs to NaN on both engines and NaN <> 0 is
       // true, so without it such a cell would survive as usd=NaN where
@@ -596,14 +649,25 @@ object Etl {
     */
   private def etlProdQa(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val p = prodParsed(spark, dir)
-    val months = p.filter($"month" =!= "Total")
+    // ONE pass (r15): the month sum and the book-total pick are
+    // conditional aggregates of the SAME grouped scan — the previous
+    // months⋈totals left join executed the whole parse subplan twice
+    // and paid a join exchange to reassemble what one groupBy already
+    // had (StageAudit: 6 jobs/10 stages → 3/5). Equivalence with the
+    // join form: a (year, flow, category) group with no month rows
+    // (months side empty → absent from the left join) is removed by
+    // the n_months guard; a group with no Total row gets a NULL
+    // usd_total exactly like the left join's unmatched side; and the
+    // month sums are exact in any order (integer-valued doubles far
+    // below 2^53), so the conditional sum equals the filtered sum
+    // bit for bit. qa_ok keeps the pandas semantics: only a TRUE
+    // |delta| > 1e-3 flags (NULL delta → qa_ok).
+    prodParsed(spark, dir)
       .groupBy($"year", $"flow", $"category")
-      .agg(sum($"usd").as("sum_months"))
-    val totals = p.filter($"month" === "Total")
-      .groupBy($"year", $"flow", $"category")
-      .agg(sum($"usd").as("usd_total"))
-    months.join(totals, Seq("year", "flow", "category"), "left")
+      .agg(sum(when($"month" =!= "Total", $"usd")).as("sum_months"),
+        sum(when($"month" === "Total", $"usd")).as("usd_total"),
+        count(when($"month" =!= "Total", lit(1))).as("n_months"))
+      .filter($"n_months" > 0)
       .select($"year", $"flow", $"category", $"sum_months", $"usd_total",
         ($"usd_total" - $"sum_months").as("delta"),
         when(abs($"usd_total" - $"sum_months") > 1e-3, lit(false))

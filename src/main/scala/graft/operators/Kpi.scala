@@ -380,12 +380,24 @@ object Kpi {
     import spark.implicits._
     val m = catMonthly(spark, dir)
       .withColumn("mon_idx", ($"yr" * 12 + $"mon" - 1).cast("long"))
-    val spine = m.agg(min($"mon_idx").as("lo"), max($"mon_idx").as("hi"))
-      .select(explode(sequence($"lo", $"hi")).as("mon_idx"))
-    m.select($"category").distinct()
-      .crossJoin(spine)
-      .join(m.select($"category", $"mon_idx", $"exp", $"imp",
-          lit(1).as("present")),
+    // ONE bounded aggregate builds the whole spine (r15): month
+    // bounds AND the category list collect in the same pass, then
+    // explode twice row-locally — the previous shape paid a separate
+    // distinct() exchange plus a BroadcastNestedLoopJoin cross for
+    // #categories × #months rows that one row can generate. The
+    // grain side then BROADCASTS into the left join: it is bounded
+    // by the same categories × calendar grid as the spine itself, so
+    // a sort-merge join (2 exchanges + 2 sorts, the r14 plan) buys
+    // nothing at any scale (guide §3.1: broadcast the side that
+    // fits — here both sides are grid-bounded, fact volume never
+    // reaches this join).
+    val spine = m.agg(min($"mon_idx").as("lo"), max($"mon_idx").as("hi"),
+        collect_set($"category").as("cats"))
+      .select(explode($"cats").as("category"), $"lo", $"hi")
+      .select($"category", explode(sequence($"lo", $"hi")).as("mon_idx"))
+    spine
+      .join(broadcast(m.select($"category", $"mon_idx", $"exp", $"imp",
+          lit(1).as("present"))),
         Seq("category", "mon_idx"), "left")
       .select($"category",
         expr("CAST(mon_idx DIV 12 AS INT)").as("yr"),
@@ -421,17 +433,31 @@ object Kpi {
   private def outliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.orderBy($"yr", $"mon")
-    val mom = baseMonthly(spark, dir)
+    // ONE linear chain (r15): the stats ride a full-frame window over
+    // the SAME decimal accumulators instead of a separate aggregate
+    // branch — the crossJoin(broadcast(stats)) shape executed the mom
+    // window subplan TWICE (once streamed, once under the broadcast)
+    // and paid a broadcast job for one row (StageAudit: 2 jobs /
+    // 5 stages → 1 / 3). The windowed decimal sum is exact in any
+    // order, so mu/sigma land on the identical values the aggregate
+    // branch produced. The frame is the calendar-bounded monthly
+    // grain — a full-frame window over it is the same single
+    // partition the broadcast already implied.
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val Dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    def wsum(c: Column): Column =
+      sum(c.cast(Dec6)).over(wAll).cast("string").cast("double")
+    baseMonthly(spark, dir)
       .withColumn("export_mom",
         ($"export_usd" / lag($"export_usd", 1).over(w) - 1.0) * 100.0)
       .filter($"export_mom".isNotNull)
-    val stats = mom.agg(
-      Det.dsum($"export_mom").as("sx"),
-      Det.dsum($"export_mom" * $"export_mom").as("sx2"),
-      count($"export_mom").as("n"))
-      .select(($"sx" / $"n").as("mu"),
-        sqrt(greatest(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1), lit(0.0))).as("sigma"))
-    mom.crossJoin(broadcast(stats))
+      .withColumn("sx", wsum($"export_mom"))
+      .withColumn("sx2", wsum($"export_mom" * $"export_mom"))
+      .withColumn("n", count($"export_mom").over(wAll))
+      .withColumn("mu", $"sx" / $"n")
+      .withColumn("sigma",
+        sqrt(greatest(($"sx2" - $"sx" * $"sx" / $"n") / ($"n" - 1), lit(0.0))))
       .filter(abs($"export_mom" - $"mu") > lit(2.0) * $"sigma")
       .select($"yr", $"mon", $"export_mom".as("export_mom"),
         (abs($"export_mom" - $"mu") / $"sigma").as("z_score"))
