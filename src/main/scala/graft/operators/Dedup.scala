@@ -1196,12 +1196,19 @@ object Dedup {
         graft.functions.RollingHash.rolling_hash(array_join(
           expr(s"slice(toks, CAST(chunk_idx * $dupChunkSize + 1 AS INT), $dupChunkSize)"),
           " ")).as("chunk_hash"))
-    // struct min = lexicographic (doc_id, chunk_idx) — identical
-    // tie-order to the window form's ORDER BY doc_id, chunk_idx
+    // min doc_id per hash: the canonical owner DOC is all the count
+    // below consumes — which chunk_idx inside the min doc "won" never
+    // reaches the output, so the r14 min(struct(doc_id, chunk_idx))
+    // bought nothing and cost the plan its hash aggregate: a struct
+    // buffer is not HashAggregate-mutable, so Spark planned
+    // SortAggregate with a full (chunk_hash) sort on BOTH sides of
+    // the exchange (r15 plan audit — the very sorts this operator's
+    // doc comment promises away). min(long) restores the codegen
+    // hash aggregate with map-side partial combine.
     val owned = chunkHashes
       .groupBy($"chunk_hash")
-      .agg(min(struct($"doc_id", $"chunk_idx")).as("own"))
-      .groupBy($"own.doc_id".as("doc_id"))
+      .agg(min($"doc_id").as("doc_id"))
+      .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_first"))
     docs.select($"doc_id", $"n_chunks")
       .join(owned, Seq("doc_id"), "left")

@@ -4,6 +4,7 @@ import graft.{Det, Q, Tables}
 import graft.Out._
 import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The raw-source parsing stage the reference pipeline runs FIRST —
@@ -208,11 +209,17 @@ object Etl {
         expr("TRY_CAST(val AS BIGINT)").as("usd"))
     val totals = raw.filter($"mes" === "Total")
       .select($"yr", $"flow", expr("TRY_CAST(val AS BIGINT)").as("book_total"))
-    val qa = parsed.groupBy($"yr", $"flow")
-      .agg(sum($"usd").as("sum_months"))
+    // QA sum as a window over the month rows (r15): the separate
+    // groupBy branch re-executed the parse subplan and joined the
+    // one number back; the full-frame window per (yr, flow) computes
+    // it in place on the SAME exchange that grouping would have paid.
+    // usd is BIGINT, so the windowed sum is order-exact like the
+    // aggregate was; the book grid is calendar-bounded, so the
+    // partition frames stay bounded at any lake size.
+    val wqa = Window.partitionBy($"yr", $"flow")
     parsed
+      .withColumn("sum_months", sum($"usd").over(wqa))
       .join(totals, Seq("yr", "flow"))
-      .join(qa, Seq("yr", "flow"))
       .select($"yr", $"mon", $"flow", $"usd",
         ($"sum_months" === $"book_total").as("qa_ok"))
       .resultOrder($"yr", $"mon", $"flow")

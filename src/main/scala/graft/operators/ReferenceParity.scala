@@ -122,7 +122,22 @@ object ReferenceParity {
   private[graft] def kpiMonthlyFrom(long: DataFrame): DataFrame = {
     val spark = long.sparkSession
     import spark.implicits._
+    // ONE exchange (r15): the input long frame is already the
+    // calendar-grain table (≤ years × 12 × flows rows whatever the
+    // fact volume — see the doc above), and the metric pass is ONE
+    // global sequential group by reference semantics, so the
+    // scale-correct plan merges to a single partition FIRST and lets
+    // everything downstream ride it: the pivot aggregate plans
+    // complete-mode with no exchange (SinglePartition satisfies its
+    // clustering), the constant-key flatMapSortedGroups needs no
+    // exchange, and the presentation order is a local sort. The r14
+    // shape paid three exchanges (pivot hash, constant-key regroup,
+    // final merge) to move ≤239 rows. Pivot values are unchanged:
+    // (year, month, flow) keys are unique in every input this serves
+    // (committed table + G6 parse), so the conditional SUM is a
+    // 1-value pick in any partitioning.
     val wide = long.filter($"month" =!= "Total")
+      .repartition(1)
       .groupBy($"year", $"month")
       .agg(sum(when($"flow" === "export", $"usd")).as("export"),
         sum(when($"flow" === "import", $"usd")).as("imp"))
@@ -139,7 +154,7 @@ object ReferenceParity {
         $"export_mom", $"export_yoy", $"import_mom", $"import_yoy",
         $"export_ma3", $"import_ma3", $"balance_ma3",
         $"idx2005_export", $"idx2005_import")
-      .resultOrder($"year", $"month_num")
+      .sortWithinPartitions($"year", $"month_num")
   }
 
   private def refKpiMonthly(spark: SparkSession, dir: String): DataFrame =
@@ -262,52 +277,78 @@ object ReferenceParity {
     //    SAME decimal accumulator (exact in any order), so the
     //    outlier count is one linear chain instead of a broadcast
     //    crossJoin of a separate stats branch.
-    val base = km.agg(
-        Det.dsum(xb).as("sxb"),
-        Det.dsum(xb * xb).as("sxb2"),
-        count($"export").as("n"),
-        max($"export").as("max_usd"),
-        sum(when($"balance" > 0, 1L).otherwise(0L)).as("surplus_months"),
-        max(struct($"export", (-$"year").as("ny"),
-          (-$"month_num").as("nm"))).as("mx"))
+    // Every statistic becomes a WINDOW over the one checkpointed
+    // 156-row frame (r15): km is a single partition (resultOrder
+    // merges to one), and SinglePartition satisfies every clustering
+    // requirement, so the month-mean windows, the full-frame stat
+    // windows and the lag chain all plan inside ONE stage with zero
+    // exchanges, zero joins, zero broadcast branches — the r14 shape
+    // paid 6 jobs (≈ a scheduling floor each) to reassemble what one
+    // pass over 156 rows computes. Every windowed aggregate below is
+    // the exact twin of the aggregate-branch form it replaces:
+    //  - decimal window sums (wsum) are order-exact, so mean/std/
+    //    mu/sigma land on identical doubles;
+    //  - max(struct(export, -year, -month_num)) ≡ ORDER BY export
+    //    DESC, year, month_num LIMIT 1 (lexicographic struct order);
+    //  - per-month means ride Window.partitionBy(month) (a sort, not
+    //    an exchange, on the single partition), and peak/valley are
+    //    full-frame struct extrema over those — month_num is unique
+    //    per month so the third field never decides;
+    //  - the pct outlier count skips nulls exactly as the filtered
+    //    aggregate did (sum/count ignore null pct; the outlier
+    //    indicator is otherwise(0) on a null condition).
+    // All nine outputs are frame-constants, so limit(1) of the
+    // constant projection is the deterministic single row. This is a
+    // serving-layer probe over a calendar-bounded series — the
+    // single-partition shape IS the scale story (the volume forms
+    // are kpi_outliers / kpi_month_stats).
+    val w = Window.orderBy($"year", $"month_num")
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wMon = Window.partitionBy($"month", $"month_num")
+    val Dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    // windowed twin of Det.dsum/davg: decimal accumulation then the
+    // shortest-string double surface — exact in any order
+    def wsumOver(c: Column, wd: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(c.cast(Dec6)).over(wd).cast("string").cast("double")
+    def wsum(c: Column): Column = wsumOver(c, wAll)
+    km
+      .withColumn("sxb", wsum(xb))
+      .withColumn("sxb2", wsum(xb * xb))
+      .withColumn("n", count($"export").over(wAll))
+      .withColumn("max_usd", max($"export").over(wAll))
+      .withColumn("surplus_months",
+        sum(when($"balance" > 0, 1L).otherwise(0L)).over(wAll))
+      .withColumn("mx", max(struct($"export", (-$"year").as("ny"),
+        (-$"month_num").as("nm"))).over(wAll))
+      .withColumn("a",
+        wsumOver($"export", wMon) / count($"export").over(wMon))
+      .withColumn("pct",
+        ($"export" / lag($"export", 1).over(w) - 1.0) * 100.0)
+      .withColumn("pk",
+        max(struct($"a", (-$"month_num").as("nm"), $"month")).over(wAll))
+      .withColumn("vl",
+        min(struct($"a", $"month_num", $"month")).over(wAll))
+      .withColumn("sx", wsum($"pct"))
+      .withColumn("sx2", wsum($"pct" * $"pct"))
+      .withColumn("np", count($"pct").over(wAll))
+      .withColumn("mu", $"sx" / $"np")
+      .withColumn("sigma",
+        sqrt(greatest(($"sx2" - $"sx" * $"sx" / $"np") / ($"np" - 1),
+          lit(0.0))))
+      .withColumn("outlier_count",
+        sum(when(abs($"pct" - $"mu") > lit(2.0) * $"sigma", 1L)
+          .otherwise(0L)).over(wAll))
       .select(($"sxb" / $"n").as("mean_b"),
         sqrt(greatest(($"sxb2" - $"sxb" * $"sxb" / $"n") / ($"n" - 1),
           lit(0.0))).as("std_b"),
         $"max_usd",
         concat((-$"mx.ny").cast("string"), lit("-"),
           lpad((-$"mx.nm").cast("string"), 2, "0")).as("max_ym"),
-        $"surplus_months", $"n".as("total_months"))
-    val monPV = km.groupBy($"month", $"month_num")
-      .agg(Det.davg($"export").as("a"))
-      .agg(max(struct($"a", (-$"month_num").as("nm"), $"month")).as("pk"),
-        min(struct($"a", $"month_num", $"month")).as("vl"))
-      .select($"pk.month".as("peak_month"), $"vl.month".as("valley_month"))
-    val w = Window.orderBy($"year", $"month_num")
-    val wAll = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val Dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    // windowed twin of Det.dsum: decimal accumulation then the
-    // shortest-string double surface — exact, so the full-frame
-    // window lands on the identical mu/sigma the separate aggregate
-    // branch produced
-    def wsum(c: Column): Column =
-      sum(c.cast(Dec6)).over(wAll).cast("string").cast("double")
-    val outlierCnt = km
-      .withColumn("pct", ($"export" / lag($"export", 1).over(w) - 1.0) * 100.0)
-      .filter($"pct".isNotNull)
-      .withColumn("sx", wsum($"pct"))
-      .withColumn("sx2", wsum($"pct" * $"pct"))
-      .withColumn("np", count($"pct").over(wAll))
-      .select($"pct", ($"sx" / $"np").as("mu"),
-        sqrt(greatest(($"sx2" - $"sx" * $"sx" / $"np") / ($"np" - 1),
-          lit(0.0))).as("sigma"))
-      .filter(abs($"pct" - $"mu") > lit(2.0) * $"sigma")
-      .agg(count(lit(1)).as("outlier_count"))
-    base.crossJoin(broadcast(monPV))
-      .crossJoin(broadcast(outlierCnt))
-      .select($"mean_b", $"std_b", $"max_usd", $"max_ym",
-        $"surplus_months", $"total_months",
-        $"peak_month", $"valley_month", $"outlier_count")
+        $"surplus_months", $"n".as("total_months"),
+        $"pk.month".as("peak_month"), $"vl.month".as("valley_month"),
+        $"outlier_count")
+      .limit(1)
       .resultOrder($"max_ym")
   }
 

@@ -135,9 +135,17 @@ object Warehouse {
         when($"prev_type".isNull || $"prev_type" =!= $"event_type", 1L)
           .otherwise(0L))
       .withColumn("version", sum($"chg").over(wRun))
-      .groupBy($"user_id", $"version")
-      .agg(min($"event_type").as("event_type"), // constant within a run
-        min($"ts").as("valid_from"),
+      // event_type is constant within a run BY CONSTRUCTION (version
+      // increments on every type change), so grouping by it is the
+      // identity on groups — and it moves the string out of the
+      // aggregation BUFFER: min(string) is a var-width buffer that
+      // forces SortAggregate (plus its own full sort of the event
+      // rows, r15 plan audit); as a KEY the aggregate is hash-based
+      // over fixed-width buffers (guide §4: pick codegen-friendly
+      // operators), and the post-agg sort the lead() window needs
+      // runs over version rows, not event rows
+      .groupBy($"user_id", $"version", $"event_type")
+      .agg(min($"ts").as("valid_from"),
         count(lit(1)).as("n_events"))
       .withColumn("valid_to", lead($"valid_from", 1).over(wVer))
       .select($"user_id", $"version", $"event_type",

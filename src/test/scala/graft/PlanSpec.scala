@@ -123,7 +123,18 @@ class PlanSpec extends AnyFunSuite {
     // the Report/Dashboard collects); the SinglePartition child is
     // the global-ordered 156-row pct_change window, bounded by the
     // reference's own calendar, never by fact volume
-    val audited = Set("graph_pagerank", "graph_triangles", "ref_eda_stats")
+    // ref_kpi_monthly: audited r15 — kpiMonthlyFrom merges to one
+    // partition FIRST (the r15 one-exchange rewrite), so its pivot
+    // aggregate and the constant-key metric group pass both accept a
+    // SinglePartition child. Size bound: the input long frame is the
+    // calendar-grain table itself (committed 239-row trade.parquet /
+    // the G6 parse, ≤ years×12×flows rows whatever the fact volume),
+    // and the metric pass is ONE global sequential series by
+    // reference semantics (metrics.py positional shifts) — the
+    // single partition is the operator's own contract, not a
+    // fact-volume hazard.
+    val audited = Set("graph_pagerank", "graph_triangles", "ref_eda_stats",
+      "ref_kpi_monthly")
     val offenders = scala.collection.mutable.SortedMap.empty[String, Seq[String]]
     for ((name, fn) <- SparkEntry.queries) {
       val p = fn(spark, sf).queryExecution.executedPlan
