@@ -848,7 +848,16 @@ object Kpi {
   // category-month can be single-flow).
   private def rankShift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // keyed on yr BEFORE the aggregate (r15): HashPartitioning(yr)
+    // satisfies both the (category, yr) grouping (subset rule) and
+    // the rank window's (yr) partitioning, so the aggregate and the
+    // rank share ONE exchange instead of paying one each (guide
+    // §2.4: two operations keyed the same way share one exchange).
+    // The rows shuffled pre-aggregate are the materialized monthly
+    // grain — categories × calendar bounded at any fact volume — and
+    // the decimal sum is order-exact under any partitioning.
     val annual = catMonthly(spark, dir)
+      .repartition($"yr")
       .groupBy($"category", $"yr")
       .agg(Det.dsum(coalesce($"exp", lit(0.0)) + coalesce($"imp", lit(0.0)))
         .as("usd"))

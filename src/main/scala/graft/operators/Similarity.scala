@@ -677,8 +677,14 @@ object Similarity {
 
   private def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // shuffle_hash on the label side (r15): the cached CC frame is
+    // stats-less checkpoint output, so sort-merge gave BOTH shuffled
+    // sides a full sort; a per-partition hash build of the label rows
+    // (two longs each) does the same left join without either sort —
+    // the same pattern corpus_select's drop-list join documents.
+    // Never broadcast: labels are corpus-proportional.
     val comp = semClusterLabels(spark, dir)
-      .select($"id".as("vec_id"), $"label".as("cl"))
+      .select($"id".as("vec_id"), $"label".as("cl")).hint("shuffle_hash")
     val wc = Window.partitionBy($"cluster_id")
     Tables(spark, dir).embeddings.select($"vec_id")
       .join(comp, Seq("vec_id"), "left")
