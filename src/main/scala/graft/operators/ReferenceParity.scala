@@ -312,26 +312,30 @@ object ReferenceParity {
     def wsumOver(c: Column, wd: org.apache.spark.sql.expressions.WindowSpec) =
       sum(c.cast(Dec6)).over(wd).cast("string").cast("double")
     def wsum(c: Column): Column = wsumOver(c, wAll)
+    // windows batched into three projection layers (a withColumn per
+    // expression planned ELEVEN Window operators; same expressions,
+    // one select per dependency layer plans five — the three distinct
+    // specs of layer 1, then the two full-frame layers that consume
+    // layer-1 / layer-2 columns)
     km
-      .withColumn("sxb", wsum(xb))
-      .withColumn("sxb2", wsum(xb * xb))
-      .withColumn("n", count($"export").over(wAll))
-      .withColumn("max_usd", max($"export").over(wAll))
-      .withColumn("surplus_months",
-        sum(when($"balance" > 0, 1L).otherwise(0L)).over(wAll))
-      .withColumn("mx", max(struct($"export", (-$"year").as("ny"),
-        (-$"month_num").as("nm"))).over(wAll))
-      .withColumn("a",
-        wsumOver($"export", wMon) / count($"export").over(wMon))
-      .withColumn("pct",
-        ($"export" / lag($"export", 1).over(w) - 1.0) * 100.0)
-      .withColumn("pk",
-        max(struct($"a", (-$"month_num").as("nm"), $"month")).over(wAll))
-      .withColumn("vl",
-        min(struct($"a", $"month_num", $"month")).over(wAll))
-      .withColumn("sx", wsum($"pct"))
-      .withColumn("sx2", wsum($"pct" * $"pct"))
-      .withColumn("np", count($"pct").over(wAll))
+      .select($"*",
+        wsum(xb).as("sxb"),
+        wsum(xb * xb).as("sxb2"),
+        count($"export").over(wAll).as("n"),
+        max($"export").over(wAll).as("max_usd"),
+        sum(when($"balance" > 0, 1L).otherwise(0L)).over(wAll)
+          .as("surplus_months"),
+        max(struct($"export", (-$"year").as("ny"),
+          (-$"month_num").as("nm"))).over(wAll).as("mx"),
+        (wsumOver($"export", wMon) / count($"export").over(wMon)).as("a"),
+        (($"export" / lag($"export", 1).over(w) - 1.0) * 100.0).as("pct"))
+      .select($"*",
+        max(struct($"a", (-$"month_num").as("nm"), $"month")).over(wAll)
+          .as("pk"),
+        min(struct($"a", $"month_num", $"month")).over(wAll).as("vl"),
+        wsum($"pct").as("sx"),
+        wsum($"pct" * $"pct").as("sx2"),
+        count($"pct").over(wAll).as("np"))
       .withColumn("mu", $"sx" / $"np")
       .withColumn("sigma",
         sqrt(greatest(($"sx2" - $"sx" * $"sx" / $"np") / ($"np" - 1),
